@@ -1,0 +1,77 @@
+"""Source registry: table name -> DataFrame.
+
+The reference's sources are BigQuery datasets, Postgres tables, CSV files,
+Google Sheets and Airbyte connector outputs (SURVEY.md §2.1 S1-S16). Our
+engine abstracts them behind a registry keyed by table name; the test
+fixtures are the driver's parquet tables (TESTDATA.md). For real deployments
+the same registry returns `spark.read.format("bigquery")` / `.jdbc(...)`
+frames — the downstream operator code is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+RUNTIME_CONFS = {
+    # The driver smoke/correctness runs may hand us a vanilla SparkSession;
+    # these are runtime-settable and required for semantic parity:
+    # - nanosAsLong: events carries TIMESTAMP(NANOS) parquet Spark rejects
+    # - ansi off: NULL-on-garbage casts (oracle uses TRY_CAST)
+    # - UTC: timestamp rendering parity with the DuckDB oracle
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan. Filters/projections applied by callers reach the scan
+    via Catalyst pushdown (verified in tests/test_plans.py)."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long (see session.py): truncate to microseconds, the same
+        # semantics as DuckDB casting TIMESTAMP_NS -> TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view so spark.sql(...) works."""
+    tables = load_all(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup groups on md5(text) — constant-width shuffle keys.
+- MinHash/LSH: shingle -> K md5-seeded min-hashes -> B bands; candidate pairs
+  come from equi-joining band keys (shuffle on band buckets), never from a
+  cross join. At 100 TB the band join is the only O(collisions) stage.
+- n-gram Jaccard verifies candidates via an inverted-index self-join on
+  shingles (pairs sharing >= 1 shingle), again no cross join.
+- All hashing is md5-based so DuckDB oracles can reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per identical normalized text."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle). Documents with
+    fewer than k tokens produce no shingles."""
+    toks = F.split(normalized_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    return (
+        df.where(F.size(toks) >= k)
+        .select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+    """K md5-seeded min-hashes per doc: min over shingles of
+    md5('<seed>:<shingle>'). Hex-string min == numeric min of the 128-bit
+    value, and is reproducible in any engine with md5."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
+    exploded = shingles.select(id_col, "shingle", seeds)
+    return (
+        exploded.groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Fold each doc's K minhashes into B band keys (md5 of the band's
+    concatenated row hashes): (id, band_id, band_key)."""
+    sigs = (
+        signatures.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .select(id_col, F.transform("sig", lambda s: s["minhash"]).alias("sig"))
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = [F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(F.lit(b).cast("bigint").alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    return sigs.select(
+        id_col, F.explode(F.array(*band_rows)).alias("b")
+    ).select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band bucket. Equi-join on
+    (band_id, band_key) — shuffle-partitioned by bucket, no cross join."""
+    a = band_keys.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    b = band_keys.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_common: int = 1,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """n-gram Jaccard similarity for every doc pair sharing a shingle
+    (inverted-index self-join). Returns (doc_a, doc_b, common, jaccard)."""
+    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """md5-seeded SimHash: bit b = sign of sum over distinct tokens of
+    (±1 by parity of the first nibble of md5('<b>:<token>')). Returns
+    (id, simhash) with simhash as a '01...' string of length `bits` —
+    engine-portable (no 64-bit int overflow concerns in oracles)."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
+        .distinct()
+    )
+    weights = []
+    for b in range(bits):
+        nib = F.instr(F.lit(HEX), F.substring(F.md5(F.concat_ws(":", F.lit(str(b)), F.col("tok"))), 1, 1)) - 1
+        weights.append(F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)).alias(f"w{b}"))
+    agg = toks.groupBy(id_col).agg(*weights)
+    bit_chars = [F.when(F.col(f"w{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on halves of the
+    signature (a pair within distance d <= bits/2 shares at least one half).
+    The half-key equi-join is the scale path — no cross join."""
+    half = bits // 2
+    keyed = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("L:"), F.substring("simhash", 1, half)),
+                F.concat(F.lit("R:"), F.substring("simhash", half + 1, half)),
+            )
+        ).alias("block"),
+    )
+    a = keyed.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "block")
+    b = keyed.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "block")
+    pairs = (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    # hamming = count of differing positions
+    diff = F.size(
+        F.filter(
+            F.zip_with(F.split("sim_a", ""), F.split("sim_b", ""), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return pairs.withColumn("hamming", diff.cast("bigint")).where(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: deterministic double-precision dot products via
+  JVM higher-order functions (no UDF) — the correctness baseline.
+- LSH-bucketed variant (random-hyperplane signs, fixed seed): the scale path.
+  At 100 TB the bucket equi-join replaces the query×corpus cross join; the
+  brute-force path is kept for small query sets (broadcast the queries, one
+  pass over the corpus).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision — bit-reproducible
+    across engines that fold left-to-right."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn("__vec_d", _to_double(F.col(vec_col))).withColumn(out, l2_norm(F.col("__vec_d")))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector. The query side is broadcast
+    (small); the corpus is scanned once. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec_d").alias("q_vec"), F.col("norm").alias("q_norm")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec_d").alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_raw", dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure-python RNG, fixed seed)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket key per vector: concat of sign bits against fixed
+    hyperplanes. Vectors in the same bucket are ANN candidates."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = _to_double(F.col(vec_col))
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates: bucket equi-join
+    instead of cross join. Recall < 1.0 by construction; raise n_planes /
+    multi-probe for tighter buckets at scale."""
+    cb = lsh_bucket_ids(corpus, dim, n_planes, id_col, vec_col, seed)
+    qb = lsh_bucket_ids(queries, dim, n_planes, id_col, vec_col, seed)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec_d").alias("c_vec"), F.col("norm").alias("c_norm")
+    ).join(cb.select(F.col(id_col).alias("neighbor_id"), "bucket"), "neighbor_id")
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec_d").alias("q_vec"), F.col("norm").alias("q_norm")
+    ).join(qb.select(F.col(id_col).alias("query_id"), "bucket"), "query_id")
+    sim = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_raw", dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    min_cosine: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. With `block_col`, the join is
+    an equi-join on the block (e.g. cluster label or LSH bucket) — the scale
+    path; without, a full self-join (small corpora only)."""
+    n = with_norm(df, vec_col)
+    cols = [F.col(id_col), F.col("__vec_d"), F.col("norm")] + (
+        [F.col(block_col)] if block_col else []
+    )
+    base = n.select(*cols)
+    a = base.toDF(*[f"a_{c}" for c in base.columns])
+    b = base.toDF(*[f"b_{c}" for c in base.columns])
+    if block_col:
+        joined = a.join(b, F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .withColumn(
+            "cosine_raw",
+            dot(F.col("a___vec_d"), F.col("b___vec_d")) / (F.col("a_norm") * F.col("b_norm")),
+        )
+        .where(F.col("cosine_raw") >= min_cosine)
+        .select(
+            F.col(f"a_{id_col}").alias("vec_a"),
+            F.col(f"b_{id_col}").alias("vec_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Dimension-sync operators.
+
+Reference behavior (SURVEY.md §2.2 P1, §2.3 J7-J9, §2.9 M1-M2):
+- distinct_extract: ``SELECT DISTINCT c FROM t WHERE c IS NOT NULL`` per
+  dimension column (reference: include/scripts/sync_data.py:206-218).
+- insert_if_not_exists: the reference loops one NOT-EXISTS INSERT per row
+  (include/scripts/sync_data.py:242-252, :331-359); here it is ONE
+  distributed left-anti join + append — the single most important rewrite.
+- mirror_sync: insert missing + delete rows absent from source
+  (include/scripts/sync_data.py:224-273), id-stable for surviving rows.
+- validate_sync: bidirectional diff (include/scripts/data_quality_checks.py:59-89)
+  as two anti-joins, no driver-side sets.
+
+Scale notes: incoming distinct sets are tiny (dimension cardinality), so the
+anti-join broadcasts the small side automatically under AQE; the distinct on
+the fact side is a partial-aggregate (map-side combine) before shuffle, so
+shuffle volume is O(distinct values), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_extract(df: DataFrame, column: str, out_name: str = "name") -> DataFrame:
+    """P1: distinct non-null values of one column, renamed to `name`."""
+    return (
+        df.select(F.col(column).alias(out_name))
+        .where(F.col(out_name).isNotNull())
+        .distinct()
+    )
+
+
+def multi_distinct(df: DataFrame, columns: list[str]) -> DataFrame:
+    """P2: distinct combination rows (media_relations extraction)."""
+    return df.select(*columns).distinct()
+
+
+def new_values(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """J7: rows of `incoming` whose key is absent from `existing`."""
+    return incoming.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def missing_values(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """J8: rows of `existing` no longer present in `incoming` (delete set)."""
+    return existing.join(incoming.select(*keys), on=keys, how="left_anti")
+
+
+def insert_if_not_exists(incoming: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """M1: existing ∪ (incoming \\ existing-by-key). Append-only dedup upsert.
+
+    Returns the post-upsert table content; callers persist it (Delta MERGE in
+    a deployment; parquet overwrite in fixtures).
+    """
+    return existing.unionByName(
+        new_values(incoming, existing, keys).select(*existing.columns)
+    )
+
+
+def mint_ids(df: DataFrame, order_cols: list[str], start_at: int = 1, id_col: str = "id") -> DataFrame:
+    """Assign dense surrogate ids with a deterministic order.
+
+    The reference relies on Postgres serial ids; for oracle-reproducibility we
+    order explicitly (SURVEY.md §7.4 hazard 1/2). A global row_number
+    single-partitions the *distinct name set only* (small); fact tables never
+    pass through this.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(id_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("int"))
+
+
+def mirror_sync(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """M2: full mirror — keep existing rows still present (ids stable),
+    insert new keys, drop keys absent from incoming. No update branch: the
+    reference's dims are (id, name, company_id) only."""
+    kept = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_semi")
+    added = incoming.join(existing.select(*keys), on=keys, how="left_anti")
+    return kept, added
+
+
+def validate_sync(extracted: DataFrame, stored: DataFrame, keys: list[str]) -> DataFrame:
+    """J9: one row per direction with the count of out-of-sync keys.
+
+    Result schema: (direction string, missing_count long).
+    """
+    miss_in_stored = (
+        extracted.select(*keys).distinct()
+        .join(stored.select(*keys).distinct(), on=keys, how="left_anti")
+        .agg(F.count(F.lit(1)).alias("missing_count"))
+        .select(F.lit("extracted_not_stored").alias("direction"), "missing_count")
+    )
+    miss_in_extract = (
+        stored.select(*keys).distinct()
+        .join(extracted.select(*keys).distinct(), on=keys, how="left_anti")
+        .agg(F.count(F.lit(1)).alias("missing_count"))
+        .select(F.lit("stored_not_extracted").alias("direction"), "missing_count")
+    )
+    return miss_in_stored.unionByName(miss_in_extract)

@@ -1,0 +1,134 @@
+"""Incremental materialization, promotion and rollback.
+
+Reference semantics (SURVEY.md §2.9):
+- M5 watermark merge: dbt incremental model with
+  ``unique_key=['id','date','campaign']`` and
+  ``updated_at > (select max(updated_at) from this)``
+  (include/dbt/models/taico/meta/main_taico_staging.sql:3-6,:68-70).
+- M4 promote: tenant-scoped delete-then-insert swap
+  (include/scripts/sync_data.py:281-309).
+- M6 backup -> truncate -> insert -> validate -> rollback-on-failure
+  (dags/taico/meta/taico_facebook_data_etl_dag.py:136-222).
+
+Storage: versioned parquet directories (Delta is not in this container).
+TableStore keeps N versions per table; promote writes a new version,
+rollback repoints to the previous one — the parquet analog of Delta
+``RESTORE VERSION AS OF``. At 100 TB the fact tables are partitioned by
+date (and company_id), so the tenant-scoped swap rewrites only the
+affected partitions (dynamic partition overwrite), never the full table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def watermark(df: DataFrame, ts_col: str) -> Column:
+    """A4: scalar max used as the incremental high-water mark."""
+    return df.agg(F.max(ts_col).alias("wm"))
+
+
+def incremental_new_rows(source: DataFrame, target: DataFrame, ts_col: str) -> DataFrame:
+    """Rows of source newer than target's watermark. Expressed as a
+    cross-join against the 1-row watermark aggregate so it stays one Spark
+    job and the filter can be pushed below wide operators."""
+    wm = target.agg(F.max(ts_col).alias("__wm"))
+    return (
+        source.crossJoin(F.broadcast(wm))
+        .where(F.col(ts_col) > F.col("__wm"))
+        .drop("__wm")
+    )
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """M5 merge-on-composite-key: updates win over target rows with the same
+    key; target rows without a matching update survive (dbt incremental
+    unique_key semantics)."""
+    kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    return kept.unionByName(updates.select(*target.columns))
+
+
+def promote_tenant(prod: DataFrame, staging: DataFrame, scope: Column) -> DataFrame:
+    """M4: delete prod rows in scope, insert staging rows in scope.
+
+    With partitioned storage this compiles to a partition overwrite
+    (replaceWhere); logically it is: prod ⊖ scope ∪ (staging ∩ scope).
+    """
+    return prod.where(~scope).unionByName(staging.where(scope).select(*prod.columns))
+
+
+class TableStore:
+    """Versioned parquet table store: the promotion/rollback substrate (M6).
+
+    Layout: root/<table>/v<NNN>/ parquet + root/<table>/_meta.json pointing
+    at the current version. write() creates a new version; rollback()
+    repoints. Cheap O(1) metadata swap, like Delta's transaction log.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_meta.json")
+
+    def _read_meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return {"current": None, "versions": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, table: str, meta: dict) -> None:
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        with open(self._meta_path(table), "w") as f:
+            json.dump(meta, f)
+
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        meta = self._read_meta(table)
+        version = (meta["versions"][-1]["v"] + 1) if meta["versions"] else 0
+        path = os.path.join(self.root, table, f"v{version:04d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        meta["versions"].append({"v": version, "path": path, "ts": time.time()})
+        meta["current"] = version
+        self._write_meta(table, meta)
+        return version
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next(e for e in meta["versions"] if e["v"] == v)
+        return self.spark.read.parquet(entry["path"])
+
+    def rollback(self, table: str, to_version: int | None = None) -> int:
+        """RESTORE VERSION AS OF: repoint current to the previous (or given)
+        version. The failed version's files stay for forensics."""
+        meta = self._read_meta(table)
+        if to_version is None:
+            cur = meta["current"]
+            older = [e["v"] for e in meta["versions"] if e["v"] < cur]
+            if not older:
+                raise ValueError(f"no version to roll back to for {table}")
+            to_version = older[-1]
+        meta["current"] = to_version
+        self._write_meta(table, meta)
+        return to_version
+
+    def promote_with_validation(self, table: str, staged: DataFrame, validate) -> bool:
+        """M6 protocol: backup(implicit: old version stays) -> write new ->
+        validate -> rollback on failure. `validate` takes the new DataFrame
+        and returns True/False."""
+        self.write(table, staged)
+        new_df = self.read(table)
+        if validate(new_df):
+            return True
+        self.rollback(table)
+        return False

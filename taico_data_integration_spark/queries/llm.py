@@ -1,0 +1,290 @@
+"""LLM-training-data pipeline queries over documents/embeddings fixtures:
+dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search,
+text analysis, multimodal plumbing. DuckDB oracles reproduce the md5-based
+hashing bit-for-bit; cosine math is double-precision on both sides with
+round(…,6) at the output edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_band_keys,
+    minhash_signatures,
+    simhash_bits,
+    word_shingles,
+)
+from ..llm.multimodal import documents_as_media, extract_metadata
+from ..llm.similarity import cosine_topk_bruteforce, embedding_neardup_pairs
+from ..llm.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    detect_language,
+    fingerprint,
+    punct_count,
+    quality_score,
+    whitespace_token_count,
+)
+from ._util import T
+
+# Canonical normalized text in DuckDB (matches llm.text.normalized_text).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+       WHERE len(ws) >= 3)
+"""
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on md5 fingerprint.
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(T(spark, sf_dir, "documents"), k=3)
+    return jaccard_pairs(sh, min_common=1, min_jaccard=0.05)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH band bucketing (16 hashes, 4 bands x 4 rows).
+
+
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(T(spark, sf_dir, "documents"), k=3)
+    sig = minhash_signatures(sh, num_hashes=16)
+    return lsh_band_keys(sig, bands=4, rows_per_band=4)
+
+
+MINHASH_BANDS_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(concat_ws(':', CAST(s.seed AS VARCHAR), shingle))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed),
+sig AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
+SELECT doc_id, CAST(b.band_id AS BIGINT) AS band_id,
+       md5(concat_ws('|', sig[b.band_id*4 + 1], sig[b.band_id*4 + 2],
+                          sig[b.band_id*4 + 3], sig[b.band_id*4 + 4])) AS band_key
+FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+"""
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, md5-seeded bit hashes).
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_bits(T(spark, sf_dir, "documents"), bits=16)
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents) z),
+w AS (
+  SELECT doc_id, b.b AS bit_pos,
+    SUM(CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5(concat_ws(':', CAST(b.b AS VARCHAR), tok)), 1, 1)) - 1) % 2 = 1
+             THEN 1 ELSE -1 END) AS wt
+  FROM toks, (SELECT unnest(generate_series(0, 15)) AS b) b
+  GROUP BY doc_id, b.b)
+SELECT doc_id, string_agg(CASE WHEN wt > 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash
+FROM w GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, blocked on label (the scale path blocks
+# on LSH buckets; label works as the fixture's cluster key).
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, min_cosine=0.35, block_col="label")
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+"""
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k ANN baseline (query set = vec_id < 10).
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) / (qn * c.nrm) AS cos
+      FROM q JOIN n c ON c.vec_id <> query_id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts, language-ID, quality, fingerprints.
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_count("text").alias("n_punct"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", detect_language("text").alias("detected_lang"))
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split({_NORM}, ' '), "
+        f"t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+LANGID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {_hits_sql('en')} AS en, {_hits_sql('de')} AS de,
+    {_hits_sql('es')} AS es, {_hits_sql('fr')} AS fr
+  FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+       WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+       WHEN es > 0 AND es >= fr THEN 'es'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'unknown' END AS detected_lang
+FROM h
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+_EN_HITS = _hits_sql("en")
+QUALITY_SQL = f"""
+SELECT doc_id,
+  ROUND(
+    CAST(0.4 AS DOUBLE) * (CAST({_EN_HITS} AS DOUBLE)
+        / greatest(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    + CAST(0.3 AS DOUBLE) * (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE)))
+    + CAST(0.3 AS DOUBLE) * least(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+                                  CAST(1.0 AS DOUBLE)),
+  6) AS quality
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payloads -> Arrow-batched metadata extraction.
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(T(spark, sf_dir, "documents"))
+    return extract_metadata(media)
+
+
+MULTIMODAL_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_bands": dedup_minhash_bands,
+    "dedup_simhash": dedup_simhash,
+    "embedding_neardup": embedding_neardup,
+    "ann_topk": ann_topk,
+    "text_token_counts": text_token_counts,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "doc_fingerprints": doc_fingerprints,
+    "multimodal_metadata": multimodal_metadata,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_bands": MINHASH_BANDS_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "text_token_counts": TOKEN_COUNTS_SQL,
+    "text_langid": LANGID_SQL,
+    "text_quality": QUALITY_SQL,
+    "doc_fingerprints": FINGERPRINT_SQL,
+    "multimodal_metadata": MULTIMODAL_SQL,
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local test profile = ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+confs apply (AQE, ANSI off, UTC). ANSI is disabled because the reference's
+semantics (BigQuery SAFE-ish casts, comma-decimal parsing of dirty strings,
+see SURVEY.md §7.4) want NULL-on-garbage casts; oracle SQL uses TRY_CAST to
+match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting, dynamic broadcast.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Non-ANSI: cast('garbage' as int) -> NULL, matching the reference's
+        # tolerant parsing; oracle SQL mirrors with TRY_CAST.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the pandas_udf / mapInPandas escape hatches (LLM ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # The events fixture carries TIMESTAMP(NANOS) parquet, which Spark's
+        # vectorized reader rejects; read as epoch-nanos longs and convert in
+        # the catalog (truncating to micros, matching DuckDB's ns->us cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def tune_for_scale(spark: SparkSession, target_partition_bytes: int = 128 * 1024 * 1024) -> None:
+    """Confs we would set on the 1000-executor/100 TB profile.
+
+    Documented here (and applied where runtime-settable) so the local plans
+    match the cluster plans structurally.
+    """
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target_partition_bytes))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))

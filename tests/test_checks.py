@@ -1,0 +1,61 @@
+"""Check engine tested against known-bad fixtures (SURVEY.md §5: nulls,
+dupes, negatives, bad domains, short tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from taico_data_integration_spark.checks.engine import Check, run_checks, schema_check
+
+
+def _bad_df(spark):
+    rows = [
+        Row(id=1, name="a", company_id=10, cost=5.0, cluster="Digital"),
+        Row(id=2, name=None, company_id=10, cost=-1.0, cluster="Bogus"),
+        Row(id=2, name="a", company_id=10, cost=2.0, cluster="CRM"),
+        Row(id=3, name="a", company_id=10, cost=900.0, cluster="Classical"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_run_checks_flags_all_failures(spark):
+    df = _bad_df(spark)
+    checks = [
+        Check("not_null", "name_not_null", {"column": "name"}),
+        Check("unique", "id_unique", {"columns": ["id"]}),
+        Check("unique", "name_company_unique", {"columns": ["name", "company_id"]}),
+        Check("min_rows", "min_rows_100", {"n": 100}),
+        Check("non_negative", "cost_non_negative", {"column": "cost"}),
+        Check("accepted_values", "cluster_domain", {"column": "cluster", "values": ["Classical", "CRM", "Digital"]}),
+        Check("in_range", "cost_range", {"column": "cost", "lo": 0, "hi": 100}),
+        Check("cross_column", "cost_lt_1000", {"predicate": "cost < 1000"}),
+    ]
+    res = {r["name"]: r for r in run_checks(df, checks)}
+    assert res["name_not_null"]["metric"] == 1 and not res["name_not_null"]["ok"]
+    assert res["id_unique"]["metric"] == 1 and not res["id_unique"]["ok"]
+    assert res["name_company_unique"]["metric"] == 2  # three rows share (a, 10)
+    assert not res["min_rows_100"]["ok"]
+    assert res["cost_non_negative"]["metric"] == 1
+    assert res["cluster_domain"]["metric"] == 1
+    assert res["cost_range"]["metric"] == 2  # -1 and 900
+    assert res["cost_lt_1000"]["ok"]
+
+
+def test_checks_pass_on_clean_data(spark):
+    df = spark.createDataFrame([Row(id=i, name=f"n{i}") for i in range(150)])
+    checks = [
+        Check("not_null", "nn", {"column": "name"}),
+        Check("unique", "uq", {"columns": ["id"]}),
+        Check("min_rows", "mr", {"n": 100}),
+    ]
+    assert all(r["ok"] for r in run_checks(df, checks))
+
+
+def test_schema_check_sets_and_types(spark):
+    df = spark.createDataFrame([Row(id=1, name="x")])
+    ok = schema_check(df, {"id", "name"}, {"id": "bigint", "name": "string"})
+    assert ok["ok"]
+    bad = schema_check(df, {"id", "name", "extra"})
+    assert not bad["ok"] and bad["missing_columns"] == ["extra"]
+    bad_type = schema_check(df, {"id", "name"}, {"id": "int", "name": "string"})
+    assert not bad_type["ok"] and "id" in bad_type["type_mismatches"]

@@ -1,0 +1,129 @@
+"""LLM-data-pipeline operator tests: dedup finds planted duplicates,
+similarity search ranks planted neighbors, multimodal plumbing round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from taico_data_integration_spark.llm.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_bits,
+    simhash_hamming_pairs,
+    word_shingles,
+)
+from taico_data_integration_spark.llm.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_metadata,
+)
+from taico_data_integration_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+from taico_data_integration_spark.llm.text import detect_language, quality_score
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different words describing unrelated subject matter entirely here now"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1, text=BASE), Row(doc_id=2, text=BASE), Row(doc_id=3, text=NEAR), Row(doc_id=4, text=OTHER)]
+    )
+
+
+def test_exact_dedup_groups_planted_duplicate(spark):
+    groups = exact_dedup_groups(_docs(spark)).collect()
+    by_rep = {g.rep_doc_id: g.n_copies for g in groups}
+    assert by_rep[1] == 2  # docs 1 and 2 identical
+    assert by_rep[3] == 1 and by_rep[4] == 1
+
+
+def test_jaccard_finds_near_duplicate(spark):
+    sh = word_shingles(_docs(spark), k=3)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(sh, min_jaccard=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_include_duplicates(spark):
+    sh = word_shingles(_docs(spark), k=3)
+    bands = lsh_band_keys(minhash_signatures(sh, num_hashes=16), bands=4, rows_per_band=4)
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(bands).collect()}
+    assert (1, 2) in cands  # identical docs always collide in every band
+    assert (1, 4) not in cands
+
+
+def test_simhash_distance_orders_similarity(spark):
+    sim = simhash_bits(_docs(spark), bits=16)
+    sigs = {r.doc_id: r.simhash for r in sim.collect()}
+    assert sigs[1] == sigs[2]
+    ham = lambda a, b: sum(x != y for x, y in zip(sigs[a], sigs[b]))
+    assert ham(1, 3) <= ham(1, 4)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(sim, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def _vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0], label=0),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0], label=1),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_bruteforce_ranks_neighbor_first(spark):
+    e = _vecs(spark)
+    res = cosine_topk_bruteforce(e, e.where(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in sorted(res, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_cosine_topk_lsh_finds_close_neighbor(spark):
+    e = _vecs(spark)
+    res = cosine_topk_lsh(e, e.where(F.col("vec_id") == 0), dim=4, k=2, n_planes=2).collect()
+    assert any(r.neighbor_id == 1 for r in res)  # near-identical vector shares bucket
+
+
+def test_embedding_neardup_blocked(spark):
+    res = embedding_neardup_pairs(_vecs(spark), min_cosine=0.9, block_col="label").collect()
+    assert {(r.vec_a, r.vec_b) for r in res} == {(0, 1)}
+
+
+def test_language_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and it is a good day for the dog"),
+            Row(doc_id=2, text="der hund ist nicht auf der matte und das ist ein problem"),
+            Row(doc_id=3, text="xyzzy plugh qwerty"),
+        ]
+    )
+    langs = {r.doc_id: r.v for r in df.select("doc_id", detect_language("text").alias("v")).collect()}
+    assert langs == {1: "en", 2: "de", 3: "unknown"}
+    q = {r.doc_id: r.v for r in df.select("doc_id", quality_score("text").alias("v")).collect()}
+    assert q[1] > q[3]
+
+
+def test_multimodal_metadata_roundtrip(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    meta = extract_metadata(documents_as_media(docs)).collect()[0]
+    assert meta.asset_id == 1 and meta.modality == "image"
+    assert meta.n_bytes == len(b"hello world")
+    import hashlib
+
+    assert meta.content_md5 == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(None)

@@ -1,0 +1,107 @@
+"""Unit tests for the sync/dimension/incremental operator library against
+small in-memory frames (reference semantics per SURVEY.md §2.3/§2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from taico_data_integration_spark.ops.dims import (
+    distinct_extract,
+    insert_if_not_exists,
+    mint_ids,
+    mirror_sync,
+    missing_values,
+    new_values,
+    validate_sync,
+)
+from taico_data_integration_spark.ops.incremental import (
+    TableStore,
+    incremental_new_rows,
+    merge_upsert,
+    promote_tenant,
+)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame([Row(id=i, name=n, company_id=c) for i, n, c in rows])
+
+
+def test_distinct_extract_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(channel="tv"), Row(channel=None), Row(channel="tv"), Row(channel="web")]
+    )
+    got = {r.name for r in distinct_extract(df, "channel").collect()}
+    assert got == {"tv", "web"}
+
+
+def test_insert_if_not_exists_appends_only_new(spark):
+    existing = _dim(spark, [(1, "tv", 10), (2, "web", 10)])
+    incoming = _dim(spark, [(99, "web", 10), (98, "radio", 10)])
+    out = insert_if_not_exists(incoming, existing, ["name", "company_id"])
+    rows = {(r.id, r.name) for r in out.collect()}
+    assert rows == {(1, "tv"), (2, "web"), (98, "radio")}  # web kept with old id
+
+
+def test_new_and_missing_values(spark):
+    existing = _dim(spark, [(1, "tv", 10), (2, "web", 10)])
+    incoming = _dim(spark, [(0, "web", 10), (0, "radio", 10)])
+    assert {r.name for r in new_values(incoming, existing, ["name"]).collect()} == {"radio"}
+    assert {r.name for r in missing_values(existing, incoming, ["name"]).collect()} == {"tv"}
+
+
+def test_mirror_sync_keeps_ids_and_drops_absent(spark):
+    existing = _dim(spark, [(1, "tv", 10), (2, "web", 10), (3, "print", 10)])
+    incoming = spark.createDataFrame([Row(name="web"), Row(name="radio")])
+    kept, added = mirror_sync(existing, incoming, ["name"])
+    assert {(r.id, r.name) for r in kept.collect()} == {(2, "web")}
+    assert {r.name for r in added.collect()} == {"radio"}
+
+
+def test_mint_ids_deterministic(spark):
+    df = spark.createDataFrame([Row(name=n) for n in ["c", "a", "b"]])
+    got = [(r.id, r.name) for r in mint_ids(df, ["name"], start_at=5).orderBy("id").collect()]
+    assert got == [(5, "a"), (6, "b"), (7, "c")]
+
+
+def test_validate_sync_directions(spark):
+    extracted = spark.createDataFrame([Row(name="a"), Row(name="b"), Row(name="c")])
+    stored = spark.createDataFrame([Row(name="b"), Row(name="z")])
+    res = {r.direction: r.missing_count for r in validate_sync(extracted, stored, ["name"]).collect()}
+    assert res == {"extracted_not_stored": 2, "stored_not_extracted": 1}
+
+
+def test_incremental_new_rows_watermark(spark):
+    target = spark.createDataFrame([Row(k=1, ts=10), Row(k=2, ts=20)])
+    source = spark.createDataFrame([Row(k=3, ts=20), Row(k=4, ts=21), Row(k=5, ts=30)])
+    got = {r.k for r in incremental_new_rows(source, target, "ts").collect()}
+    assert got == {4, 5}
+
+
+def test_merge_upsert_updates_win(spark):
+    target = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")])
+    updates = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="ins")])
+    got = {(r.k, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {(1, "new"), (2, "keep"), (3, "ins")}
+
+
+def test_promote_tenant_swaps_scope_only(spark):
+    prod = spark.createDataFrame([Row(company_id=1, v="p1"), Row(company_id=2, v="p2")])
+    staging = spark.createDataFrame([Row(company_id=1, v="s1"), Row(company_id=2, v="s2")])
+    got = {(r.company_id, r.v) for r in promote_tenant(prod, staging, F.col("company_id") == 1).collect()}
+    assert got == {(1, "s1"), (2, "p2")}
+
+
+def test_tablestore_promote_and_rollback(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    good = spark.createDataFrame([Row(id=i) for i in range(5)])
+    bad = spark.createDataFrame([Row(id=-1)])
+    store.write("t", good)
+    assert store.read("t").count() == 5
+    # M6: failed validation rolls back to the previous version
+    ok = store.promote_with_validation("t", bad, validate=lambda df: df.where("id < 0").count() == 0)
+    assert not ok
+    assert store.read("t").count() == 5
+    ok = store.promote_with_validation("t", good.union(good), validate=lambda df: df.count() >= 5)
+    assert ok
+    assert store.read("t").count() == 10

@@ -1,0 +1,53 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast — the 100 TB
+design contract (SURVEY.md §4). A scan that reads all columns for a 2-column
+projection, or a shuffle join against a 25-row dim, is a regression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taico_data_integration_spark.catalog import load_table
+from taico_data_integration_spark.queries.core import q1_pricing_summary, q5_nation_revenue
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    df = l.where(F.col("l_shipdate") <= "2000-09-02").select("l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    df = l.select("l_returnflag").distinct()
+    plan = _formatted(df)
+    # ReadSchema restricted to the single projected column
+    assert "l_returnflag" in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_uses_partial_aggregation(spark):
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    assert "partial" in plan.lower()  # map-side combine before shuffle
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(q5_nation_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_anti_join_is_distributed_join(spark):
+    from taico_data_integration_spark.queries.core import customers_without_orders
+
+    plan = _plan(customers_without_orders(spark, SF_DIR))
+    assert "LeftAnti" in plan
