@@ -102,6 +102,9 @@ class TableStore:
         self._write_meta(table, meta)
         return version
 
+    def exists(self, table: str) -> bool:
+        return self._read_meta(table)["current"] is not None
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version

@@ -1,0 +1,170 @@
+"""Retail star-schema models — the Spark restatement of the reference's dbt
+transform group (include/dbt/models/transform/*.sql, SURVEY.md §3.3).
+
+Inputs: a `raw_invoices` frame (schemas.RAW_INVOICES) and a `country`
+lookup. The fixture adapter `raw_invoices_from_fixtures` synthesizes the
+same shape deterministically from the driver's TPC-H-ish tables so the
+whole pipeline is DuckDB-oracle-checkable.
+
+Hash-parity note: UnitPrice is DECIMAL(18,2) (not double) because the dbt
+surrogate keys stringify it — decimal->string rendering agrees across
+engines, double->string does not (Java 17 Double.toString is not
+shortest-form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .transforms import dual_format_timestamp, surrogate_key
+
+
+def raw_invoices_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw_invoices built from lineitem/orders/customer/nation:
+    invoice = order, stock code = part key, unit price = extprice/qty
+    rounded to DECIMAL(18,2), invoice date = dual-format string of
+    o_orderdate (even orderkeys in year >= 2000 use the 2-digit form)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    mm = F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
+    dd = F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0")
+    yyyy = F.year("o_orderdate").cast("string")
+    yy = F.lpad((F.year("o_orderdate") % 100).cast("string"), 2, "0")
+    long_str = F.concat(mm, F.lit("/"), dd, F.lit("/"), yyyy, F.lit(" 10:15"))
+    short_str = F.concat(mm, F.lit("/"), dd, F.lit("/"), yy, F.lit(" 10:15"))
+    invoice_date = F.when(
+        (F.col("o_orderkey") % 2 == 0) & (F.year("o_orderdate") >= 2000), short_str
+    ).otherwise(long_str)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_orderkey").cast("string").alias("InvoiceNo"),
+            F.col("l_partkey").cast("string").alias("StockCode"),
+            F.col("p_name").alias("Description"),
+            F.col("l_quantity").cast("int").alias("Quantity"),
+            invoice_date.alias("InvoiceDate"),
+            # floor(x*100)/100 is pure IEEE arithmetic — bit-identical across
+            # engines, unlike round(), whose tie handling differs.
+            (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100) / 100)
+            .cast("decimal(18,2)")
+            .alias("UnitPrice"),
+            # ~10% null customers to exercise the dim_customer filter
+            F.when(F.col("c_custkey") % 10 == 7, F.lit(None))
+            .otherwise(F.col("c_custkey").cast("string"))
+            .alias("CustomerID"),
+            F.col("n_name").alias("Country"),
+        )
+    )
+
+
+def country_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country lookup analog (dim_customer.sql:13-14): nation name -> region
+    name as the iso stand-in."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("nicename"), F.col("r_name").alias("iso")
+    )
+
+
+def dim_customer(raw: DataFrame, country: DataFrame) -> DataFrame:
+    """include/dbt/models/transform/dim_customer.sql: surrogate key over
+    (CustomerID, Country), LEFT JOIN country lookup, CustomerID NOT NULL."""
+    return (
+        raw.where(F.col("CustomerID").isNotNull())
+        .select(
+            surrogate_key("CustomerID", "Country").alias("customer_id"),
+            F.col("CustomerID").alias("customer_code"),
+            F.col("Country").alias("country"),
+        )
+        .distinct()
+        .join(F.broadcast(country), F.col("country") == country.nicename, "left")
+        .select("customer_id", "customer_code", "country", "iso")
+    )
+
+
+def dim_product(raw: DataFrame) -> DataFrame:
+    """dim_product.sql: surrogate key (StockCode, Description, UnitPrice);
+    WHERE StockCode IS NOT NULL AND UnitPrice > 0."""
+    return (
+        raw.where(F.col("StockCode").isNotNull() & (F.col("UnitPrice") > 0))
+        .select(
+            surrogate_key("StockCode", "Description", "UnitPrice").alias("product_id"),
+            F.col("StockCode").alias("stock_code"),
+            F.col("Description").alias("description"),
+            F.col("UnitPrice").alias("price"),
+        )
+        .distinct()
+    )
+
+
+def dim_datetime(raw: DataFrame) -> DataFrame:
+    """dim_datetime.sql: dual-format parse keyed on string length, then
+    year/month/day/hour/minute/weekday extracts (BQ DAYOFWEEK == Spark
+    dayofweek == 1=Sunday, SURVEY.md §2.8)."""
+    parsed = dual_format_timestamp(F.col("InvoiceDate"))
+    return (
+        raw.where(F.col("InvoiceDate").isNotNull())
+        .select(F.col("InvoiceDate").alias("datetime_raw"))
+        .distinct()
+        .select(
+            surrogate_key("datetime_raw").alias("datetime_id"),
+            F.col("datetime_raw"),
+            dual_format_timestamp(F.col("datetime_raw")).alias("datetime"),
+        )
+        .withColumn("year", F.year("datetime").cast("bigint"))
+        .withColumn("month", F.month("datetime").cast("bigint"))
+        .withColumn("day", F.dayofmonth("datetime").cast("bigint"))
+        .withColumn("hour", F.hour("datetime").cast("bigint"))
+        .withColumn("minute", F.minute("datetime").cast("bigint"))
+        .withColumn("weekday", F.dayofweek("datetime").cast("bigint"))
+    )
+
+
+def fct_invoices(raw: DataFrame) -> DataFrame:
+    """fct_invoices.sql: invoice fact with surrogate FKs to the three dims,
+    total = Quantity * UnitPrice, WHERE Quantity > 0. Joins are implicit —
+    the FK surrogates are recomputed from the same columns, exactly like the
+    dbt model (fct_invoices.sql:8-9)."""
+    return raw.where(F.col("Quantity") > 0).select(
+        surrogate_key("InvoiceNo", "StockCode", "CustomerID").alias("invoice_id"),
+        surrogate_key("InvoiceDate").alias("datetime_id"),
+        surrogate_key("StockCode", "Description", "UnitPrice").alias("product_id"),
+        surrogate_key("CustomerID", "Country").alias("customer_id"),
+        F.col("Quantity").cast("bigint").alias("quantity"),
+        (F.col("Quantity").cast("decimal(18,2)") * F.col("UnitPrice")).cast("decimal(38,4)").alias("total"),
+    )
+
+
+def report_customer_invoices(fct: DataFrame, dim_cust: DataFrame) -> DataFrame:
+    """report_customer_invoices (schema implied by
+    include/soda/checks/report/report_customer_invoices.yml)."""
+    return (
+        fct.join(F.broadcast(dim_cust), "customer_id")
+        .groupBy("country")
+        .agg(F.countDistinct("invoice_id").alias("total_invoices"))
+    )
+
+
+def report_product_invoices(fct: DataFrame, dim_prod: DataFrame) -> DataFrame:
+    return (
+        fct.join(F.broadcast(dim_prod), "product_id")
+        .groupBy("stock_code")
+        .agg(F.sum("quantity").alias("total_quantity_sold"))
+    )
+
+
+def report_year_invoices(fct: DataFrame, dim_dt: DataFrame) -> DataFrame:
+    return (
+        fct.join(F.broadcast(dim_dt), "datetime_id")
+        .groupBy("year")
+        .agg(F.countDistinct("invoice_id").alias("num_invoices"))
+    )
