@@ -29,16 +29,88 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle). Documents with
-    fewer than k tokens produce no shingles."""
+def shingle_array(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-shingles of a document as an array column.
+
+    Prefer `with_shingles` in pipelines: referencing this expression's
+    internal token split from inside the transform lambda re-evaluates the
+    regex tokenization per element_at (~3k shingle-lookups per doc), which
+    is a ~25x slowdown. `with_shingles` stages tokens behind an exchange so
+    they are computed once per row."""
     toks = F.split(normalized_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - k)
-    shingle = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
-    return (
-        df.where(F.size(toks) >= k)
-        .select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .distinct()
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(shingles))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, __sh) with the token array materialized as a real column behind
+    a repartition barrier: tokens are computed exactly once per document
+    (CollapseProject cannot inline them back across the exchange), and the
+    shingle-heavy projection runs at full parallelism even when the source
+    is a single parquet file."""
+    spark = df.sparkSession
+    toks = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("__toks"))
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.concat_ws(" ", *[F.element_at("__toks", i + j + 1) for j in range(k)]),
+        )
+    )
+    return toks.where(F.size("__toks") >= k).select(F.col(id_col), sh.alias("__sh"))
+
+
+def minhash_band_keys_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Scale path for MinHash+LSH banding: the whole signature is computed
+    with array higher-order functions inside a single narrow projection —
+    per seed, ``array_min(transform(shingles, s -> md5(seed:s)))`` — so the
+    ONLY shuffle in the job is whatever consumes the band keys. Semantically
+    identical to minhash_signatures + lsh_band_keys (same md5 math, same
+    band folding); ~10x less work than the explode/groupBy formulation.
+    """
+    base = with_shingles(df, text_col, id_col, k)
+
+    def _min_hash(seed: int):
+        # NB: the lambda must stay unary — pyspark treats a binary lambda as
+        # (element, index) and would shadow the seed with the array index.
+        s_lit = F.lit(str(seed))
+        return F.array_min(F.transform("__sh", lambda s: F.md5(F.concat_ws(":", s_lit, s))))
+
+    mins = [_min_hash(i).alias(f"mh{i}") for i in range(num_hashes)]
+    sigs = base.select(F.col(id_col), *mins)
+    band_rows = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).cast("bigint").alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle). Documents with
+    fewer than k tokens produce no shingles. Distinctness is per-document
+    (array_distinct inside the projection), so no dedup shuffle is needed."""
+    return with_shingles(df, text_col, id_col, k).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
 
 
@@ -91,12 +163,22 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     min_common: int = 1,
     min_jaccard: float = 0.0,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for every doc pair sharing a shingle
-    (inverted-index self-join). Returns (doc_a, doc_b, common, jaccard)."""
-    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    (inverted-index self-join). Returns (doc_a, doc_b, common, jaccard).
+    Pass `counts` (id, n_sh) to skip the per-doc counting shuffle (cheap to
+    derive as size(shingle_array) in the same scan that built shingles)."""
+    if counts is None:
+        counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Partition the inverted index by shingle ONCE: both self-join sides
+    # derive from the same exchange (ReusedExchange computes it a single
+    # time), the join needs no further shuffle, and the explicit exchange
+    # stops the size estimator from broadcasting millions of exploded rows
+    # (explode is invisible to parquet stats).
+    keyed = shingles.repartition(F.col("shingle"))
+    a = keyed.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = keyed.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
         a.join(b, on="shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

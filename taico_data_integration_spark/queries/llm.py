@@ -12,10 +12,9 @@ from pyspark.sql import functions as F
 from ..llm.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
-    lsh_band_keys,
-    minhash_signatures,
+    minhash_band_keys_fast,
     simhash_bits,
-    word_shingles,
+    with_shingles,
 )
 from ..llm.multimodal import documents_as_media, extract_metadata
 from ..llm.similarity import cosine_topk_bruteforce, embedding_neardup_pairs
@@ -57,8 +56,10 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = word_shingles(T(spark, sf_dir, "documents"), k=3)
-    return jaccard_pairs(sh, min_common=1, min_jaccard=0.05)
+    base = with_shingles(T(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    counts = base.select("doc_id", F.size("__sh").alias("n_sh"))
+    sh = base.select("doc_id", F.explode("__sh").alias("shingle"))
+    return jaccard_pairs(sh, min_common=1, min_jaccard=0.05, counts=counts)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -81,9 +82,11 @@ WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >=
 
 
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = word_shingles(T(spark, sf_dir, "documents"), k=3)
-    sig = minhash_signatures(sh, num_hashes=16)
-    return lsh_band_keys(sig, bands=4, rows_per_band=4)
+    """Array-HOF signature computation: one narrow projection, no shuffle
+    (llm.dedup.minhash_band_keys_fast); same md5 math as the oracle."""
+    return minhash_band_keys_fast(
+        T(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=4, rows_per_band=4
+    )
 
 
 MINHASH_BANDS_SQL = f"""
