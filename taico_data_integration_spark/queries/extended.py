@@ -1,0 +1,254 @@
+"""Extended analytics surface — capabilities the reference lacks but a
+Spark-native engine gets idiomatically (SURVEY.md §2.4 note: cube/rollup/
+approx free from Spark; §4 optional extensions). Each query has a DuckDB
+oracle unless the algorithm is engine-specific (approx sketches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import T, as_double, dec2
+
+# ---------------------------------------------------------------------------
+# ROLLUP / CUBE / GROUPING SETS.
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            as_double(F.sum(dec2("l_extendedprice"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, order_year, COUNT(*) AS n_orders
+FROM (SELECT o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year FROM orders) t
+GROUP BY CUBE (o_orderstatus, order_year)
+"""
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressed through the SQL-string IR (the reference's native IR,
+    SURVEY.md §1.1) over registered views — spark.sql runs it verbatim."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+
+# ---------------------------------------------------------------------------
+# PIVOT (statuses to columns).
+
+
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").cast("bigint").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.lit(1)))
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# INTERSECT.
+
+
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    y98 = o.where(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    y00 = o.where(F.year("o_orderdate") == 2000).select("o_custkey").distinct()
+    return y98.intersect(y00)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2000
+"""
+
+# ---------------------------------------------------------------------------
+# As-of join: latest prior click per purchase (per user). Spark lacks a
+# native ASOF JOIN; the scalable pattern is a single-pass window carry
+# (sort within user partition, carry the last click seen) — no join at all.
+
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = e.withColumn(
+        "last_click",
+        F.last(
+            F.when(F.col("event_type") == "click", F.struct("ts", "event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("last_click.event_id").alias("click_id"),
+        F.date_format("last_click.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+ASOF_SQL = """
+WITH ranked AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         c.event_id AS click_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+)
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM ranked WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Distinct counting: exact (oracle-checked) and HLL sketch (rows-only).
+
+
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+COUNT_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — engine-specific estimate, driver records a
+    rows-only check (no oracle can reproduce the sketch)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted aggregation. Two-phase agg (salted partial -> final)
+# produces identical results to a direct groupBy while spreading a hot key
+# over `salt_buckets` reducers — the 100 TB pattern for skewed keys.
+
+
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", (F.col("event_id") % 8).cast("int"))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec2("value")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        as_double(F.sum("pv")).alias("total_value"),
+    )
+
+
+SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# EXISTS / scalar subqueries through the SQL-string IR.
+
+
+def exists_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+QUERIES = {
+    "rollup_revenue": rollup_revenue,
+    "cube_order_counts": cube_order_counts,
+    "grouping_sets_sales": grouping_sets_sales,
+    "pivot_status_by_year": pivot_status_by_year,
+    "intersect_repeat_customers": intersect_repeat_customers,
+    "asof_last_click_before_purchase": asof_last_click_before_purchase,
+    "count_distinct_users": count_distinct_users,
+    "approx_distinct_users": approx_distinct_users,
+    "salted_event_counts": salted_event_counts,
+    "exists_high_value_customers": exists_high_value_customers,
+}
+
+ORACLE = {
+    "rollup_revenue": ROLLUP_SQL,
+    "cube_order_counts": CUBE_SQL,
+    "grouping_sets_sales": GROUPING_SETS_SQL,
+    "pivot_status_by_year": PIVOT_SQL,
+    "intersect_repeat_customers": INTERSECT_SQL,
+    "asof_last_click_before_purchase": ASOF_SQL,
+    "count_distinct_users": COUNT_DISTINCT_SQL,
+    "salted_event_counts": SALTED_SQL,
+    "exists_high_value_customers": EXISTS_SQL,
+}
