@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..llm.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
+    lsh_candidate_pairs,
     minhash_band_keys_fast,
     simhash_bits,
     with_shingles,
@@ -100,6 +101,62 @@ SELECT doc_id, CAST(b.band_id AS BIGINT) AS band_id,
        md5(concat_ws('|', sig[b.band_id*4 + 1], sig[b.band_id*4 + 2],
                           sig[b.band_id*4 + 3], sig[b.band_id*4 + 4])) AS band_key
 FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+"""
+
+# ---------------------------------------------------------------------------
+# The full LSH dedup architecture in one query: MinHash signatures -> band
+# buckets -> candidate pairs (band equi-join) -> exact Jaccard verification
+# via array_intersect on the candidates ONLY (never all pairs). This is the
+# shape that survives 100 TB (SCALE.md).
+
+
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bands = minhash_band_keys_fast(d, k=3, num_hashes=16, bands=4, rows_per_band=4)
+    cands = lsh_candidate_pairs(bands)
+    base = with_shingles(d, "text", "doc_id", 3)
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            common.cast("bigint").alias("common"),
+            F.round(
+                common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+LSH_VERIFIED_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(concat_ws(':', CAST(s.seed AS VARCHAR), shingle))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed),
+sig AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(concat_ws('|', sig[b.band_id*4 + 1], sig[b.band_id*4 + 2],
+                            sig[b.band_id*4 + 3], sig[b.band_id*4 + 4])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(shingle) AS shl FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS common,
+  ROUND(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+        / CAST(len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE), 6) AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
 """
 
 # ---------------------------------------------------------------------------
@@ -268,6 +325,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_bands": dedup_minhash_bands,
+    "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
@@ -282,6 +340,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_bands": MINHASH_BANDS_SQL,
+    "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -114,6 +114,28 @@ def test_language_and_quality(spark):
     assert q[1] > q[3]
 
 
+def test_pandas_udf_cosine_matches_jvm_path(spark):
+    from taico_data_integration_spark.llm.similarity import (
+        _to_double,
+        cosine_pandas_udf,
+        dot,
+        l2_norm,
+    )
+
+    e = _vecs(spark)
+    pairs = (
+        e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .crossJoin(e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")))
+        .where(F.col("ia") < F.col("ib"))
+    )
+    a_d, b_d = _to_double(F.col("va")), _to_double(F.col("vb"))
+    jvm = dot(a_d, b_d) / (l2_norm(a_d) * l2_norm(b_d))
+    cos = cosine_pandas_udf()
+    got = pairs.select("ia", "ib", jvm.alias("jvm"), cos("va", "vb").alias("py")).collect()
+    for r in got:
+        assert abs(r.jvm - r.py) < 1e-9
+
+
 def test_multimodal_metadata_roundtrip(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
     meta = extract_metadata(documents_as_media(docs)).collect()[0]
