@@ -51,8 +51,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm the JVM/codegen path once with a trivial job.
+    # Warm the JVM/codegen/parquet paths once (datasource init + codegen
+    # compilation dominate the first query otherwise).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

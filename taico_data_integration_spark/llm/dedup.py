@@ -105,6 +105,19 @@ def minhash_band_keys_fast(
     )
 
 
+def materialized_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """`with_shingles` materialized once (localCheckpoint) for plans that
+    fan the shingle base into several branches (self-join sides, counts,
+    signatures). Spark does not reuse exchanges across self-join aliases
+    here, so without materialization each branch re-runs tokenization
+    (+explode +shuffle) — measured 8x slower. At cluster scale the same
+    pattern is a staging write of the shingle index (one scan, N readers).
+    """
+    return with_shingles(df, text_col, id_col, k).localCheckpoint()
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct word k-shingles per document: (id, shingle). Documents with
     fewer than k tokens produce no shingles. Distinctness is per-document

@@ -27,19 +27,32 @@ from ._util import T, as_double, dec2, one
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-side partial agg -> shuffle on tiny key space; money in exact
-    DECIMAL (hash parity), ratios as double division rounded to 6."""
+    """Map-side partial agg -> shuffle on tiny key space.
+
+    Money math strategy: 2-decimal doubles become exact integer cents
+    (round(x*100) is deterministic IEEE -> identical in both engines);
+    per-row products stay in long arithmetic (fast whole-stage codegen, no
+    per-row BigDecimal); only the SUM is DECIMAL(38,0) (exact, overflow-safe
+    at any scale); the output edge divides as double (correctly-rounded
+    decimal->double conversion is engine-identical). Other queries use the
+    simpler all-DECIMAL strategy (see _util.dec2) — this one shows the fast
+    path for the hottest aggregate."""
     l = T(spark, sf_dir, "lineitem")
-    price, qty = dec2("l_extendedprice"), dec2("l_quantity")
-    disc, tax = dec2("l_discount", 4), dec2("l_tax", 4)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+
+    def _sum_scaled(expr, scale: float):
+        return (F.sum(expr.cast("decimal(38,0)")).cast("double") / F.lit(scale)).cast("double")
+
     return (
         l.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            as_double(F.sum(qty)).alias("sum_qty"),
-            as_double(F.sum(price)).alias("sum_base_price"),
-            as_double(F.sum(price * (one() - disc))).alias("sum_disc_price"),
-            as_double(F.sum(price * (one() - disc) * (one() + tax))).alias("sum_charge"),
+            as_double(F.sum(F.col("l_quantity").cast("long"))).alias("sum_qty"),
+            _sum_scaled(cents, 100.0).alias("sum_base_price"),
+            _sum_scaled(cents * (100 - d100), 10000.0).alias("sum_disc_price"),
+            _sum_scaled(cents * (100 - d100) * (100 + t100), 1000000.0).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
@@ -47,24 +60,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
-_DEC_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
-_DEC_DISC = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
-_DEC_TAX = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_D100 = "CAST(round(l_discount * 100) AS BIGINT)"
+_T100 = "CAST(round(l_tax * 100) AS BIGINT)"
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM({_DEC_QTY}) AS DOUBLE) AS sum_qty,
-  CAST(SUM({_DEC_PRICE}) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({_DEC_PRICE} * {_DEC_DISC}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({_DEC_PRICE} * {_DEC_DISC} * {_DEC_TAX}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST({_CENTS} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST({_CENTS} * (100 - {_D100}) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST({_CENTS} * (100 - {_D100}) * (100 + {_T100}) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS DOUBLE) AS sum_charge,
   COUNT(*) AS count_order,
-  ROUND(CAST(SUM({_DEC_QTY}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM({_DEC_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price
+  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(CAST(SUM(CAST({_CENTS} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS DOUBLE) / COUNT(*), 6) AS avg_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2))"
+_DEC_QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+_DEC_DISC = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+_DEC_TAX = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 
 # ---------------------------------------------------------------------------
 # Join pipeline: 3-way join + agg + deterministic top-k (J3/L1).

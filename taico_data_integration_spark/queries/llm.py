@@ -13,9 +13,9 @@ from ..llm.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
+    materialized_shingles,
     minhash_band_keys_fast,
     simhash_bits,
-    with_shingles,
 )
 from ..llm.multimodal import documents_as_media, extract_metadata
 from ..llm.similarity import cosine_topk_bruteforce, embedding_neardup_pairs
@@ -57,7 +57,7 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = with_shingles(T(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    base = materialized_shingles(T(spark, sf_dir, "documents"), "text", "doc_id", 3)
     counts = base.select("doc_id", F.size("__sh").alias("n_sh"))
     sh = base.select("doc_id", F.explode("__sh").alias("shingle"))
     return jaccard_pairs(sh, min_common=1, min_jaccard=0.05, counts=counts)
@@ -112,9 +112,9 @@ FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
 
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
+    base = materialized_shingles(d, "text", "doc_id", 3)
     bands = minhash_band_keys_fast(d, k=3, num_hashes=16, bands=4, rows_per_band=4)
     cands = lsh_candidate_pairs(bands)
-    base = with_shingles(d, "text", "doc_id", 3)
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
