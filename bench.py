@@ -25,15 +25,22 @@ BENCH_QUERIES = [
     "computed_key_left_join",
     "customer_order_ranks",
     "quality_checks_lineitem",
+    "rollup_revenue",
     # sync/lifecycle
     "merge_upsert_orders",
     "watermark_incremental",
     "events_sessionize",
     "tumbling_events",
+    "event_funnel",
+    # reference-domain pipelines
+    "retail_fct_invoices",
+    "fb_ads_transformed",
+    "media_relations_rebuild",
     # llm ops
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_bands",
+    "dedup_lsh_verified_pairs",
     "dedup_simhash",
     "embedding_neardup",
     "ann_topk",

@@ -228,8 +228,57 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion funnel: view -> click-after-view -> purchase-after-click per
+# user, reduced to stage counts. Three conditional-min aggregations, each
+# gated on the previous stage's timestamp.
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").join(first_view, "user_id")
+    first_click = clicks.where(F.col("ts") > F.col("v_ts")).groupBy("user_id").agg(
+        F.min("ts").alias("c_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").join(first_click, "user_id")
+    first_purchase = purchases.where(F.col("ts") > F.col("c_ts")).groupBy("user_id").agg(
+        F.min("ts").alias("p_ts")
+    )
+    return (
+        first_view.where(F.col("v_ts").isNotNull())
+        .join(first_click, "user_id", "left")
+        .join(first_purchase, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("viewers"),
+            F.count("c_ts").alias("clicked_after_view"),
+            F.count("p_ts").alias("purchased_after_click"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+fv AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+       FROM e GROUP BY user_id),
+fc AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+       FROM e JOIN fv ON e.user_id = fv.user_id
+       WHERE e.event_type = 'click' AND e.ts > fv.v_ts GROUP BY e.user_id),
+fp AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+       FROM e JOIN fc ON e.user_id = fc.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts GROUP BY e.user_id)
+SELECT COUNT(*) AS viewers, COUNT(c_ts) AS clicked_after_view,
+       COUNT(p_ts) AS purchased_after_click
+FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+WHERE v_ts IS NOT NULL
+"""
+
+
 QUERIES = {
     "rollup_revenue": rollup_revenue,
+    "event_funnel": event_funnel,
     "cube_order_counts": cube_order_counts,
     "grouping_sets_sales": grouping_sets_sales,
     "pivot_status_by_year": pivot_status_by_year,
@@ -243,6 +292,7 @@ QUERIES = {
 
 ORACLE = {
     "rollup_revenue": ROLLUP_SQL,
+    "event_funnel": FUNNEL_SQL,
     "cube_order_counts": CUBE_SQL,
     "grouping_sets_sales": GROUPING_SETS_SQL,
     "pivot_status_by_year": PIVOT_SQL,

@@ -305,6 +305,77 @@ SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Vocabulary / term-frequency table (tokenizer-training precursor).
+
+
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+TOKEN_FREQUENCY_SQL = f"""
+SELECT tok AS token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents) z
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Per-language document length statistics (exact interpolated median).
+
+
+def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    n = whitespace_token_count("text")
+    return (
+        d.select("lang", n.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("median_tokens"),
+        )
+    )
+
+
+DOC_LENGTH_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+  ROUND(quantile_cont(n_tok, 0.5), 6) AS median_tokens
+FROM (SELECT lang, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok FROM documents) z
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (single k-means-style reduction step).
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payloads -> Arrow-batched metadata extraction.
 
 
@@ -329,6 +400,9 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
+    "token_frequency": token_frequency,
+    "doc_length_stats": doc_length_stats,
+    "embedding_centroids": embedding_centroids,
     "text_token_counts": text_token_counts,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -344,6 +418,9 @@ ORACLE = {
     "dedup_simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "token_frequency": TOKEN_FREQUENCY_SQL,
+    "doc_length_stats": DOC_LENGTH_SQL,
+    "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,

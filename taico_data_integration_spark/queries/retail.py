@@ -18,6 +18,7 @@ from ..ops.retail import (
     fct_invoices,
     raw_invoices_from_fixtures,
     report_customer_invoices,
+    report_product_invoices,
     report_year_invoices,
 )
 from ._util import T
@@ -144,6 +145,25 @@ GROUP BY country
 """
 
 
+def retail_report_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = raw_invoices_from_fixtures(spark, sf_dir)
+    return report_product_invoices(fct_invoices(raw), dim_product(raw))
+
+
+RETAIL_REPORT_PRODUCT_SQL = f"""
+WITH {RAW_INVOICES_CTE},
+fct AS (SELECT {_sk('StockCode', 'Description', 'UnitPrice')} AS product_id,
+               CAST(Quantity AS BIGINT) AS quantity
+        FROM raw WHERE Quantity > 0),
+dimp AS (SELECT DISTINCT {_sk('StockCode', 'Description', 'UnitPrice')} AS product_id,
+                StockCode AS stock_code
+         FROM raw WHERE StockCode IS NOT NULL AND UnitPrice > 0)
+SELECT stock_code, SUM(quantity) AS total_quantity_sold
+FROM fct JOIN dimp USING (product_id)
+GROUP BY stock_code
+"""
+
+
 def retail_report_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = raw_invoices_from_fixtures(spark, sf_dir)
     return report_year_invoices(fct_invoices(raw), dim_datetime(raw))
@@ -232,6 +252,7 @@ QUERIES = {
     "retail_dim_datetime": retail_dim_datetime,
     "retail_fct_invoices": retail_fct_invoices,
     "retail_report_customer": retail_report_customer,
+    "retail_report_product": retail_report_product,
     "retail_report_year": retail_report_year,
     "media_relations_rebuild": media_relations_rebuild,
 }
@@ -242,6 +263,7 @@ ORACLE = {
     "retail_dim_datetime": RETAIL_DIM_DATETIME_SQL,
     "retail_fct_invoices": RETAIL_FCT_SQL,
     "retail_report_customer": RETAIL_REPORT_CUSTOMER_SQL,
+    "retail_report_product": RETAIL_REPORT_PRODUCT_SQL,
     "retail_report_year": RETAIL_REPORT_YEAR_SQL,
     "media_relations_rebuild": MEDIA_RELATIONS_SQL,
 }
