@@ -32,6 +32,27 @@ def test_stream_tumbling_matches_batch(spark):
     assert got == expected
 
 
+def test_stateful_sessionize_matches_batch(spark):
+    from taico_data_integration_spark.queries.sync import events_sessionize
+    from taico_data_integration_spark.streaming.stateful import sessionize_stream
+
+    out = sessionize_stream(stream_events(spark, SF_DIR), gap_seconds=1800)
+    run_to_memory(out, "stream_sessions", output_mode="append")
+    emitted = spark.table("stream_sessions").collect()
+    assert len(emitted) > 0
+    batch = {
+        (r.user_id, r.first_ts): (r.last_ts, r.n_events)
+        for r in events_sessionize(spark, SF_DIR).collect()
+    }
+    # every emitted (closed) session must exist identically in the batch view
+    for r in emitted:
+        key = (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"))
+        assert key in batch, f"stream session missing from batch: {r}"
+        last_ts, n = batch[key]
+        assert r.session_end.strftime("%Y-%m-%d %H:%M:%S") == last_ts
+        assert r.n_events == n
+
+
 def test_stream_merge_into_store(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "store"))
     events = stream_events(spark, SF_DIR).select("event_id", "user_id", "value")
