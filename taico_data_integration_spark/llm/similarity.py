@@ -11,7 +11,7 @@
 from __future__ import annotations
 
 import math
-import random
+import random  # noqa: F401  (random_hyperplanes)
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -135,6 +135,73 @@ def cosine_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
+    )
+
+
+def _centroid_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cosine-vs-centroid, centroid_id) structs; struct ordering
+    makes array_max/array_sort pick by score then id — pure Column math."""
+    entries = []
+    for cid, c in centroids:
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        plane = F.array(*[F.lit(x / norm) for x in c])
+        entries.append(F.struct(dot(vec, plane).alias("score"), F.lit(cid).alias("cid")))
+    return F.array(*entries)
+
+
+def ivf_centroids_from_sample(df: DataFrame, n_lists: int, id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the first n_lists vectors by id act as
+    centroids (a k-means iteration could refine; assignment stays the same
+    shape). Driver-side collect is O(n_lists * dim) — tiny."""
+    rows = df.orderBy(id_col).limit(n_lists).collect()
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its nprobe nearest coarse centroids (by cosine).
+    nprobe=1 partitions the corpus; queries use nprobe>1 to widen recall."""
+    v = _to_double(F.col(vec_col))
+    scored = F.reverse(F.array_sort(_centroid_scores(v, centroids)))
+    top = F.slice(scored, 1, nprobe)
+    return df.select(
+        F.col(id_col), F.explode(F.transform(top, lambda s: s["cid"])).alias("list_id")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid list;
+    each query probes its `nprobe` nearest lists and scores only those
+    vectors — a list-id equi-join replaces the query x corpus cross join.
+    Recall < 1.0 by construction (approximate), tunable via nprobe/n_lists.
+    """
+    centroids = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
+    c_assign = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__vec_d").alias("c_vec"), F.col("norm").alias("c_norm")
+    ).join(c_assign.select(F.col(id_col).alias("neighbor_id"), "list_id"), "neighbor_id")
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("__vec_d").alias("q_vec"), F.col("norm").alias("q_norm")
+    ).join(q_assign.select(F.col(id_col).alias("query_id"), "list_id"), "query_id")
+    sim = (
+        c.join(q, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_raw", dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        sim.select("query_id", "neighbor_id", "cosine_raw").distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine"), "rank")
     )

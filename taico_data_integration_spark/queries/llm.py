@@ -18,7 +18,7 @@ from ..llm.dedup import (
     simhash_bits,
 )
 from ..llm.multimodal import documents_as_media, extract_metadata
-from ..llm.similarity import cosine_topk_bruteforce, embedding_neardup_pairs
+from ..llm.similarity import cosine_topk_bruteforce, cosine_topk_ivf, embedding_neardup_pairs
 from ..llm.text import (
     STOPWORDS,
     bpe_ish_token_count,
@@ -208,6 +208,13 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate — rows-only check; the exact
+    brute-force twin above is the oracle-checked baseline)."""
+    e = T(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, e.where(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=2)
 
 
 ANN_TOPK_SQL = """
@@ -400,6 +407,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
+    "ann_topk_ivf": ann_topk_ivf,
     "token_frequency": token_frequency,
     "doc_length_stats": doc_length_stats,
     "embedding_centroids": embedding_centroids,

@@ -95,6 +95,21 @@ def test_cosine_topk_lsh_finds_close_neighbor(spark):
     assert any(r.neighbor_id == 1 for r in res)  # near-identical vector shares bucket
 
 
+def test_cosine_topk_ivf_finds_planted_duplicate(spark):
+    import random as pyrandom
+
+    from taico_data_integration_spark.llm.similarity import cosine_topk_ivf
+
+    rng = pyrandom.Random(7)
+    rows = [Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    # vec 100 is an exact copy of vec 3 -> same IVF list, must surface rank 1
+    rows.append(Row(vec_id=100, embedding=list(rows[3].embedding)))
+    e = spark.createDataFrame(rows)
+    res = cosine_topk_ivf(e, e.where(F.col("vec_id") == 3), k=3, n_lists=4, nprobe=2)
+    top = sorted(res.collect(), key=lambda r: r.rank)
+    assert top[0].neighbor_id == 100 and abs(top[0].cosine - 1.0) < 1e-6
+
+
 def test_embedding_neardup_blocked(spark):
     res = embedding_neardup_pairs(_vecs(spark), min_cosine=0.9, block_col="label").collect()
     assert {(r.vec_a, r.vec_b) for r in res} == {(0, 1)}
