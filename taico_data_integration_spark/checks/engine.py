@@ -94,6 +94,22 @@ def compile_metrics(df: DataFrame, checks: list[Check]) -> tuple[list[Column], l
     return aggs, compiled
 
 
+def suite_from_spec(spec: list[dict]) -> list[Check]:
+    """Declarative suite loader — the engine's analog of the reference's
+    SodaCL YAML files (include/soda/checks/**). Each entry:
+    ``{"kind": ..., "name": ..., <params>}``; JSON/YAML-parseable.
+
+    >>> suite_from_spec([{"kind": "not_null", "name": "n", "column": "c"}])
+    """
+    out = []
+    for entry in spec:
+        e = dict(entry)
+        kind = e.pop("kind")
+        name = e.pop("name")
+        out.append(Check(kind, name, e))
+    return out
+
+
 def run_checks(df: DataFrame, checks: list[Check]) -> list[dict]:
     """Execute all row-level checks in ONE job; returns per-check results."""
     aggs, compiled = compile_metrics(df, checks)

@@ -62,6 +62,33 @@ def promote_tenant(prod: DataFrame, staging: DataFrame, scope: Column) -> DataFr
     return prod.where(~scope).unionByName(staging.where(scope).select(*prod.columns))
 
 
+class PartitionedTable:
+    """Partitioned parquet table with dynamic partition overwrite — the true
+    scale form of M4's tenant-scoped swap (sync_data.py:281-309): replacing
+    one company/date scope rewrites ONLY that partition's files (Delta
+    ``replaceWhere`` analog), never the full table."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.partition_cols = partition_cols
+
+    def write_full(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(self.path)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Rewrite only the partitions present in `df` (dynamic mode)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+
 class TableStore:
     """Versioned parquet table store: the promotion/rollback substrate (M6).
 

@@ -92,6 +92,41 @@ def test_promote_tenant_swaps_scope_only(spark):
     assert got == {(1, "s1"), (2, "p2")}
 
 
+def test_partitioned_table_dynamic_overwrite(spark, tmp_path):
+    from taico_data_integration_spark.ops.incremental import PartitionedTable
+
+    t = PartitionedTable(spark, str(tmp_path / "pt"), ["company_id"])
+    full = spark.createDataFrame(
+        [Row(company_id=c, v=f"old{c}-{i}") for c in (1, 2, 3) for i in range(3)]
+    )
+    t.write_full(full)
+    # M4: replace ONLY company 2's scope
+    t.overwrite_partitions(
+        spark.createDataFrame([Row(company_id=2, v="new2-0")])
+    )
+    got = {(r.company_id, r.v) for r in t.read().collect()}
+    assert (2, "new2-0") in got
+    assert sum(1 for c, _ in got if c == 2) == 1  # old company-2 rows gone
+    assert sum(1 for c, _ in got if c == 1) == 3  # other tenants untouched
+
+
+def test_suite_from_spec_roundtrip(spark):
+    from taico_data_integration_spark.checks.engine import run_checks, suite_from_spec
+
+    df = spark.createDataFrame([Row(id=1, name="a"), Row(id=1, name=None)])
+    suite = suite_from_spec(
+        [
+            {"kind": "not_null", "name": "name_nn", "column": "name"},
+            {"kind": "unique", "name": "id_uq", "columns": ["id"]},
+            {"kind": "min_rows", "name": "mr", "n": 1},
+        ]
+    )
+    res = {r["name"]: r for r in run_checks(df, suite)}
+    assert res["name_nn"]["metric"] == 1
+    assert res["id_uq"]["metric"] == 1
+    assert res["mr"]["ok"]
+
+
 def test_tablestore_promote_and_rollback(spark, tmp_path):
     store = TableStore(spark, str(tmp_path))
     good = spark.createDataFrame([Row(id=i) for i in range(5)])

@@ -53,6 +53,49 @@ def test_stateful_sessionize_matches_batch(spark):
         assert r.n_events == n
 
 
+def test_stateful_sessions_across_microbatches(spark, tmp_path):
+    """State must survive micro-batch boundaries: replay events as many
+    files with maxFilesPerTrigger=1 and check sessions still match batch."""
+    from taico_data_integration_spark.queries.sync import events_sessionize
+    from taico_data_integration_spark.streaming.stateful import sessionize_stream
+
+    from pyspark.sql import Window
+
+    # re-write as 5 time-ordered partitions so micro-batches arrive in order
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts = raw epoch-nanos long
+    df.withColumn("__b", F.ntile(5).over(Window.orderBy("ts"))).write.mode(
+        "overwrite"
+    ).partitionBy("__b").parquet(str(tmp_path / "events_batched"))
+    batched = spark.read.parquet(str(tmp_path / "events_batched"))
+    stream = (
+        spark.readStream.schema(batched.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "events_batched"))
+        .drop("__b")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("multi_batch_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("multi_batch_sessions").collect()
+    assert len(emitted) > 0
+    batch = {
+        (r.user_id, r.first_ts): (r.last_ts, r.n_events)
+        for r in events_sessionize(spark, SF_DIR).collect()
+    }
+    for r in emitted:
+        key = (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"))
+        assert key in batch
+        last_ts, n = batch[key]
+        assert r.n_events == n and r.session_end.strftime("%Y-%m-%d %H:%M:%S") == last_ts
+
+
 def test_stream_merge_into_store(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "store"))
     events = stream_events(spark, SF_DIR).select("event_id", "user_id", "value")
