@@ -1,0 +1,41 @@
+"""Grouped-map operators (SURVEY.md §2.11): the reference's per-DataFrame
+pandas validators/transforms become either window expressions (preferred,
+JVM-side) or Arrow-batched applyInPandas (escape hatch). Both forms of the
+canonical example — per-group z-score normalization — live here; the test
+suite asserts they agree, and the window form carries the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore_window(df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore") -> DataFrame:
+    """Per-group z-score via window aggregates — no Python in the path.
+    Sample stddev (n-1 denominator) to match pandas' default."""
+    w = Window.partitionBy(group_col)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    return df.withColumn(out_col, F.round((F.col(value_col) - mean) / std, 6))
+
+
+def zscore_apply_in_pandas(df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore") -> DataFrame:
+    """Same semantics through applyInPandas (grouped map) — the shape used
+    when the per-group logic needs real Python (model scoring, scipy, ...).
+    Groups must fit in executor memory; at 100 TB that means grouping keys
+    chosen with bounded fan-in (user, doc, session — not global)."""
+    from pyspark.sql.types import StructType
+
+    # copy before add(): StructType.add mutates in place, which would
+    # corrupt df.schema itself
+    out_schema = StructType(list(df.schema.fields)).add(out_col, "double")
+
+    def _norm(pdf):
+        v = pdf[value_col]
+        std = v.std()  # pandas default ddof=1, matches stddev_samp
+        pdf = pdf.copy()
+        pdf[out_col] = ((v - v.mean()) / std).round(6)
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_norm, schema=out_schema)

@@ -206,6 +206,47 @@ FROM events GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Grouped-map normalization (§2.11): window-expression form (oracle-checked);
+# ops.grouped.zscore_apply_in_pandas is the Arrow escape-hatch twin
+# (equality-tested in tests/test_ops.py).
+
+
+def event_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.grouped import zscore_window
+
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_window(e, "event_type", "value").select("event_id", "event_type", "zscore")
+
+
+ZSCORE_SQL = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+# ---------------------------------------------------------------------------
+# Regexp capture-group reformat (block codes, mms_lb_staged.sql:16) — the
+# $1-vs-\\1 dialect translation demo (SURVEY.md §7.4 hazard 6).
+
+
+def block_code_reformat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.transforms import block_code_reformat
+
+    o = T(spark, sf_dir, "orders")
+    raw = F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 8, "0")
+    return o.select("o_orderkey", raw.alias("raw_code"), block_code_reformat(raw).alias("block_code"))
+
+
+BLOCK_CODE_SQL = """
+SELECT o_orderkey,
+       lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0') AS raw_code,
+       regexp_replace(lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0'),
+                      '(\\d{2})(\\d{2})(\\d{2})(\\d{2})', '\\1-\\2-\\3-\\4') AS block_code
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
 # EXISTS / scalar subqueries through the SQL-string IR.
 
 
@@ -288,9 +329,13 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "salted_event_counts": salted_event_counts,
     "exists_high_value_customers": exists_high_value_customers,
+    "event_value_zscores": event_value_zscores,
+    "block_code_reformat_query": block_code_reformat_query,
 }
 
 ORACLE = {
+    "event_value_zscores": ZSCORE_SQL,
+    "block_code_reformat_query": BLOCK_CODE_SQL,
     "rollup_revenue": ROLLUP_SQL,
     "event_funnel": FUNNEL_SQL,
     "cube_order_counts": CUBE_SQL,

@@ -110,6 +110,19 @@ def test_partitioned_table_dynamic_overwrite(spark, tmp_path):
     assert sum(1 for c, _ in got if c == 1) == 3  # other tenants untouched
 
 
+def test_zscore_grouped_map_matches_window(spark):
+    from taico_data_integration_spark.ops.grouped import zscore_apply_in_pandas, zscore_window
+
+    df = spark.createDataFrame(
+        [Row(g=g, id=i, v=float(i * (g + 1) % 7)) for g in (0, 1) for i in range(20)]
+    )
+    win = {(r.g, r.id): r.zscore for r in zscore_window(df, "g", "v").collect()}
+    pan = {(r.g, r.id): r.zscore for r in zscore_apply_in_pandas(df, "g", "v").collect()}
+    assert win.keys() == pan.keys()
+    for k in win:
+        assert abs(win[k] - pan[k]) < 1e-6
+
+
 def test_suite_from_spec_roundtrip(spark):
     from taico_data_integration_spark.checks.engine import run_checks, suite_from_spec
 
