@@ -74,7 +74,9 @@ def compile_metrics(df: DataFrame, checks: list[Check]) -> tuple[list[Column], l
             aggs.append(_count_if(F.col(p["column"]).isNull()).alias(alias))
         elif ch.kind == "unique":
             cols = p["columns"]
-            key = F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols])
+            # '|' separator prevents cross-column concat ambiguity
+            # ('1','23' vs '12','3'); oracle SQL mirrors this exactly.
+            key = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols])
             aggs.append((F.count(key) - F.countDistinct(key)).alias(alias))
         elif ch.kind == "min_rows":
             aggs.append(F.count(F.lit(1)).alias(alias))

@@ -21,7 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -78,6 +80,61 @@ def extract_metadata(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_extract, schema=META_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def fake_feature_extract(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in for an image/audio feature extractor: 8 floats
+    derived from the payload's md5 — the REAL contract (Arrow batches in,
+    fixed-dim float vectors out, schema stable) with a fake kernel. A
+    deployment swaps the kernel for CLIP/whisper/etc; nothing else changes.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def vec(b):
+                if b is None:
+                    return None
+                h = hashlib.md5(bytes(b)).digest()
+                return [(h[2 * i] * 256 + h[2 * i + 1]) / 65535.0 for i in range(FEATURE_DIM)]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "features": pdf["payload"].map(vec),
+                }
+            )
+
+    return media.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+def repartition_for_decode(media: DataFrame, parallelism: int) -> DataFrame:
+    """Balance decode batches by a content-hash prefix so a handful of huge
+    assets can't skew one task (SCALE.md multimodal note)."""
+    from pyspark.sql import functions as F
+
+    return media.repartition(parallelism, F.crc32(F.col("payload")) % parallelism)
+
+
+def resize_image(media: DataFrame, width: int, height: int):
+    """Resize stage stub — same mapInPandas shape as extract; needs PIL."""
+    raise NotImplementedError("image resize requires PIL/opencv, not present in this container")
+
+
+def sample_video_frames(media: DataFrame, every_n_seconds: float):
+    """Frame-sampling stub — real impl shells to ffmpeg per Arrow batch."""
+    raise NotImplementedError("video frame sampling requires ffmpeg, not present in this container")
 
 
 def decode_image(media: DataFrame):

@@ -340,8 +340,8 @@ SELECT 'lineitem_shipdate_not_null', 'not_null',
        CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
 UNION ALL
 SELECT 'lineitem_pk_unique', 'unique', CAST(COUNT(k) - COUNT(DISTINCT k) AS BIGINT)
-FROM (SELECT concat(coalesce(CAST(l_orderkey AS VARCHAR), ' '),
-                    coalesce(CAST(l_linenumber AS VARCHAR), ' ')) AS k FROM lineitem) t
+FROM (SELECT concat_ws('|', coalesce(CAST(l_orderkey AS VARCHAR), ' '),
+                            coalesce(CAST(l_linenumber AS VARCHAR), ' ')) AS k FROM lineitem) t
 UNION ALL
 SELECT 'lineitem_min_rows', 'min_rows', CAST(COUNT(*) AS BIGINT) FROM lineitem
 UNION ALL

@@ -161,6 +161,26 @@ def test_multimodal_metadata_roundtrip(spark):
     assert meta.content_md5 == hashlib.md5(b"hello world").hexdigest()
 
 
+def test_fake_feature_extract_contract(spark):
+    from taico_data_integration_spark.llm.multimodal import (
+        FEATURE_DIM,
+        fake_feature_extract,
+        repartition_for_decode,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"asset {i}") for i in range(10)])
+    media = repartition_for_decode(documents_as_media(docs), parallelism=4)
+    feats = fake_feature_extract(media).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+    # deterministic: same payload -> same features
+    again = {r.asset_id: list(r.features) for r in fake_feature_extract(media).collect()}
+    for r in feats:
+        assert [pytest.approx(x) for x in again[r.asset_id]] == list(r.features)
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(None)
