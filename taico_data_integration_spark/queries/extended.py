@@ -206,6 +206,38 @@ FROM events GROUP BY 1
 """
 
 # ---------------------------------------------------------------------------
+# Window frames: RANGE running totals (peers included) + distribution ranks.
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        as_double(F.sum(dec2("o_totalprice")).over(w_range)).alias("running_total"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("price_cume_dist"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  ROUND(percent_rank() OVER w2, 6) AS price_pct_rank,
+  ROUND(cume_dist() OVER w2, 6) AS price_cume_dist
+FROM orders
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+"""
+
+# ---------------------------------------------------------------------------
 # Grouped-map normalization (§2.11): window-expression form (oracle-checked);
 # ops.grouped.zscore_apply_in_pandas is the Arrow escape-hatch twin
 # (equality-tested in tests/test_ops.py).
@@ -331,9 +363,11 @@ QUERIES = {
     "exists_high_value_customers": exists_high_value_customers,
     "event_value_zscores": event_value_zscores,
     "block_code_reformat_query": block_code_reformat_query,
+    "customer_running_totals": customer_running_totals,
 }
 
 ORACLE = {
+    "customer_running_totals": RUNNING_TOTALS_SQL,
     "event_value_zscores": ZSCORE_SQL,
     "block_code_reformat_query": BLOCK_CODE_SQL,
     "rollup_revenue": ROLLUP_SQL,

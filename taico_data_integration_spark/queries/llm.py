@@ -79,6 +79,46 @@ WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >=
 """
 
 # ---------------------------------------------------------------------------
+# Corpus-scale Jaccard: drop ultra-common shingles (df cap) from the
+# inverted index BEFORE pairing — at 100 TB the Σ df² join output of the
+# uncapped index is unbounded; the cap bounds it by cap·|shingles|
+# (SCALE.md). Jaccard here is over the discriminative-shingle universe.
+
+_DF_CAP = 20
+
+
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = materialized_shingles(T(spark, sf_dir, "documents"), "text", "doc_id", 3)
+    sh = base.select("doc_id", F.explode("__sh").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle", "left_semi")
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return jaccard_pairs(capped, min_common=1, min_jaccard=0.05, counts=counts)
+
+
+JACCARD_CAPPED_SQL = f"""
+WITH {_SHINGLES_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+capped AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH band bucketing (16 hashes, 4 bands x 4 rows).
 
 
@@ -208,6 +248,16 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (iterative — rows-only check; clustering quality is
+    covered by tests/test_llm.py cluster-recovery assertions)."""
+    from ..llm.clustering import kmeans
+
+    e = T(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(e, k=8, iterations=3)
+    return assign
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,12 +452,14 @@ FROM documents
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_capped": dedup_jaccard_capped,
     "dedup_minhash_bands": dedup_minhash_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
     "ann_topk_ivf": ann_topk_ivf,
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "token_frequency": token_frequency,
     "doc_length_stats": doc_length_stats,
     "embedding_centroids": embedding_centroids,
@@ -421,6 +473,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_jaccard_capped": JACCARD_CAPPED_SQL,
     "dedup_minhash_bands": MINHASH_BANDS_SQL,
     "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
     "dedup_simhash": SIMHASH_SQL,

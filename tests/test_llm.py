@@ -115,6 +115,28 @@ def test_embedding_neardup_blocked(spark):
     assert {(r.vec_a, r.vec_b) for r in res} == {(0, 1)}
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    import random as pyrandom
+
+    from taico_data_integration_spark.llm.clustering import kmeans
+
+    rng = pyrandom.Random(11)
+    centers = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append(Row(vec_id=i, embedding=[x + rng.gauss(0, 0.2) for x in c]))
+    df = spark.createDataFrame(rows)
+    assign, centroids = kmeans(df, k=3, iterations=4)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+    # all members of a planted cluster must land together
+    for mod in range(3):
+        ids = [i for i in range(60) if i % 3 == mod]
+        assert len({got[i] for i in ids}) == 1
+    # and the three planted clusters must be distinct
+    assert len({got[0], got[1], got[2]}) == 3
+
+
 def test_language_and_quality(spark):
     df = spark.createDataFrame(
         [

@@ -96,6 +96,44 @@ def test_stateful_sessions_across_microbatches(spark, tmp_path):
         assert r.n_events == n and r.session_end.strftime("%Y-%m-%d %H:%M:%S") == last_ts
 
 
+def test_stream_dedup_matches_batch(spark):
+    from taico_data_integration_spark.streaming.joins import stream_dedup
+
+    out = stream_dedup(stream_events(spark, SF_DIR), ["user_id", "event_type"])
+    run_to_memory(out, "stream_dedup_t", output_mode="append")
+    got = spark.table("stream_dedup_t").count()
+    expected = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .dropDuplicates(["user_id", "event_type"])
+        .count()
+    )
+    assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from taico_data_integration_spark.streaming.joins import interval_join
+
+    ev = stream_events(spark, SF_DIR)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = interval_join(purchases, clicks, "user_id", interval="'30' MINUTE")
+    run_to_memory(out, "stream_sjoin", output_mode="append")
+    got = spark.table("stream_sjoin").count()
+    b = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as SF
+
+    b = b.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    bp = b.where("event_type = 'purchase'").select("user_id", SF.col("ts").alias("p_ts"))
+    bc = b.where("event_type = 'click'").select(SF.col("user_id").alias("c_uid"), SF.col("ts").alias("c_ts"))
+    expected = bp.join(
+        bc,
+        (bp.user_id == bc.c_uid)
+        & (bc.c_ts >= bp.p_ts - SF.expr("INTERVAL '30' MINUTE"))
+        & (bc.c_ts <= bp.p_ts),
+    ).count()
+    assert got == expected
+
+
 def test_stream_merge_into_store(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "store"))
     events = stream_events(spark, SF_DIR).select("event_id", "user_id", "value")
