@@ -138,6 +138,27 @@ class TableStore:
         entry = next(e for e in meta["versions"] if e["v"] == v)
         return self.spark.read.parquet(entry["path"])
 
+    def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
+        """Delta-VACUUM analog: physically delete all but the newest
+        `keep_latest` versions. Required after GDPR erasure (ops.deletion) —
+        superseded versions still hold the erased rows until vacuumed."""
+        import shutil
+
+        meta = self._read_meta(table)
+        keep = {e["v"] for e in meta["versions"][-keep_latest:]}
+        keep.add(meta["current"])
+        removed = []
+        remaining = []
+        for e in meta["versions"]:
+            if e["v"] in keep:
+                remaining.append(e)
+            else:
+                shutil.rmtree(e["path"], ignore_errors=True)
+                removed.append(e["v"])
+        meta["versions"] = remaining
+        self._write_meta(table, meta)
+        return removed
+
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)
         version. The failed version's files stay for forensics."""

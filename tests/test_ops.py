@@ -110,6 +110,33 @@ def test_partitioned_table_dynamic_overwrite(spark, tmp_path):
     assert sum(1 for c, _ in got if c == 1) == 3  # other tenants untouched
 
 
+def test_erase_subjects_across_tables(spark, tmp_path):
+    from taico_data_integration_spark.ops.deletion import erase_subjects
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("events_t", spark.createDataFrame([Row(user_id=u, v=i) for i, u in enumerate([1, 1, 2, 3])]))
+    store.write("profile_t", spark.createDataFrame([Row(uid=u, name=f"u{u}") for u in (1, 2, 3)]))
+    subjects = spark.createDataFrame([Row(subject=1)])
+    report = erase_subjects(
+        store,
+        subjects,
+        {"events_t": {"user_id": "subject"}, "profile_t": {"uid": "subject"}},
+    )
+    assert report["events_t"]["deleted"] == 2
+    assert report["profile_t"]["deleted"] == 1
+    assert store.read("events_t").where("user_id = 1").count() == 0
+    # audit trail: pre-erasure version still addressable until vacuumed
+    assert store.read("events_t", version=0).where("user_id = 1").count() == 2
+    removed = store.vacuum("events_t", keep_latest=1)
+    assert removed == [0]
+    assert store.read("events_t").where("user_id = 1").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(StopIteration):
+        store.read("events_t", version=0)
+
+
 def test_zscore_grouped_map_matches_window(spark):
     from taico_data_integration_spark.ops.grouped import zscore_apply_in_pandas, zscore_window
 
