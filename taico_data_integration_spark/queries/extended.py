@@ -279,6 +279,27 @@ FROM orders
 """
 
 # ---------------------------------------------------------------------------
+# Statistical aggregates: correlation / covariance per group.
+
+
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+PRICE_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
 # EXISTS / scalar subqueries through the SQL-string IR.
 
 
@@ -364,10 +385,12 @@ QUERIES = {
     "event_value_zscores": event_value_zscores,
     "block_code_reformat_query": block_code_reformat_query,
     "customer_running_totals": customer_running_totals,
+    "price_quantity_stats": price_quantity_stats,
 }
 
 ORACLE = {
     "customer_running_totals": RUNNING_TOTALS_SQL,
+    "price_quantity_stats": PRICE_STATS_SQL,
     "event_value_zscores": ZSCORE_SQL,
     "block_code_reformat_query": BLOCK_CODE_SQL,
     "rollup_revenue": ROLLUP_SQL,
