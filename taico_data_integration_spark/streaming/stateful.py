@@ -64,6 +64,8 @@ def _sessionize_group(
     for pdf in pdfs:
         ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
     ts_us.sort()
+    if not ts_us:
+        return
 
     sessions = []
     if state.exists:
