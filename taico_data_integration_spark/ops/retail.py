@@ -110,7 +110,6 @@ def dim_datetime(raw: DataFrame) -> DataFrame:
     """dim_datetime.sql: dual-format parse keyed on string length, then
     year/month/day/hour/minute/weekday extracts (BQ DAYOFWEEK == Spark
     dayofweek == 1=Sunday, SURVEY.md §2.8)."""
-    parsed = dual_format_timestamp(F.col("InvoiceDate"))
     return (
         raw.where(F.col("InvoiceDate").isNotNull())
         .select(F.col("InvoiceDate").alias("datetime_raw"))

@@ -168,6 +168,33 @@ SELECT DISTINCT c_mktsegment AS name FROM customer WHERE c_mktsegment IS NOT NUL
 """
 
 
+def dim_extract_all_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable form of entry point A's per-dimension fan-out
+    (dags/etl.py:143-190 runs 9 separate DISTINCT queries): ONE scan emits
+    (dim_name, value) pairs for every dimension column via an inline
+    unpivot, then a single distinct. 9 scans -> 1 at any fact size."""
+    o = T(spark, sf_dir, "orders")
+    pairs = F.explode(
+        F.array(
+            F.struct(F.lit("status").alias("dim_name"), F.col("o_orderstatus").alias("value")),
+            F.struct(F.lit("priority").alias("dim_name"), F.col("o_orderpriority").alias("value")),
+        )
+    )
+    return (
+        o.select(pairs.alias("p"))
+        .select("p.dim_name", "p.value")
+        .where(F.col("value").isNotNull())
+        .distinct()
+    )
+
+
+DIM_EXTRACT_ALL_SQL = """
+SELECT DISTINCT 'status' AS dim_name, o_orderstatus AS value FROM orders WHERE o_orderstatus IS NOT NULL
+UNION
+SELECT DISTINCT 'priority', o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+"""
+
+
 def multi_distinct_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 (sync_data.py:118-121): multi-column DISTINCT combination rows."""
     return multi_distinct(T(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"])
@@ -639,6 +666,7 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "dim_distinct_extract": dim_distinct_extract,
+    "dim_extract_all_columns": dim_extract_all_columns,
     "multi_distinct_combos": multi_distinct_combos,
     "customers_without_orders": customers_without_orders,
     "parts_never_ordered": parts_never_ordered,
@@ -666,6 +694,7 @@ ORACLE = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "dim_distinct_extract": DIM_DISTINCT_SQL,
+    "dim_extract_all_columns": DIM_EXTRACT_ALL_SQL,
     "multi_distinct_combos": MULTI_DISTINCT_SQL,
     "customers_without_orders": CUST_NO_ORDERS_SQL,
     "parts_never_ordered": PARTS_NEVER_SQL,

@@ -183,8 +183,70 @@ WHERE min_price = (SELECT MIN(min_price) FROM cost c2 WHERE c2.l_partkey = cost.
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6-style: fully-pushed-down filtered aggregate (no joins, no groups).
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * dec2("l_discount", 4)
+    return l.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("2000-01-01")))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(as_double(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item losses by customer (top 20).
+
+
+def q10_returned_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    rev = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(as_double(F.sum(rev)).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_losses": q10_returned_losses,
     "q4_priority_with_shipments": q4_priority_with_shipments,
     "q14_promo_share": q14_promo_share,
     "q16_part_supplier_variety": q16_part_supplier_variety,
@@ -194,6 +256,8 @@ QUERIES = {
 
 ORACLE = {
     "q2_min_cost_supplier": Q2_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_losses": Q10_SQL,
     "q4_priority_with_shipments": Q4_SQL,
     "q14_promo_share": Q14_SQL,
     "q16_part_supplier_variety": Q16_SQL,
