@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "customer_order_ranks",
     "quality_checks_lineitem",
     "rollup_revenue",
+    "q9_product_profit",
+    "q21_sole_returning_supplier",
     # sync/lifecycle
     "merge_upsert_orders",
     "watermark_incremental",
