@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "text_langid",
     "multimodal_metadata",
+    "contamination_check",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,145 @@
+"""Corpus-curation operators for training-data pipelines: PII redaction,
+repetition scoring, benchmark-contamination checks, deterministic dataset
+splitting, and a composite quality-filter pass.
+
+All pure Column expressions (JVM-side, whole-stage-codegen friendly) — one
+scan per metric set, no Python in the hot path. Hashing is md5-based so the
+DuckDB oracles reproduce bit-for-bit, and so split assignment is stable
+across runs/cluster sizes (a reshuffle or executor loss never moves a
+document between train and test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import materialized_shingles
+from .text import detect_language, quality_score, tokens
+
+# PII patterns chosen for the RE2 ∩ java.util.regex common dialect (no
+# backrefs, no lookaround) so Spark and the DuckDB oracle agree exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_REDACTIONS = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+
+def count_pii(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (before redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint"),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)).cast("bigint"),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email, IPv4 and phone occurrence with a typed tag.
+    Emails are redacted before IPs so 'user@1.2.3.4.com'-style strings are
+    consumed by the email pass first (order is part of the contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _REDACTIONS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 - |distinct tokens| / |tokens| in [0, 1) — the cheap intra-document
+    repetition signal used by corpus quality filters."""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    d = F.size(F.array_distinct(toks)).cast("double")
+    return F.round(F.lit(1.0) - d / F.greatest(n, F.lit(1.0)), 6)
+
+
+def split_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the id — content-stable
+    dataset splitting (survives reshuffles, repartitions, re-runs)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(c.cast("string"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % buckets
+
+
+def dataset_split(
+    id_col: Column | str, train_pct: int = 80, valid_pct: int = 10
+) -> Column:
+    """'train' / 'valid' / 'test' label from the hash bucket."""
+    b = split_bucket(id_col)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Per corpus document, the number of distinct word k-grams it shares
+    with ANY benchmark document (benchmark = rows matching benchmark_pred).
+
+    Scale shape: the corpus is shingled ONCE (materialized shingle base —
+    at cluster scale a staging write, one scan feeding both branches); the
+    benchmark side collapses to a distinct-shingle set (small: benchmarks
+    are ~1e5 docs, not TBs) and is broadcast, so the big corpus side is
+    never shuffled. No cross join anywhere.
+    """
+    base = materialized_shingles(
+        df.withColumn("__is_bench", benchmark_pred), text_col, id_col, k,
+        keep_cols=("__is_bench",),
+    )
+    bench = (
+        base.where(F.col("__is_bench"))
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = base.where(~F.col("__is_bench")).select(
+        id_col, F.explode("__sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def curation_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_repetition: float = 0.6,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """One-pass composite curation verdict per document: every filter is a
+    flag column plus the final keep decision, so downstream can both filter
+    and report per-reason drop rates from a single scan."""
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    rep = repetition_ratio(text_col)
+    qual = quality_score(text_col)
+    lang = detect_language(text_col)
+    out = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        rep.alias("repetition"),
+        qual.alias("quality"),
+        lang.alias("detected_lang"),
+        (n_tok < min_tokens).alias("too_short"),
+        (rep > max_repetition).alias("high_repetition"),
+        (qual < min_quality).alias("low_quality"),
+        (lang != "en").alias("non_en"),
+    )
+    keep = ~(
+        F.col("too_short")
+        | F.col("high_repetition")
+        | F.col("low_quality")
+        | F.col("non_en")
+    )
+    return out.withColumn("keep", keep)

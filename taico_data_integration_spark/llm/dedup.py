@@ -46,15 +46,22 @@ def shingle_array(text_col: str = "text", k: int = 3) -> Column:
 
 
 def with_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, __sh) with the token array materialized as a real column behind
-    a repartition barrier: tokens are computed exactly once per document
-    (CollapseProject cannot inline them back across the exchange), and the
-    shingle-heavy projection runs at full parallelism even when the source
-    is a single parquet file."""
+    """(id, [keep_cols...,] __sh) with the token array materialized as a real
+    column behind a repartition barrier: tokens are computed exactly once per
+    document (CollapseProject cannot inline them back across the exchange),
+    and the shingle-heavy projection runs at full parallelism even when the
+    source is a single parquet file."""
     spark = df.sparkSession
-    toks = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("__toks"))
+    extras = [F.col(c) for c in keep_cols]
+    toks = df.select(
+        F.col(id_col), *extras, F.split(normalized_text(text_col), " ").alias("__toks")
+    )
     toks = toks.repartition(spark.sparkContext.defaultParallelism)
     sh = F.array_distinct(
         F.transform(
@@ -62,7 +69,7 @@ def with_shingles(
             lambda i: F.concat_ws(" ", *[F.element_at("__toks", i + j + 1) for j in range(k)]),
         )
     )
-    return toks.where(F.size("__toks") >= k).select(F.col(id_col), sh.alias("__sh"))
+    return toks.where(F.size("__toks") >= k).select(F.col(id_col), *extras, sh.alias("__sh"))
 
 
 def minhash_band_keys_fast(
@@ -106,7 +113,11 @@ def minhash_band_keys_fast(
 
 
 def materialized_shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """`with_shingles` materialized once (localCheckpoint) for plans that
     fan the shingle base into several branches (self-join sides, counts,
@@ -115,7 +126,7 @@ def materialized_shingles(
     (+explode +shuffle) — measured 8x slower. At cluster scale the same
     pattern is a staging write of the shingle index (one scan, N readers).
     """
-    return with_shingles(df, text_col, id_col, k).localCheckpoint()
+    return with_shingles(df, text_col, id_col, k, keep_cols).localCheckpoint()
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:

@@ -20,12 +20,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import core, extended, facebook, llm, retail, sync, tpch_deep, tpch_extra
+from . import core, curation, extended, facebook, llm, retail, sync, tpch_deep, tpch_extra
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm):
+    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -35,6 +35,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm):
+    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation):
         out.update(mod.ORACLE)
     return out
