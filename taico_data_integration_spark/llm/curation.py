@@ -110,6 +110,54 @@ def contamination_hits(
     )
 
 
+def pack_into_shards(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2000,
+    partition_cols: tuple[str, ...] = ("split", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget shard packing: within each partition group, documents
+    are laid out in a deterministic pseudo-random order (md5 of id — the
+    content-stable analog of a training-data shuffle) and cut into shards
+    of ~`budget` tokens by running-total position.
+
+    Scale note: the running sum is a window per (split, source) group — at
+    100 TB, partition on enough columns that no single group dominates
+    (split alone would funnel 80% of the corpus through one sort); with
+    (split, source) the sort is per-source-sized and distributed.
+    """
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum(F.col(token_col)).over(w)
+    start = end - F.col(token_col)
+    return df.withColumn("shard_id", F.floor(start / F.lit(budget)).cast("bigint"))
+
+
+def quality_quota_sample(
+    df: DataFrame,
+    quota: int = 10,
+    by: str = "source",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-`quota` documents per group by quality (deterministic id
+    tie-break) — the selection step of quality-curriculum corpus mixing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col(quality_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("qrank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("qrank") <= quota)
+    )
+
+
 def curation_flags(
     df: DataFrame,
     text_col: str = "text",

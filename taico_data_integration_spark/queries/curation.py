@@ -194,12 +194,116 @@ FROM flagged
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget shard packing: split assign -> token count -> deterministic
+# order -> running-total shard cut, all per (split, source) group.
+
+
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import pack_into_shards
+    from ..llm.text import whitespace_token_count
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        dataset_split("doc_id").alias("split"),
+        whitespace_token_count("text").alias("n_tokens"),
+    )
+    return pack_into_shards(d, budget=2000)
+
+
+_SPLIT_EXPR = """CASE WHEN ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 < 80 THEN 'train'
+  WHEN ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 < 90 THEN 'valid'
+  ELSE 'test' END"""
+
+TOKEN_SHARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, {_SPLIT_EXPR} AS split,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, split, n_tokens,
+  CAST(floor((SUM(n_tokens) OVER (PARTITION BY split, source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       / 2000) AS BIGINT) AS shard_id
+FROM base
+"""
+
+# ---------------------------------------------------------------------------
+# Quality-quota sampling: top-N per source by quality score.
+
+
+def quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import quality_quota_sample
+    from ..llm.text import quality_score
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    return quality_quota_sample(d, quota=10)
+
+
+QUALITY_QUOTA_SQL = f"""
+WITH scored AS (SELECT doc_id, source, {_QUAL} AS quality FROM documents),
+ranked AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS qrank
+  FROM scored)
+SELECT doc_id, source, quality, qrank FROM ranked WHERE qrank <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# Cascading time-grain rollup over events: minute -> hour -> day; the day
+# output proves the cascade (exact DECIMAL sums are associative).
+
+
+def cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.rollup import cascade_rollup
+
+    e = T(spark, sf_dir, "events")
+    _minute, _hour, day = cascade_rollup(e)
+    return day.select(
+        "event_date",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_active_hours",
+    )
+
+
+CASCADING_ROLLUP_SQL = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS minute_ts, event_type,
+         COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+  FROM events GROUP BY 1, 2),
+hour AS (
+  SELECT date_trunc('hour', minute_ts) AS hour_ts, event_type,
+         SUM(n_events) AS n_events, SUM(total_value) AS total_value,
+         COUNT(*) AS n_active_minutes
+  FROM minute GROUP BY 1, 2)
+SELECT CAST(date_trunc('day', hour_ts) AS DATE) AS event_date, event_type,
+       SUM(n_events) AS n_events,
+       CAST(SUM(total_value) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_active_hours
+FROM hour GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pii_redaction": pii_redaction,
     "doc_repetition": doc_repetition,
     "contamination_check": contamination_check,
     "dataset_split_assign": dataset_split_assign,
     "curation_pipeline": curation_pipeline,
+    "token_shard_packing": token_shard_packing,
+    "quality_quota": quality_quota,
+    "cascading_rollup": cascading_rollup,
 }
 
 ORACLE = {
@@ -208,4 +312,7 @@ ORACLE = {
     "contamination_check": CONTAMINATION_SQL,
     "dataset_split_assign": DATASET_SPLIT_SQL,
     "curation_pipeline": CURATION_SQL,
+    "token_shard_packing": TOKEN_SHARD_SQL,
+    "quality_quota": QUALITY_QUOTA_SQL,
+    "cascading_rollup": CASCADING_ROLLUP_SQL,
 }

@@ -79,6 +79,65 @@ def test_contamination_planted(spark):
     assert got == {2: 1}  # only 'alpha beta gamma delta' is shared; doc 3 clean
 
 
+def test_pack_into_shards_budget_and_order(spark):
+    from taico_data_integration_spark.llm.curation import pack_into_shards
+
+    df = spark.createDataFrame(
+        [(i, "train", "s0", 700) for i in range(10)],
+        ["doc_id", "split", "source", "n_tokens"],
+    )
+    out = pack_into_shards(df, budget=2000).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["n_tokens"])
+    # 700-token docs, 2000 budget -> ceil-packed 3 per shard (starts 0,700,1400 < 2000)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes == [1, 3, 3, 3]
+    assert min(by_shard) == 0 and max(by_shard) == 3  # contiguous shard ids
+    # deterministic across repartition
+    again = pack_into_shards(df.repartition(7), budget=2000)
+    assert pack_into_shards(df, budget=2000).exceptAll(again).count() == 0
+
+
+def test_quality_quota_sample(spark):
+    from taico_data_integration_spark.llm.curation import quality_quota_sample
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", float(i % 7)) for i in range(60)],
+        ["doc_id", "source", "quality"],
+    )
+    out = quality_quota_sample(df, quota=5)
+    counts = out.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    # top-quality rows selected, rank 1 is the best (ties broken by doc_id)
+    best = {r["source"]: r for r in out.where(F.col("qrank") == 1).collect()}
+    assert all(r["quality"] == 6.0 for r in best.values())
+
+
+def test_cascade_rollup_matches_direct(spark):
+    from taico_data_integration_spark.ops.rollup import cascade_rollup
+    from taico_data_integration_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    _m, _h, day = cascade_rollup(e)
+    direct = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+    joined = day.select("event_date", "event_type", "n_events", "total_value").join(
+        direct, ["event_date", "event_type"], "full"
+    )
+    assert day.count() == direct.count()
+    mismatch = joined.where(
+        (day["n_events"] != direct["n_events"])
+        | (day["total_value"] != direct["total_value"])
+    )
+    assert mismatch.count() == 0
+
+
 def test_curation_flags_consistency(spark):
     df = spark.createDataFrame(
         [(1, "the a of and to in is it that for " * 10), (2, "zz zz zz zz zz")],
