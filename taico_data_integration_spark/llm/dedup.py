@@ -284,3 +284,62 @@ def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: i
     return pairs.withColumn("hamming", diff.cast("bigint")).where(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup clusters from a pair list: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through the pair graph. Iterative
+    min-label propagation with early termination at the fixpoint.
+
+    Scale notes: each iteration is one join + one aggregate on (vertex,
+    label) — all hash-partitioned on vertex id, no driver materialization
+    except the scalar convergence count. Near-dup graphs are
+    diameter-bounded (dup clusters are cliques or short chains from LSH
+    banding), so the loop converges in a handful of iterations; each
+    iteration is localCheckpointed to cut lineage (at cluster scale, a
+    staging write). The label-propagation fixpoint equals the exact
+    transitive closure, which the DuckDB oracle computes with a recursive
+    CTE — parity holds only at convergence, hence the assertion."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.vertex)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
+            .select(
+                "vertex",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    return labels.select(F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -572,6 +572,29 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window, 1-hour slide: every event lands in exactly two
+    overlapping windows (epoch-aligned starts at each hour)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            as_double(F.sum(dec2("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+SLIDING_SQL = """
+SELECT CAST(date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, (SELECT unnest([0, 1]) AS k) s
+GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # JSON property extraction (events.props) — beyond the reference surface.
 
@@ -684,6 +707,7 @@ QUERIES = {
     "report_quantity_by_part": report_quantity_by_part,
     "report_orders_by_year": report_orders_by_year,
     "tumbling_events": tumbling_events,
+    "sliding_events": sliding_events,
     "json_props_extract": json_props_extract,
     "comma_decimal_parse": comma_decimal_parse,
     "dual_format_dates": dual_format_dates,
@@ -712,6 +736,7 @@ ORACLE = {
     "report_quantity_by_part": QUANTITY_BY_PART_SQL,
     "report_orders_by_year": ORDERS_BY_YEAR_SQL,
     "tumbling_events": TUMBLING_SQL,
+    "sliding_events": SLIDING_SQL,
     "json_props_extract": JSON_PROPS_SQL,
     "comma_decimal_parse": COMMA_DECIMAL_SQL,
     "dual_format_dates": DUAL_FORMAT_SQL,

@@ -200,6 +200,43 @@ JOIN sets sb ON sb.doc_id = doc_b
 """
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster assignment: LSH verified pairs -> connected components ->
+# (doc, cluster, representative flag). The cluster id is the min reachable
+# doc id; Spark computes it by iterative min-label propagation (fixpoint
+# asserted), the oracle by exact transitive closure (recursive CTE).
+
+_CLUSTER_MIN_JACCARD = 0.5
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import connected_components
+
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= _CLUSTER_MIN_JACCARD
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_representative")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairsq AS (SELECT doc_a, doc_b FROM ({LSH_VERIFIED_SQL}) z WHERE jaccard >= {_CLUSTER_MIN_JACCARD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairsq
+          UNION SELECT doc_b, doc_a FROM pairsq),
+verts AS (SELECT DISTINCT u AS vertex FROM edges),
+reach(vertex, label) AS (
+  SELECT vertex, vertex FROM verts
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.vertex
+)
+SELECT vertex AS doc_id, MIN(label) AS cluster_id,
+       CAST(MIN(label) = vertex AS BOOLEAN) AS is_representative
+FROM reach GROUP BY vertex
+"""
+
+# ---------------------------------------------------------------------------
 # SimHash signatures (16-bit, md5-seeded bit hashes).
 
 
@@ -454,6 +491,7 @@ QUERIES = {
     "dedup_jaccard_capped": dedup_jaccard_capped,
     "dedup_minhash_bands": dedup_minhash_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
+    "dedup_clusters": dedup_clusters,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
@@ -475,6 +513,7 @@ ORACLE = {
     "dedup_jaccard_capped": JACCARD_CAPPED_SQL,
     "dedup_minhash_bands": MINHASH_BANDS_SQL,
     "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,

@@ -32,6 +32,35 @@ def test_stream_tumbling_matches_batch(spark):
     assert got == expected
 
 
+def test_stream_sliding_matches_batch(spark):
+    from taico_data_integration_spark.queries.core import sliding_events
+    from taico_data_integration_spark.streaming.incremental_stream import sliding_counts
+
+    stream = sliding_counts(stream_events(spark, SF_DIR))
+    run_to_memory(stream, "stream_sliding", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("stream_sliding").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in sliding_events(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_planted(spark):
+    from taico_data_integration_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3, clique 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_stateful_sessionize_matches_batch(spark):
     from taico_data_integration_spark.queries.sync import events_sessionize
     from taico_data_integration_spark.streaming.stateful import sessionize_stream
