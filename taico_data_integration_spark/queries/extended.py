@@ -370,8 +370,123 @@ WHERE v_ts IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11-style: groups whose aggregate exceeds a fraction of the global total
+# (scalar-subquery threshold); exact sums, double compare at the edge.
+
+
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose revenue exceeds 1.1x the per-supplier average
+    (scale-free threshold). The threshold compare runs in EXACT integer
+    cents (supp * n * 10 > total * 11) — a double-sum compare here would be
+    partial-agg-order-dependent and could flip boundary rows between runs."""
+    l = T(spark, sf_dir, "lineitem")
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum(cents.cast("decimal(38,0)")).alias("supp_cents")
+    )
+    total = per_supp.agg(
+        F.sum("supp_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(
+            F.col("supp_cents") * F.col("n_supp") * F.lit(10)
+            > F.col("total_cents") * F.lit(11)
+        )
+        .select(
+            "l_suppkey",
+            (F.col("supp_cents").cast("double") / F.lit(10000.0)).alias("supp_value"),
+            F.round(F.col("supp_cents").cast("double") / F.col("total_cents").cast("double"), 6).alias("value_share"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS supp_cents
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(supp_cents) AS total_cents, COUNT(*) AS n_supp FROM per_supp)
+SELECT l_suppkey,
+       CAST(supp_cents AS DOUBLE) / 10000.0 AS supp_value,
+       ROUND(CAST(supp_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS value_share
+FROM per_supp, tot
+WHERE supp_cents * n_supp * 10 > total_cents * 11
+"""
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles over customer balances (deterministic id tie-break).
+
+
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        dec2("c_acctbal", 12).cast("double").alias("acctbal"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# Fuzzy name matching by edit distance (the generalization of the
+# reference's canonical-name mapping, J5/J6): deterministically corrupted
+# supplier names matched back to the canonical list by min levenshtein.
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "supplier")
+    # drop one character at a key-dependent position (inside the digit tail)
+    pos = (F.col("s_suppkey") % 8 + 10).cast("int")
+    corrupted = s.select(
+        "s_suppkey",
+        F.concat(
+            F.substring("s_name", 1, 30).substr(F.lit(1), pos - 1),
+            F.col("s_name").substr(pos + 1, F.lit(30)),
+        ).alias("corrupt_name"),
+    )
+    canon = s.select(F.col("s_name").alias("canonical"))
+    w = Window.partitionBy("s_suppkey").orderBy("dist", "canonical")
+    return (
+        corrupted.crossJoin(F.broadcast(canon))
+        .withColumn("dist", F.levenshtein("corrupt_name", "canonical").cast("bigint"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_suppkey", "corrupt_name", F.col("canonical").alias("best_match"), "dist")
+    )
+
+
+FUZZY_SQL = """
+WITH corrupted AS (
+  SELECT s_suppkey,
+         substr(s_name, 1, CAST(s_suppkey % 8 + 10 AS INT) - 1)
+           || substr(s_name, CAST(s_suppkey % 8 + 10 AS INT) + 1, 30) AS corrupt_name
+  FROM supplier),
+scored AS (
+  SELECT c.s_suppkey, c.corrupt_name, s.s_name AS canonical,
+         CAST(levenshtein(c.corrupt_name, s.s_name) AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY c.s_suppkey
+                            ORDER BY levenshtein(c.corrupt_name, s.s_name), s.s_name) AS rn
+  FROM corrupted c CROSS JOIN supplier s)
+SELECT s_suppkey, corrupt_name, canonical AS best_match, dist
+FROM scored WHERE rn = 1
+"""
+
+
 QUERIES = {
     "rollup_revenue": rollup_revenue,
+    "q11_important_suppliers": q11_important_suppliers,
+    "ntile_balance_quartiles": ntile_balance_quartiles,
+    "fuzzy_name_match": fuzzy_name_match,
     "event_funnel": event_funnel,
     "cube_order_counts": cube_order_counts,
     "grouping_sets_sales": grouping_sets_sales,
@@ -389,6 +504,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q11_important_suppliers": Q11_SQL,
+    "ntile_balance_quartiles": NTILE_SQL,
+    "fuzzy_name_match": FUZZY_SQL,
     "customer_running_totals": RUNNING_TOTALS_SQL,
     "price_quantity_stats": PRICE_STATS_SQL,
     "event_value_zscores": ZSCORE_SQL,
