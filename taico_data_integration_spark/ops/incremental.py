@@ -159,6 +159,38 @@ class TableStore:
         self._write_meta(table, meta)
         return removed
 
+    def compact(
+        self,
+        table: str,
+        rows_per_file: int = 1_000_000,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction (Delta OPTIMIZE analog): rewrite the
+        current version into ceil(rows / rows_per_file) files as a NEW
+        version (readers of the old version are unaffected; vacuum reclaims
+        it). At 100 TB small files are the dominant metadata/scan-setup
+        cost: streaming micro-batch sinks and per-partition appends
+        accumulate thousands of KB-sized files per partition, and compaction
+        restores scan efficiency without changing any row."""
+        import glob
+        import math
+
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        files_before = len(glob.glob(os.path.join(entry["path"], "**", "*.parquet"), recursive=True))
+        df = self.read(table)
+        n_rows = df.count()
+        target = max(1, math.ceil(n_rows / rows_per_file))
+        version = self.write(table, df.repartition(target), partition_by)
+        new_entry = next(e for e in self._read_meta(table)["versions"] if e["v"] == version)
+        files_after = len(glob.glob(os.path.join(new_entry["path"], "**", "*.parquet"), recursive=True))
+        return {
+            "version": version,
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows": n_rows,
+        }
+
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)
         version. The failed version's files stay for forensics."""

@@ -180,3 +180,18 @@ def test_tablestore_promote_and_rollback(spark, tmp_path):
     ok = store.promote_with_validation("t", good.union(good), validate=lambda df: df.count() >= 5)
     assert ok
     assert store.read("t").count() == 10
+
+
+def test_tablestore_compact(spark, tmp_path):
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp")
+    store.write("frag", df.repartition(40))  # 40 small files
+    report = store.compact("frag", rows_per_file=1_000_000)
+    assert report["files_before"] >= 40
+    assert report["files_after"] == 1
+    assert report["rows"] == 10_000
+    # compaction changed layout, not content; old version still readable
+    assert store.read("frag").exceptAll(df).count() == 0
+    assert store.read("frag", version=0).count() == 10_000

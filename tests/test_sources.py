@@ -54,3 +54,14 @@ def test_sql_source_runs_reference_style_strings(spark):
     # P1-style extraction SQL, verbatim shape from sync_data.py:206-218
     df = sql_source(spark, "SELECT DISTINCT c_mktsegment AS name FROM customer WHERE c_mktsegment IS NOT NULL")
     assert df.count() == 5
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from taico_data_integration_spark.sources import read_orc, write_orc
+
+    nation = fixture_source(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
