@@ -80,6 +80,7 @@ def minhash_band_keys_fast(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for MinHash+LSH banding: the whole signature is computed
     with array higher-order functions inside a single narrow projection —
@@ -87,8 +88,10 @@ def minhash_band_keys_fast(
     ONLY shuffle in the job is whatever consumes the band keys. Semantically
     identical to minhash_signatures + lsh_band_keys (same md5 math, same
     band folding); ~10x less work than the explode/groupBy formulation.
+    Pass `shingled` (an (id, __sh) frame, e.g. materialized_shingles) to
+    reuse an already-staged shingle base instead of re-tokenizing `df`.
     """
-    base = with_shingles(df, text_col, id_col, k)
+    base = shingled if shingled is not None else with_shingles(df, text_col, id_col, k)
 
     def _min_hash(seed: int):
         # NB: the lambda must stay unary — pyspark treats a binary lambda as

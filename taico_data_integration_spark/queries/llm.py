@@ -153,7 +153,11 @@ FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
 def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     base = materialized_shingles(d, "text", "doc_id", 3)
-    bands = minhash_band_keys_fast(d, k=3, num_hashes=16, bands=4, rows_per_band=4)
+    # signatures derive from the SAME materialized shingle base the verify
+    # stage reads — one tokenization pass for the whole pipeline
+    bands = minhash_band_keys_fast(
+        d, k=3, num_hashes=16, bands=4, rows_per_band=4, shingled=base
+    )
     cands = lsh_candidate_pairs(bands)
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))

@@ -376,34 +376,28 @@ WHERE s_suppkey IN (
 
 
 def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan formulation: one groupBy collapses lineitem to
+    (order, supplier, #R-lines); the EXISTS ('another supplier on the
+    order') and NOT EXISTS ('another supplier who also returned') both
+    reduce to per-order counts over that pair table — lineitem is read
+    once, vs. three scans in the naive EXISTS translation the oracle runs."""
     l = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
-    pairs = l.select("l_orderkey", "l_suppkey").distinct()
-    multi = (
-        pairs.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
-        .where(F.col("n_supp") > 1)
-        .select("l_orderkey")
+    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r_lines")
     )
-    rpairs = (
-        l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).alias("n_r_supp"),
     )
-    sole_r = (
-        rpairs.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_r"), F.max("l_suppkey").alias("r_suppkey"))
-        .where(F.col("n_r") == 1)
-        .select("l_orderkey", "r_suppkey")
+    qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)).select(
+        "l_orderkey"
     )
-    l1 = l.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    waiting = (
-        l1.join(multi, "l_orderkey", "left_semi")
-        .join(sole_r, ["l_orderkey"])
-        .where(F.col("l_suppkey") == F.col("r_suppkey"))
-    )
+    waiting = pair.where(F.col("n_r_lines") > 0).join(qualifying, "l_orderkey")
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
