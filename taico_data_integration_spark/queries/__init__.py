@@ -20,12 +20,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import core, curation, extended, facebook, llm, retail, sync, tpch_deep, tpch_extra
+from . import (
+    core,
+    curation,
+    extended,
+    facebook,
+    llm,
+    retail,
+    sync,
+    tpch_deep,
+    tpch_extra,
+    warehouse,
+)
+
+_MODULES = (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation, warehouse)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation):
+    for mod in _MODULES:
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -35,6 +48,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out

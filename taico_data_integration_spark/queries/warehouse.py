@@ -1,0 +1,226 @@
+"""Warehouse lifecycle queries: SCD Type 2, CDC changelog collapse,
+time-series resample+ffill, unpivot.
+
+These generalize the reference's dimension/incremental surface
+(include/scripts/sync_data.py mirror sync = SCD1; dbt incremental models =
+keyed merge, SURVEY.md §2.9 M2/M5) to the history-preserving and
+changelog-driven forms a production warehouse needs. All four are
+oracle-checked against DuckDB on the shared fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.cdc import cdc_collapse
+from ..ops.scd import scd2_apply, scd2_init
+from ..ops.timeseries import resample_ffill
+from ._util import T, as_double, dec2
+
+# ---------------------------------------------------------------------------
+# SCD Type 2: customer order-activity dimension across two snapshot dates.
+# Snapshot 1 = activity before 1996-01-01; snapshot 2 = all time. Customers
+# whose numbers grew get a closed historical version + a new current one;
+# customers with all activity before the cutoff stay untouched; customers
+# whose first order is after the cutoff appear as new keys.
+
+_CUT = "1996-01-01"
+_T0 = "1995-01-01"
+_T1 = "1999-01-01"
+
+
+def _order_snapshot(o: DataFrame) -> DataFrame:
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec2("o_totalprice")).alias("total"),
+    )
+
+
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    s1 = _order_snapshot(o.where(F.col("o_orderdate") < F.to_timestamp(F.lit(_CUT))))
+    s2 = _order_snapshot(o)
+    dim = scd2_init(s1, ["c_custkey"], ["n_orders", "total"], _T0)
+    out = scd2_apply(dim, s2, ["c_custkey"], ["n_orders", "total"], _T1)
+    return out.select(
+        "c_custkey",
+        "n_orders",
+        as_double(F.col("total")).alias("total_spent"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+SCD2_SQL = f"""
+WITH s1 AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT} 00:00:00' GROUP BY o_custkey
+), s2 AS (
+  SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT s1.c_custkey AS k1, s1.n_orders AS n1, s1.total AS t1,
+         s2.c_custkey AS k2, s2.n_orders AS n2, s2.total AS t2
+  FROM s1 FULL OUTER JOIN s2 ON s1.c_custkey = s2.c_custkey
+)
+SELECT k1 AS c_custkey, n1 AS n_orders, CAST(t1 AS DOUBLE) AS total_spent,
+       DATE '{_T0}' AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+FROM j WHERE k1 IS NOT NULL AND k2 IS NOT NULL AND n1 = n2 AND t1 = t2
+UNION ALL
+SELECT k1, n1, CAST(t1 AS DOUBLE), DATE '{_T0}', DATE '{_T1}', FALSE
+FROM j WHERE k1 IS NOT NULL AND (k2 IS NULL OR n1 <> n2 OR t1 <> t2)
+UNION ALL
+SELECT k2, n2, CAST(t2 AS DOUBLE), DATE '{_T1}', CAST(NULL AS DATE), TRUE
+FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR n1 <> n2 OR t1 <> t2)
+"""
+
+# ---------------------------------------------------------------------------
+# CDC: a deterministic changelog derived from orders (insert everything,
+# update keys ≡3 mod 7 with a 5% price bump, delete keys ≡5 mod 7), then
+# latest-op-wins collapse. All decimal arithmetic exact (scale-4 product,
+# no rounding anywhere); DOUBLE only at the output edge.
+
+
+def cdc_orders_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    amt = dec2("o_totalprice")
+    ins = o.select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        amt.cast("decimal(24,4)").alias("amount"),
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(2).cast("bigint").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        (amt * F.lit("1.05").cast("decimal(3,2)")).cast("decimal(24,4)").alias("amount"),
+    )
+    dels = o.where(F.col("o_orderkey") % 7 == 5).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(3).cast("bigint").alias("seq"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("decimal(24,4)").alias("amount"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    final = cdc_collapse(log, ["o_orderkey"], seq_col="seq", op_col="op")
+    return final.select(
+        "o_orderkey",
+        F.col("op").alias("last_op"),
+        "status",
+        as_double(F.col("amount")).alias("amount"),
+    )
+
+
+CDC_SQL = """
+WITH log AS (
+  SELECT o_orderkey, 'I' AS op, CAST(1 AS BIGINT) AS seq, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(24,4)) AS amount
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)) AS DECIMAL(24,4))
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(24,4))
+  FROM orders WHERE o_orderkey % 7 = 5
+)
+SELECT o_orderkey, op AS last_op, status, CAST(amount AS DOUBLE) AS amount
+FROM log
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1 AND op <> 'D'
+"""
+
+# ---------------------------------------------------------------------------
+# Time-series resample + forward fill over the events table (daily grain,
+# max-per-day observation, per-user dense calendar). No arithmetic on the
+# carried value — the filled double is bit-identical in both engines.
+
+
+def resample_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return resample_ffill(e, "user_id", "ts", "value")
+
+
+RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, MAX(value) AS obs
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT g.user_id, g.day, d.obs IS NOT NULL AS observed,
+       last_value(d.obs IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide per-nation supplier metrics melted to (nation, metric, value)
+# rows — Spark's native `unpivot` (SURVEY.md §2.4 report shapes; the melt
+# dual of the pivot query in queries/extended.py).
+
+
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    wide = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            as_double(F.sum(dec2("s_acctbal"))).alias("sum_acctbal"),
+            F.count(F.lit(1)).cast("double").alias("n_suppliers"),
+            F.round(
+                as_double(F.sum(dec2("s_acctbal"))) / F.count(F.lit(1)), 6
+            ).alias("avg_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["sum_acctbal", "n_suppliers", "avg_acctbal"],
+        "metric",
+        "value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT n_name,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+         CAST(COUNT(*) AS DOUBLE) AS n_suppliers,
+         ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_acctbal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, 'sum_acctbal' AS metric, sum_acctbal AS value FROM wide
+UNION ALL
+SELECT n_name, 'n_suppliers', n_suppliers FROM wide
+UNION ALL
+SELECT n_name, 'avg_acctbal', avg_acctbal FROM wide
+"""
+
+
+QUERIES = {
+    "scd2_customer_orders": scd2_customer_orders,
+    "cdc_orders_final_state": cdc_orders_final_state,
+    "resample_user_values": resample_user_values,
+    "unpivot_nation_metrics": unpivot_nation_metrics,
+}
+
+ORACLE = {
+    "scd2_customer_orders": SCD2_SQL,
+    "cdc_orders_final_state": CDC_SQL,
+    "resample_user_values": RESAMPLE_SQL,
+    "unpivot_nation_metrics": UNPIVOT_SQL,
+}

@@ -1,0 +1,124 @@
+"""Planted-case tests for the warehouse lifecycle ops (SCD2 / CDC /
+time-series resample)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from taico_data_integration_spark.ops.cdc import cdc_apply, cdc_collapse
+from taico_data_integration_spark.ops.scd import scd2_apply, scd2_as_of, scd2_init
+from taico_data_integration_spark.ops.timeseries import resample_ffill
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+class TestScd2:
+    def _dim(self, spark):
+        s1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["id", "attr"]
+        )
+        return scd2_init(s1, ["id"], ["attr"], "2020-01-01")
+
+    def test_init_all_current(self, spark):
+        dim = self._dim(spark)
+        assert dim.where(F.col("is_current")).count() == 3
+        assert dim.where(F.col("valid_to").isNotNull()).count() == 0
+
+    def test_apply_change_delete_insert_keep(self, spark):
+        dim = self._dim(spark)
+        # id=1 unchanged, id=2 changed, id=3 deleted, id=4 new
+        snap = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["id", "attr"])
+        out = scd2_apply(dim, snap, ["id"], ["attr"], "2021-06-01")
+        t1 = datetime.date(2021, 6, 1)
+        got = _rows(out.select("id", "attr", "valid_to", "is_current"), "id", "valid_from")
+        assert got == [
+            (1, "a", None, True),
+            (2, "b", t1, False),
+            (2, "B", None, True),
+            (3, "c", t1, False),
+            (4, "d", None, True),
+        ]
+
+    def test_apply_is_idempotent_on_same_snapshot(self, spark):
+        dim = self._dim(spark)
+        snap = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["id", "attr"])
+        once = scd2_apply(dim, snap, ["id"], ["attr"], "2021-06-01")
+        twice = scd2_apply(once, snap, ["id"], ["attr"], "2022-01-01")
+        # current slice identical; only closed id=3 row stays closed
+        cur = _rows(twice.where("is_current").select("id", "attr"), "id")
+        assert cur == [(1, "a"), (2, "B"), (4, "d")]
+        assert twice.count() == once.count()
+
+    def test_null_safe_attr_compare(self, spark):
+        s1 = spark.createDataFrame([(1, None), (2, "x")], "id long, attr string")
+        dim = scd2_init(s1, ["id"], ["attr"], "2020-01-01")
+        snap = spark.createDataFrame([(1, None), (2, None)], "id long, attr string")
+        out = scd2_apply(dim, snap, ["id"], ["attr"], "2021-01-01")
+        # null == null is "unchanged"; x -> null is a change
+        assert out.where("id = 1").count() == 1
+        assert out.where("id = 2").count() == 2
+
+    def test_as_of_slice(self, spark):
+        dim = self._dim(spark)
+        snap = spark.createDataFrame([(1, "a"), (2, "B")], ["id", "attr"])
+        out = scd2_apply(dim, snap, ["id"], ["attr"], "2021-06-01")
+        before = _rows(scd2_as_of(out, "2020-12-31").select("id", "attr"), "id")
+        after = _rows(scd2_as_of(out, "2021-06-01").select("id", "attr"), "id")
+        assert before == [(1, "a"), (2, "b"), (3, "c")]
+        assert after == [(1, "a"), (2, "B")]
+
+
+class TestCdc:
+    def _log(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "I", 1, 10.0),
+                (1, "U", 2, 11.0),
+                (2, "I", 1, 20.0),
+                (2, "D", 2, None),
+                (3, "I", 1, 30.0),
+                (4, "D", 1, None),  # delete of a base-only key
+            ],
+            "id long, op string, seq long, val double",
+        )
+
+    def test_collapse_latest_wins_and_drops_deletes(self, spark):
+        got = _rows(cdc_collapse(self._log(spark), ["id"]).select("id", "val"), "id")
+        assert got == [(1, 11.0), (3, 30.0)]
+
+    def test_apply_onto_base(self, spark):
+        base = spark.createDataFrame(
+            [(2, 99.0), (4, 40.0), (5, 50.0)], "id long, val double"
+        )
+        got = _rows(cdc_apply(base, self._log(spark), ["id"]).select("id", "val"), "id")
+        # 1 upserted, 2 deleted (base row too), 3 inserted, 4 deleted, 5 untouched
+        assert got == [(1, 11.0), (3, 30.0), (5, 50.0)]
+
+
+class TestResampleFfill:
+    def test_gaps_filled_per_key(self, spark):
+        ts = datetime.datetime
+        df = spark.createDataFrame(
+            [
+                (1, ts(2024, 1, 1, 5), 1.0),
+                (1, ts(2024, 1, 1, 9), 3.0),   # same day: max -> 3.0
+                (1, ts(2024, 1, 4, 1), 7.0),   # gap: Jan 2-3 filled with 3.0
+                (2, ts(2024, 1, 2, 0), 5.0),   # single-day key: no gap rows
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        got = _rows(
+            resample_ffill(df, "user_id", "ts", "value"), "user_id", "day"
+        )
+        d = datetime.date
+        assert got == [
+            (1, d(2024, 1, 1), True, 3.0),
+            (1, d(2024, 1, 2), False, 3.0),
+            (1, d(2024, 1, 3), False, 3.0),
+            (1, d(2024, 1, 4), True, 7.0),
+            (2, d(2024, 1, 2), True, 5.0),
+        ]
