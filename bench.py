@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "multimodal_metadata",
     "contamination_check",
     "curation_pipeline",
+    # warehouse lifecycle + analytics
+    "scd2_customer_orders",
+    "cdc_orders_final_state",
+    "resample_user_values",
+    "cohort_retention",
+    "stratified_mixture_sample",
 ]
 
 

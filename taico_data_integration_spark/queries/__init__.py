@@ -25,6 +25,7 @@ from . import (
     curation,
     extended,
     facebook,
+    insights,
     llm,
     retail,
     sync,
@@ -33,7 +34,19 @@ from . import (
     warehouse,
 )
 
-_MODULES = (core, tpch_extra, tpch_deep, sync, retail, facebook, extended, llm, curation, warehouse)
+_MODULES = (
+    core,
+    tpch_extra,
+    tpch_deep,
+    sync,
+    retail,
+    facebook,
+    extended,
+    llm,
+    curation,
+    warehouse,
+    insights,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
