@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..ops.cdc import cdc_collapse
 from ..ops.scd import scd2_apply, scd2_init
+from ..ops.survivorship import golden_record
 from ..ops.timeseries import resample_ffill
 from ._util import T, as_double, dec2
 
@@ -211,8 +212,52 @@ SELECT n_name, 'avg_acctbal', avg_acctbal FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# Golden record: one consolidated profile row per user from the events feed
+# — latest field values (tie-safe ordering by ts, event_id) + lifetime
+# aggregates, all over a single shuffle (see ops.survivorship).
+
+
+def golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    out = golden_record(
+        e,
+        keys=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        latest_fields=["event_type", "value"],
+        lifetime_aggs={
+            "first_seen": F.min(F.date_trunc("day", F.col("ts")).cast("date")),
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(dec2("value")),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        "first_seen",
+        "n_events",
+        as_double(F.col("total_value")).alias("total_value"),
+    )
+
+
+GOLDEN_SQL = """
+SELECT user_id, event_type AS last_event_type, value AS last_value,
+       first_seen, n_events, total_value
+FROM (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         MIN(CAST(date_trunc('day', ts) AS DATE)) OVER (PARTITION BY user_id) AS first_seen,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS total_value
+  FROM events) t
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "scd2_customer_orders": scd2_customer_orders,
+    "golden_record_users": golden_record_users,
     "cdc_orders_final_state": cdc_orders_final_state,
     "resample_user_values": resample_user_values,
     "unpivot_nation_metrics": unpivot_nation_metrics,
@@ -220,6 +265,7 @@ QUERIES = {
 
 ORACLE = {
     "scd2_customer_orders": SCD2_SQL,
+    "golden_record_users": GOLDEN_SQL,
     "cdc_orders_final_state": CDC_SQL,
     "resample_user_values": RESAMPLE_SQL,
     "unpivot_nation_metrics": UNPIVOT_SQL,

@@ -99,6 +99,31 @@ class TestCdc:
         assert got == [(1, 11.0), (3, 30.0), (5, 50.0)]
 
 
+class TestGoldenRecord:
+    def test_latest_fields_and_lifetime_aggs(self, spark):
+        from taico_data_integration_spark.ops.survivorship import golden_record
+
+        ts = datetime.datetime
+        df = spark.createDataFrame(
+            [
+                (1, 10, ts(2024, 1, 1), "a", 2.0),
+                (1, 11, ts(2024, 1, 3), "b", 4.0),
+                (1, 12, ts(2024, 1, 3), "c", 6.0),  # ts tie -> id 12 wins
+                (2, 20, ts(2024, 1, 2), "z", 1.0),
+            ],
+            "k long, id long, ts timestamp, f string, v double",
+        )
+        out = golden_record(
+            df,
+            keys=["k"],
+            order_by=[F.col("ts").desc(), F.col("id").desc()],
+            latest_fields=["f"],
+            lifetime_aggs={"n": F.count(F.lit(1)), "total": F.sum("v")},
+        )
+        got = _rows(out.select("k", "f", "n", "total"), "k")
+        assert got == [(1, "c", 3, 12.0), (2, "z", 1, 1.0)]
+
+
 class TestResampleFfill:
     def test_gaps_filled_per_key(self, spark):
         ts = datetime.datetime
