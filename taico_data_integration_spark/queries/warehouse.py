@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ops.cdc import cdc_collapse
-from ..ops.scd import scd2_apply, scd2_init
 from ..ops.survivorship import golden_record
 from ..ops.timeseries import resample_ffill
 from ._util import T, as_double, dec2
@@ -31,27 +30,39 @@ _T0 = "1995-01-01"
 _T1 = "1999-01-01"
 
 
-def _order_snapshot(o: DataFrame) -> DataFrame:
-    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec2("o_totalprice")).alias("total"),
-    )
-
-
 def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-shuffle formulation: both snapshots derive from the SAME
+    fact table, so one conditional groupBy computes (before-cutoff, all-time)
+    pairs per key and the SCD2 full-outer join disappears — the three output
+    branches are filters over one reused exchange (1 shuffle vs 6 for the
+    generic two-frame path). Use `ops.scd.scd2_apply` (unit-tested in
+    tests/test_warehouse.py) when the snapshots come from different systems;
+    use this shape when both are cuts of one fact at different watermarks."""
     o = T(spark, sf_dir, "orders")
-    s1 = _order_snapshot(o.where(F.col("o_orderdate") < F.to_timestamp(F.lit(_CUT))))
-    s2 = _order_snapshot(o)
-    dim = scd2_init(s1, ["c_custkey"], ["n_orders", "total"], _T0)
-    out = scd2_apply(dim, s2, ["c_custkey"], ["n_orders", "total"], _T1)
-    return out.select(
-        "c_custkey",
-        "n_orders",
-        as_double(F.col("total")).alias("total_spent"),
-        "valid_from",
-        "valid_to",
-        "is_current",
+    before = F.col("o_orderdate") < F.to_timestamp(F.lit(_CUT))
+    both = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.when(before, F.lit(1))).alias("n1"),
+        F.sum(F.when(before, dec2("o_totalprice"))).alias("t1"),
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(dec2("o_totalprice")).alias("t2"),
     )
+    in1 = F.col("n1") > 0
+    changed = (F.col("n1") != F.col("n2")) | (F.col("t1") != F.col("t2"))
+
+    def row(n, t, vf: str, vt: str | None, cur: bool):
+        return [
+            F.col("c_custkey"),
+            F.col(n).alias("n_orders"),
+            as_double(F.col(t)).alias("total_spent"),
+            F.lit(vf).cast("date").alias("valid_from"),
+            (F.lit(vt).cast("date") if vt else F.lit(None).cast("date")).alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        ]
+
+    kept = both.where(in1 & ~changed).select(*row("n1", "t1", _T0, None, True))
+    closed = both.where(in1 & changed).select(*row("n1", "t1", _T0, _T1, False))
+    opened = both.where(~in1 | changed).select(*row("n2", "t2", _T1, None, True))
+    return kept.unionByName(closed).unionByName(opened)
 
 
 SCD2_SQL = f"""
