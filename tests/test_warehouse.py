@@ -99,6 +99,42 @@ class TestCdc:
         assert got == [(1, 11.0), (3, 30.0), (5, 50.0)]
 
 
+class TestScd2Invariants:
+    """Structural invariants any SCD2 dimension must satisfy, checked on the
+    real fixture query (sf0.001)."""
+
+    def test_fixture_dim_invariants(self, spark):
+        from taico_data_integration_spark.queries.warehouse import scd2_customer_orders
+
+        dim = scd2_customer_orders(spark, "/root/testdata/sf0.001").cache()
+        try:
+            per_key = dim.groupBy("c_custkey").agg(
+                F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            # exactly one current version per key
+            assert per_key.where("n_cur <> 1").count() == 0
+            # closed rows have valid_to after valid_from; current rows have none
+            assert dim.where("is_current AND valid_to IS NOT NULL").count() == 0
+            assert dim.where("NOT is_current AND valid_to <= valid_from").count() == 0
+        finally:
+            dim.unpersist()
+
+
+class TestCdcInvariants:
+    def test_collapse_is_idempotent(self, spark):
+        """Re-collapsing a collapsed changelog (as seq=1 inserts) is a no-op."""
+        log = spark.createDataFrame(
+            [(1, "I", 1, 10.0), (1, "U", 2, 11.0), (2, "I", 1, 20.0), (2, "D", 2, None)],
+            "id long, op string, seq long, val double",
+        )
+        once = cdc_collapse(log, ["id"])
+        again = cdc_collapse(once, ["id"])
+        assert sorted(tuple(r) for r in once.collect()) == sorted(
+            tuple(r) for r in again.collect()
+        )
+
+
 class TestGoldenRecord:
     def test_latest_fields_and_lifetime_aggs(self, spark):
         from taico_data_integration_spark.ops.survivorship import golden_record
