@@ -195,8 +195,33 @@ WHERE b < CASE source WHEN 'src0' THEN 10.0 WHEN 'src1' THEN 50.0
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles (median / p90 of order value per priority).
+# F.percentile is a full-sort-per-group aggregate — fine on bounded group
+# counts; at 100 TB prefer approx_percentile (t-digest, mergeable partial
+# states) and accept the documented error bound.
+
+
+def percentile_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
+    "percentile_price_by_priority": percentile_price_by_priority,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "histogram_order_values": histogram_order_values,
     "profile_orders_columns": profile_orders_columns,
@@ -205,6 +230,7 @@ QUERIES = {
 
 ORACLE = {
     "cohort_retention": COHORT_SQL,
+    "percentile_price_by_priority": PERCENTILE_SQL,
     "moving_avg_daily_revenue": MOVING_AVG_SQL,
     "histogram_order_values": HISTOGRAM_SQL,
     "profile_orders_columns": PROFILE_SQL,
