@@ -195,3 +195,38 @@ def test_tablestore_compact(spark, tmp_path):
     # compaction changed layout, not content; old version still readable
     assert store.read("frag").exceptAll(df).count() == 0
     assert store.read("frag", version=0).count() == 10_000
+
+
+def test_tablestore_optimize_layout_disjoint_ranges(spark, tmp_path):
+    """After optimize_layout, parquet footers must show pairwise-disjoint
+    [min, max] ranges on the cluster key — the property file-skipping
+    readers rely on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    # write deliberately interleaved values so every file spans ~full range
+    df = spark.range(0, 20_000).selectExpr("id % 1000 AS key", "id AS payload")
+    store.write("t", df.repartition(8))
+    v = store.optimize_layout("t", ["key"], num_files=4)
+
+    path = [e for e in store._read_meta("t")["versions"] if e["v"] == v][0]["path"]
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # key is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # content unchanged
+    assert store.read("t").exceptAll(df).count() == 0
