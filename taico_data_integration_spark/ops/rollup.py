@@ -44,3 +44,22 @@ def cascade_rollup(
         )
     )
     return minute, hour, day
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for additive rollups: fold a new
+    micro-batch's partial aggregate into the stored rollup without touching
+    historical input. Works because every metric is a SUM/COUNT over exact
+    types (DECIMAL/LONG) — commutative and associative, so
+    rollup(all) == merge_rollup(rollup(old), rollup(new)) exactly
+    (asserted in tests/test_ops.py). At 100 TB this is the difference
+    between re-aggregating the full history per batch and shuffling only
+    the delta's key space (union's map side sees |delta| + |existing|
+    rollup rows, never raw history)."""
+    u = existing.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
+    return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])

@@ -173,3 +173,45 @@ def test_stream_merge_into_store(spark, tmp_path):
     # idempotent on replay: merging the same data again changes nothing
     stream_merge_into(events, store, "events_merged", ["event_id"], str(tmp_path / "ckpt2"))
     assert store.read("events_merged").count() == batch_count
+
+
+def test_stream_cdc_apply_matches_batch_collapse(spark, tmp_path):
+    """Feeding the changelog in arrival-ordered micro-batches must land the
+    same final table as one batch cdc_collapse over the whole log."""
+    from taico_data_integration_spark.ops.cdc import cdc_collapse
+    from taico_data_integration_spark.streaming.cdc_stream import stream_cdc_apply
+
+    log_rows = [
+        # batch file 1: inserts
+        (1, 1, "I", 1, 10.0),
+        (1, 2, "I", 1, 20.0),
+        (1, 3, "I", 1, 30.0),
+        # batch file 2: update 1, delete 2, churn 4 within one batch
+        (2, 1, "U", 2, 11.0),
+        (2, 2, "D", 2, None),
+        (2, 4, "I", 2, 40.0),
+        (2, 4, "U", 3, 41.0),
+        # batch file 3: re-insert 2, delete 3
+        (3, 2, "I", 4, 22.0),
+        (3, 3, "D", 4, None),
+    ]
+    log = spark.createDataFrame(
+        log_rows, "b int, id long, op string, seq long, val double"
+    )
+    log.write.mode("overwrite").partitionBy("b").parquet(str(tmp_path / "log"))
+    batched = spark.read.parquet(str(tmp_path / "log"))
+    stream = (
+        spark.readStream.schema(batched.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "log"))
+        .drop("b")
+    )
+    store = TableStore(spark, str(tmp_path / "store"))
+    stream_cdc_apply(stream, store, "t", ["id"], str(tmp_path / "ckpt"))
+
+    got = sorted(tuple(r) for r in store.read("t").select("id", "val").collect())
+    want = sorted(
+        tuple(r)
+        for r in cdc_collapse(log.drop("b"), ["id"]).select("id", "val").collect()
+    )
+    assert got == want == [(1, 11.0), (2, 22.0), (4, 41.0)]
