@@ -28,6 +28,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_key(cols: dict[str, tuple[Column, float, float]], bits: int = 8) -> Column:
+    """Bit-interleaved Z-curve value from quantized columns.
+
+    `cols` maps name -> (column, min, max); each column is scaled to an
+    integer code in [0, 2^bits) over its bounds (clamped), then codes are
+    interleaved LSB-first: z = ... c1b1 c0b1 c1b0 c0b0. Pure Column
+    arithmetic — whole-stage-codegen friendly, no UDF."""
+    n = len(cols)
+    codes = []
+    top = (1 << bits) - 1
+    for col, lo, hi in cols.values():
+        span = (hi - lo) or 1.0
+        scaled = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1))
+        codes.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)).cast("bigint"))
+    z: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            bit = F.shiftright(code, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
 def watermark(df: DataFrame, ts_col: str) -> Column:
     """A4: scalar max used as the incremental high-water mark."""
     return df.agg(F.max(ts_col).alias("wm"))
@@ -208,6 +230,34 @@ class TableStore:
         df = self.read(table)
         clustered = df.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(
             *cluster_by
+        )
+        return self.write(table, clustered)
+
+    def optimize_layout_zorder(
+        self,
+        table: str,
+        cols_with_bounds: dict[str, tuple[float, float]],
+        bits: int = 8,
+        num_files: int = 8,
+    ) -> int:
+        """Multi-dimensional clustering (Delta OPTIMIZE ZORDER analog, true
+        bit-interleaved form): each clustering column is quantized to
+        `bits` levels over its [min, max] bounds, the per-column codes are
+        bit-interleaved into a single Z-value, and files are range-split on
+        that Z-curve. Every file then has a TIGHT bounding box in EVERY
+        clustered dimension (verified from parquet footers in test_ops) —
+        1-D sorting tightens only the leading column. Bounds are passed in
+        (at 100 TB they come from table stats, not an extra scan)."""
+        df = self.read(table)
+        z = zorder_key(
+            {c: (F.col(c), lo, hi) for c, (lo, hi) in cols_with_bounds.items()},
+            bits=bits,
+        )
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(num_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
         )
         return self.write(table, clustered)
 

@@ -230,3 +230,51 @@ def test_tablestore_optimize_layout_disjoint_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # content unchanged
     assert store.read("t").exceptAll(df).count() == 0
+
+
+def _file_ranges(path, col_idx):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def test_tablestore_zorder_tightens_both_dims(spark, tmp_path):
+    """True Z-order: every file's bounding box must be tight in BOTH
+    clustered dims; a 1-D sort leaves the second dim spanning ~the full
+    range in every file."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    # 256x256 grid, shuffled layout
+    df = spark.range(0, 65536).selectExpr(
+        "CAST(id % 256 AS DOUBLE) AS x", "CAST(id DIV 256 AS DOUBLE) AS y", "id AS payload"
+    )
+    store.write("t", df.repartition(8))
+    v = store.optimize_layout_zorder(
+        "t", {"x": (0.0, 256.0), "y": (0.0, 256.0)}, bits=8, num_files=16
+    )
+    path = [e for e in store._read_meta("t")["versions"] if e["v"] == v][0]["path"]
+    # columns in written schema: x=0, y=1
+    spans_x = sorted(hi - lo for lo, hi in _file_ranges(path, 0))
+    spans_y = sorted(hi - lo for lo, hi in _file_ranges(path, 1))
+    assert len(spans_x) >= 8
+    # Z-curve cells, not stripes: the typical file covers a fraction of BOTH
+    # dims (a 1-D sort leaves every file spanning ~255 in the other dim).
+    # Files straddling a high-order curve boundary are legitimately wide, so
+    # assert on the median and the straddler count, not the max.
+    n = len(spans_x)
+    assert spans_x[n // 2] <= 96 and spans_y[n // 2] <= 96
+    assert sum(s > 128 for s in spans_x) <= 2 and sum(s > 128 for s in spans_y) <= 2
+    assert store.read("t").exceptAll(df).count() == 0
