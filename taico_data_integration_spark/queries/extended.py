@@ -482,7 +482,41 @@ FROM scored WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Band join: supplier pairs in the same nation within an account-balance
+# tolerance — executed as a bucketed EQUI-join (ops.joins.band_join), never
+# a nested-loop theta join; the oracle runs the naive theta form.
+
+
+def band_join_balance_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.joins import band_join
+
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    pairs = band_join(s, s, "s_acctbal", eps=500.0, extra_keys=["s_nationkey"])
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    return pairs.where(F.col("s_suppkey_l") < F.col("s_suppkey_r")).select(
+        "s_nationkey",
+        "s_suppkey_l",
+        "s_suppkey_r",
+        # exact integer-cents difference: no double rounding at the edge
+        F.abs(cents("s_acctbal_l") - cents("s_acctbal_r")).alias("bal_diff_cents"),
+    )
+
+
+BAND_JOIN_SQL = """
+SELECT a.s_nationkey AS s_nationkey, a.s_suppkey AS s_suppkey_l,
+       b.s_suppkey AS s_suppkey_r,
+       ABS(CAST(round(a.s_acctbal * 100) AS BIGINT)
+         - CAST(round(b.s_acctbal * 100) AS BIGINT)) AS bal_diff_cents
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey
+ AND a.s_suppkey < b.s_suppkey
+ AND ABS(a.s_acctbal - b.s_acctbal) <= 500.0
+"""
+
+
 QUERIES = {
+    "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
     "ntile_balance_quartiles": ntile_balance_quartiles,
@@ -504,6 +538,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
     "fuzzy_name_match": FUZZY_SQL,

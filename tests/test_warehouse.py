@@ -160,6 +160,31 @@ class TestGoldenRecord:
         assert got == [(1, "c", 3, 12.0), (2, "z", 1, 1.0)]
 
 
+class TestBandJoin:
+    def test_matches_naive_theta_join(self, spark):
+        from taico_data_integration_spark.ops.joins import band_join
+
+        left = spark.createDataFrame(
+            [(1, "g1", 0.0), (2, "g1", 9.9), (3, "g1", 10.1), (4, "g2", 10.0), (5, "g1", -10.0)],
+            "id long, g string, v double",
+        )
+        got = band_join(left, left, "v", eps=10.0, extra_keys=["g"])
+        got_pairs = sorted(
+            (r.id_l, r.id_r) for r in got.where("id_l < id_r").collect()
+        )
+        naive = sorted(
+            (a, c)
+            for a, ga, va in left.collect()
+            for c, gc, vc in left.collect()
+            if a < c and ga == gc and abs(va - vc) <= 10.0
+        )
+        assert got_pairs == naive
+        # cross-group / out-of-band pairs excluded: (1,4) diff groups,
+        # (3,5) out of band; boundary pair (1,4) would be in-band if same group
+        assert (1, 4) not in got_pairs and (3, 5) not in got_pairs
+        assert (1, 2) in got_pairs and (2, 3) in got_pairs
+
+
 class TestResampleFfill:
     def test_gaps_filled_per_key(self, spark):
         ts = datetime.datetime
