@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_bands",
     "dedup_lsh_verified_pairs",
+    "dedup_canonical_keepers",
     "dedup_simhash",
     "embedding_neardup",
     "ann_topk",

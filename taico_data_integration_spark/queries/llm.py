@@ -240,6 +240,53 @@ SELECT vertex AS doc_id, MIN(label) AS cluster_id,
 FROM reach GROUP BY vertex
 """
 
+
+def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: LSH candidates -> Jaccard verify ->
+    connected components -> survivorship pick. Every document gets a
+    cluster (singletons are their own); within a cluster the longest doc
+    wins (ties to the smallest id) — the keeper set is what a curation
+    pipeline would actually retain. Scale shape: the cluster map is tiny
+    relative to the corpus (only near-dup members), so the corpus-side
+    left join broadcasts it; the keeper pick is one window per cluster."""
+    from pyspark.sql import Window
+
+    from ..llm.dedup import connected_components
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= _CLUSTER_MIN_JACCARD
+    )
+    cc = connected_components(pairs)
+    merged = d.join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return merged.withColumn("keep", F.row_number().over(w) == 1)
+
+
+DEDUP_KEEPERS_SQL = f"""
+WITH RECURSIVE
+pairsq AS (SELECT doc_a, doc_b FROM ({LSH_VERIFIED_SQL}) z WHERE jaccard >= {_CLUSTER_MIN_JACCARD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairsq
+          UNION SELECT doc_b, doc_a FROM pairsq),
+verts AS (SELECT DISTINCT u AS vertex FROM edges),
+reach(vertex, label) AS (
+  SELECT vertex, vertex FROM verts
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.vertex
+),
+clusters AS (SELECT vertex AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY vertex)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+                           ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # SimHash signatures (16-bit, md5-seeded bit hashes).
 
@@ -496,6 +543,7 @@ QUERIES = {
     "dedup_minhash_bands": dedup_minhash_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_canonical_keepers": dedup_canonical_keepers,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
@@ -518,6 +566,7 @@ ORACLE = {
     "dedup_minhash_bands": MINHASH_BANDS_SQL,
     "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_canonical_keepers": DEDUP_KEEPERS_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "ann_topk": ANN_TOPK_SQL,
