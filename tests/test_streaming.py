@@ -198,13 +198,21 @@ def test_stream_cdc_apply_matches_batch_collapse(spark, tmp_path):
     log = spark.createDataFrame(
         log_rows, "b int, id long, op string, seq long, val double"
     )
-    log.write.mode("overwrite").partitionBy("b").parquet(str(tmp_path / "log"))
+    # The file source orders micro-batches by file modification time
+    # (latestFirst=false): write each batch as its own append with a
+    # timestamp gap so arrival order is deterministic, not listing-order.
+    import time as _time
+
+    for b in (1, 2, 3):
+        log.where(F.col("b") == b).drop("b").coalesce(1).write.mode("append").parquet(
+            str(tmp_path / "log")
+        )
+        _time.sleep(1.1)
     batched = spark.read.parquet(str(tmp_path / "log"))
     stream = (
         spark.readStream.schema(batched.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path / "log"))
-        .drop("b")
     )
     store = TableStore(spark, str(tmp_path / "store"))
     stream_cdc_apply(stream, store, "t", ["id"], str(tmp_path / "ckpt"))
