@@ -86,7 +86,7 @@ def main() -> None:
             f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
             f"**{total_s / max(total_d, 1e-9):.1f}x** |\n"
         )
-    print(f"total: spark={total_s:.1f}s duckdb={total_d:.1f}s -> BENCH_VS_DUCKBD.md")
+    print(f"total: spark={total_s:.1f}s duckdb={total_d:.1f}s -> BENCH_VS_DUCKDB.md")
 
 
 if __name__ == "__main__":
