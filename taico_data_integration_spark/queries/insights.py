@@ -219,9 +219,74 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics per user: lag window over exact microsecond
+# epochs (never float seconds), aggregates per user. One shuffle by user;
+# the lag and the aggregation share the partitioning.
+
+
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(as_double(F.sum("gap_us")) / F.count(F.lit(1)), 6).alias("avg_gap_us"),
+    )
+
+
+INTER_EVENT_SQL = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 6) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Top-N per group as an ORDERED list: each customer's top-3 order keys by
+# spend. collect_list of (spend, key) structs -> sort desc -> slice -> join
+# to a stable string (array renderings differ across engines; the joined
+# string hashes identically). Single shuffle; the per-group sort is bounded
+# by group size (use a pre-rank window filter first when groups are huge).
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    entry = F.struct(cents.alias("c"), F.col("o_orderkey").alias("k"))
+    top3 = F.slice(F.reverse(F.array_sort(F.collect_list(entry))), 1, 3)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.transform(top3, lambda s: s.getField("k").cast("string")), ",").alias(
+            "top_orderkeys"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey,
+       list_aggr(list_transform(
+           (list_sort(list((CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)), 'DESC'))[1:3],
+           p -> CAST(p[2] AS VARCHAR)), 'string_agg', ',') AS top_orderkeys,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "percentile_price_by_priority": percentile_price_by_priority,
+    "inter_event_gaps": inter_event_gaps,
+    "top_orders_per_customer": top_orders_per_customer,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "histogram_order_values": histogram_order_values,
     "profile_orders_columns": profile_orders_columns,
@@ -231,6 +296,8 @@ QUERIES = {
 ORACLE = {
     "cohort_retention": COHORT_SQL,
     "percentile_price_by_priority": PERCENTILE_SQL,
+    "inter_event_gaps": INTER_EVENT_SQL,
+    "top_orders_per_customer": TOP_ORDERS_SQL,
     "moving_avg_daily_revenue": MOVING_AVG_SQL,
     "histogram_order_values": HISTOGRAM_SQL,
     "profile_orders_columns": PROFILE_SQL,
