@@ -79,3 +79,68 @@ def test_normalize_name_matches_python(sc, values):
     got = [r.v for r in df.select(normalize_name("s").alias("v")).collect()]
     expected = [re.sub("[^a-zA-Z0-9]", "", v).lower() for v in values]
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),                       # id pool, collisions likely
+            st.sampled_from(["g1", "g2"]),
+            st.floats(-50, 50, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([1.0, 5.0, 12.5]),
+)
+def test_band_join_matches_naive(sc, rows, eps):
+    """band_join (bucketed equi-join) == naive all-pairs filter, any input."""
+    from taico_data_integration_spark.ops.joins import band_join
+
+    uniq = {(i, g): v for i, g, v in rows}
+    data = [(i, g, float(v)) for (i, g), v in uniq.items()]
+    df = sc.createDataFrame(data, "id long, g string, v double")
+    got = sorted(
+        (r.id_l, r.g, r.id_r)
+        for r in band_join(df, df, "v", eps=eps, extra_keys=["g"])
+        .where("id_l < id_r")
+        .collect()
+    )
+    want = sorted(
+        (a_id, a_g, b_id)
+        for (a_id, a_g, a_v) in data
+        for (b_id, b_g, b_v) in data
+        if a_id < b_id and a_g == b_g and abs(a_v - b_v) <= eps
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 8),                 # key
+            st.sampled_from(["I", "U", "D"]),  # op
+            st.floats(0, 100, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cdc_collapse_matches_python(sc, ops):
+    """cdc_collapse == a sequential dict replay of the changelog by seq."""
+    from taico_data_integration_spark.ops.cdc import cdc_collapse
+
+    rows = [(k, op, seq, float(v)) for seq, (k, op, v) in enumerate(ops)]
+    df = sc.createDataFrame(rows, "id long, op string, seq long, val double")
+    got = sorted(
+        (r.id, r.val) for r in cdc_collapse(df, ["id"]).select("id", "val").collect()
+    )
+    state: dict[int, float] = {}
+    for k, op, _seq, v in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items())
