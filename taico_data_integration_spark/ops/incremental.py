@@ -275,6 +275,26 @@ class TableStore:
         self._write_meta(table, meta)
         return to_version
 
+    def history(self, table: str) -> list[dict]:
+        """DESCRIBE HISTORY analog: every version with path/timestamp,
+        newest first, current flagged."""
+        meta = self._read_meta(table)
+        return [
+            {**e, "is_current": e["v"] == meta["current"]}
+            for e in reversed(meta["versions"])
+        ]
+
+    def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
+        """Row-level version diff (audit / CDF-lite): rows added by v_new
+        and rows removed since v_old, tagged with a `__change` column.
+        Multiset semantics (exceptAll) so duplicate-count changes show up.
+        At 100 TB both sides hash-shuffle once; prefer key-based cdc logs
+        when a key exists — this is the keyless fallback."""
+        old, new = self.read(table, v_old), self.read(table, v_new)
+        added = new.exceptAll(old).withColumn("__change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
+        return added.unionByName(removed)
+
     def promote_with_validation(self, table: str, staged: DataFrame, validate) -> bool:
         """M6 protocol: backup(implicit: old version stays) -> write new ->
         validate -> rollback on failure. `validate` takes the new DataFrame

@@ -232,6 +232,34 @@ def test_tablestore_optimize_layout_disjoint_ranges(spark, tmp_path):
     assert store.read("t").exceptAll(df).count() == 0
 
 
+def test_tablestore_history_and_diff(spark, tmp_path):
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    v0 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "id long, s string")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+    store.write("t", v0)
+    store.write("t", v1)
+    hist = store.history("t")
+    assert [h["v"] for h in hist] == [1, 0]
+    assert hist[0]["is_current"] and not hist[1]["is_current"]
+    d = {(r["id"], r["s"], r["__change"]) for r in store.diff("t", 0, 1).collect()}
+    # multiset diff: one duplicate (2,b) removed, (3,c) added
+    assert d == {(3, "c", "added"), (2, "b", "removed")}
+
+
+def test_tablestore_schema_evolution_across_versions(spark, tmp_path):
+    """A new version may add columns; old versions stay readable with their
+    own schema (the versioned-dir layout gives free schema evolution)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([(1,)], "id long"))
+    store.write("t", spark.createDataFrame([(1, "x")], "id long, extra string"))
+    assert store.read("t").columns == ["id", "extra"]
+    assert store.read("t", version=0).columns == ["id"]
+
+
 def _file_ranges(path, col_idx):
     import glob
 
