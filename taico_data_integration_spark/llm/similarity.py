@@ -187,13 +187,25 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their nearest-centroid list;
     each query probes its `nprobe` nearest lists and scores only those
     vectors — a list-id equi-join replaces the query x corpus cross join.
     Recall < 1.0 by construction (approximate), tunable via nprobe/n_lists.
+    With `refine_iterations` > 0 the coarse quantizer is refined by Lloyd
+    iterations (llm.clustering.kmeans) — balanced lists = better recall per
+    probe; the distributed assignment shape is unchanged.
     """
-    centroids = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
+    if refine_iterations > 0:
+        from .clustering import kmeans
+
+        _, cents = kmeans(
+            corpus, n_lists, iterations=refine_iterations, id_col=id_col, vec_col=vec_col
+        )
+        centroids = list(enumerate(cents))
+    else:
+        centroids = ivf_centroids_from_sample(corpus, n_lists, id_col, vec_col)
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
     q_assign = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
     c = with_norm(corpus, vec_col).select(

@@ -206,3 +206,22 @@ def test_fake_feature_extract_contract(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(None)
+
+
+def test_cosine_topk_ivf_kmeans_refined_finds_planted_duplicate(spark):
+    """IVF with a Lloyd-refined quantizer must still surface the planted
+    near-duplicate as the top neighbor (same contract as the unrefined
+    sampler, better-balanced lists)."""
+    import random as pyrandom
+
+    from taico_data_integration_spark.llm.similarity import cosine_topk_ivf
+
+    rng = pyrandom.Random(11)
+    rows = [Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append(Row(vec_id=100, embedding=list(rows[3].embedding)))
+    e = spark.createDataFrame(rows)
+    res = cosine_topk_ivf(
+        e, e.where(F.col("vec_id") == 3), k=3, n_lists=4, nprobe=2, refine_iterations=2
+    )
+    top = sorted(res.collect(), key=lambda r: r.rank)
+    assert top[0].neighbor_id == 100 and abs(top[0].cosine - 1.0) < 1e-6
