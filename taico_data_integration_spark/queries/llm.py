@@ -348,10 +348,41 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate — rows-only check; the exact
-    brute-force twin above is the oracle-checked baseline)."""
+    """IVF-bucketed ANN. Approximate vs brute force, but fully DETERMINISTIC
+    (sampled quantizer = first 8 vectors by id, sequential-fold cosine), so
+    the DuckDB oracle reproduces the whole index + probe pipeline exactly —
+    this is oracle-checked, not rows-only."""
     e = T(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(e, e.where(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=2)
+
+
+ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+),
+cn AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cents),
+scores AS (SELECT e.vec_id, cn.cid, list_dot_product(e.v, cn.cvn) AS s FROM e CROSS JOIN cn),
+c_assign AS (SELECT vec_id, cid AS list_id FROM scores
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 1),
+q_assign AS (SELECT vec_id, cid AS list_id FROM scores WHERE vec_id < 10
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 2),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qn.v, cn2.v) / (qn.nrm * cn2.nrm) AS cosine_raw
+  FROM q_assign q
+  JOIN c_assign c ON q.list_id = c.list_id AND c.vec_id <> q.vec_id
+  JOIN n qn ON qn.vec_id = q.vec_id
+  JOIN n cn2 ON cn2.vec_id = c.vec_id
+),
+d AS (SELECT DISTINCT query_id, neighbor_id, cosine_raw FROM cand)
+SELECT query_id, neighbor_id, ROUND(cosine_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= 5
+"""
 
 
 ANN_TOPK_SQL = """
@@ -578,4 +609,5 @@ ORACLE = {
     "text_quality": QUALITY_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
+    "ann_topk_ivf": ANN_IVF_SQL,
 }
