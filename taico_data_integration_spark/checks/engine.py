@@ -74,10 +74,12 @@ def compile_metrics(df: DataFrame, checks: list[Check]) -> tuple[list[Column], l
             aggs.append(_count_if(F.col(p["column"]).isNull()).alias(alias))
         elif ch.kind == "unique":
             cols = p["columns"]
-            # '|' separator prevents cross-column concat ambiguity
-            # ('1','23' vs '12','3'); oracle SQL mirrors this exactly.
-            key = F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in cols])
-            aggs.append((F.count(key) - F.countDistinct(key)).alias(alias))
+            # Null-safe struct key: no string concat, so no separator
+            # collisions ('1|2' vs columns '1','2') and no NULL-vs-sentinel
+            # collisions. DISTINCT over struct treats NULL fields null-safely
+            # in both Spark and DuckDB (verified: COUNT(DISTINCT (a,b))).
+            key = F.struct(*[F.col(c) for c in cols])
+            aggs.append((F.count(F.lit(1)) - F.countDistinct(key)).alias(alias))
         elif ch.kind == "min_rows":
             aggs.append(F.count(F.lit(1)).alias(alias))
         elif ch.kind == "accepted_values":

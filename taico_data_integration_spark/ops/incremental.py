@@ -58,11 +58,16 @@ def watermark(df: DataFrame, ts_col: str) -> Column:
 def incremental_new_rows(source: DataFrame, target: DataFrame, ts_col: str) -> DataFrame:
     """Rows of source newer than target's watermark. Expressed as a
     cross-join against the 1-row watermark aggregate so it stays one Spark
-    job and the filter can be pushed below wide operators."""
+    job and the filter can be pushed below wide operators.
+
+    Empty-target semantics: max(ts) over an empty target is NULL, and dbt
+    only applies the incremental filter when the target exists
+    (`is_incremental()`), so a NULL watermark passes EVERY source row
+    through — a first/initial load must not silently drop the source."""
     wm = target.agg(F.max(ts_col).alias("__wm"))
     return (
         source.crossJoin(F.broadcast(wm))
-        .where(F.col(ts_col) > F.col("__wm"))
+        .where(F.col("__wm").isNull() | (F.col(ts_col) > F.col("__wm")))
         .drop("__wm")
     )
 

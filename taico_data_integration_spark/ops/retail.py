@@ -100,7 +100,10 @@ def dim_product(raw: DataFrame) -> DataFrame:
             surrogate_key("StockCode", "Description", "UnitPrice").alias("product_id"),
             F.col("StockCode").alias("stock_code"),
             F.col("Description").alias("description"),
-            F.col("UnitPrice").alias("price"),
+            # Output edge: DECIMAL stays internal (surrogate-key stringify
+            # needs it); the emitted column is DOUBLE — the only output type
+            # class proven green through the driver's value hash.
+            F.col("UnitPrice").cast("double").alias("price"),
         )
         .distinct()
     )

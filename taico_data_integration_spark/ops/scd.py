@@ -65,22 +65,29 @@ def scd2_apply(
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
 
+    # Explicit presence markers rather than null-checks on the first key
+    # column: a row whose natural key is NULL joins nothing (SQL equality),
+    # and a key-based null-check would route it to neither branch, silently
+    # dropping it. With markers it lands in closed (NULL-keyed current row)
+    # or opened (NULL-keyed snapshot row) like any other unmatched key.
     c = cur.select(
         *[F.col(k).alias(f"ck_{k}") for k in keys],
         *[F.col(a).alias(f"ca_{a}") for a in attrs],
         "valid_from",
+        F.lit(True).alias("__in_cur"),
     )
     s = snapshot.select(
         *[F.col(k).alias(f"sk_{k}") for k in keys],
         *[F.col(a).alias(f"sa_{a}") for a in attrs],
+        F.lit(True).alias("__in_snap"),
     )
     cond = reduce(
         lambda a, b: a & b, [c[f"ck_{k}"] == s[f"sk_{k}"] for k in keys]
     )
     j = c.join(s, cond, "full_outer")
 
-    in_cur = F.col(f"ck_{keys[0]}").isNotNull()
-    in_snap = F.col(f"sk_{keys[0]}").isNotNull()
+    in_cur = F.coalesce(F.col("__in_cur"), F.lit(False))
+    in_snap = F.coalesce(F.col("__in_snap"), F.lit(False))
     changed = _changed("ca_", "sa_", attrs)
 
     kept = j.where(in_cur & in_snap & ~changed).select(

@@ -366,9 +366,8 @@ UNION ALL
 SELECT 'lineitem_shipdate_not_null', 'not_null',
        CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
 UNION ALL
-SELECT 'lineitem_pk_unique', 'unique', CAST(COUNT(k) - COUNT(DISTINCT k) AS BIGINT)
-FROM (SELECT concat_ws('|', coalesce(CAST(l_orderkey AS VARCHAR), ' '),
-                            coalesce(CAST(l_linenumber AS VARCHAR), ' ')) AS k FROM lineitem) t
+SELECT 'lineitem_pk_unique', 'unique',
+       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
 UNION ALL
 SELECT 'lineitem_min_rows', 'min_rows', CAST(COUNT(*) AS BIGINT) FROM lineitem
 UNION ALL

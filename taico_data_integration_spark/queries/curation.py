@@ -288,7 +288,7 @@ hour AS (
          COUNT(*) AS n_active_minutes
   FROM minute GROUP BY 1, 2)
 SELECT CAST(date_trunc('day', hour_ts) AS DATE) AS event_date, event_type,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(SUM(total_value) AS DOUBLE) AS total_value,
        COUNT(*) AS n_active_hours
 FROM hour GROUP BY 1, 2

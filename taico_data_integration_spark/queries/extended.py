@@ -92,9 +92,9 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
 FROM orders GROUP BY 1
 """
 

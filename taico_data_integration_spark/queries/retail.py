@@ -81,7 +81,8 @@ def retail_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETAIL_DIM_PRODUCT_SQL = f"""
 WITH {RAW_INVOICES_CTE}
 SELECT DISTINCT {_sk('StockCode', 'Description', 'UnitPrice')} AS product_id,
-       StockCode AS stock_code, Description AS description, UnitPrice AS price
+       StockCode AS stock_code, Description AS description,
+       CAST(UnitPrice AS DOUBLE) AS price
 FROM raw WHERE StockCode IS NOT NULL AND UnitPrice > 0
 """
 
@@ -158,7 +159,7 @@ fct AS (SELECT {_sk('StockCode', 'Description', 'UnitPrice')} AS product_id,
 dimp AS (SELECT DISTINCT {_sk('StockCode', 'Description', 'UnitPrice')} AS product_id,
                 StockCode AS stock_code
          FROM raw WHERE StockCode IS NOT NULL AND UnitPrice > 0)
-SELECT stock_code, SUM(quantity) AS total_quantity_sold
+SELECT stock_code, CAST(SUM(quantity) AS BIGINT) AS total_quantity_sold
 FROM fct JOIN dimp USING (product_id)
 GROUP BY stock_code
 """

@@ -59,3 +59,19 @@ def test_schema_check_sets_and_types(spark):
     assert not bad["ok"] and bad["missing_columns"] == ["extra"]
     bad_type = schema_check(df, {"id", "name"}, {"id": "int", "name": "string"})
     assert not bad_type["ok"] and "id" in bad_type["type_mismatches"]
+
+
+def test_unique_check_no_sentinel_or_separator_collisions(spark):
+    """NULL components must not collide with literal sentinel values, and
+    values containing the old '|' separator must not alias across columns."""
+    rows = [
+        Row(a=None, b=" "),   # NULL vs single-space: distinct keys
+        Row(a=" ", b=" "),
+        Row(a="1|2", b="3"),  # '1|2','3' vs '1','2|3': distinct keys
+        Row(a="1", b="2|3"),
+        Row(a="x", b="y"),
+        Row(a="x", b="y"),    # the only real duplicate
+    ]
+    df = spark.createDataFrame(rows)
+    res = {r["name"]: r for r in run_checks(df, [Check("unique", "uq", {"columns": ["a", "b"]})])}
+    assert res["uq"]["metric"] == 1

@@ -306,3 +306,12 @@ def test_tablestore_zorder_tightens_both_dims(spark, tmp_path):
     assert spans_x[n // 2] <= 96 and spans_y[n // 2] <= 96
     assert sum(s > 128 for s in spans_x) <= 2 and sum(s > 128 for s in spans_y) <= 2
     assert store.read("t").exceptAll(df).count() == 0
+
+
+def test_incremental_new_rows_empty_target_passes_all(spark):
+    """First load: max(ts) over an empty target is NULL; every source row
+    must pass through (dbt only filters when the target exists)."""
+    target = spark.createDataFrame([], "k int, ts int")
+    source = spark.createDataFrame([Row(k=1, ts=10), Row(k=2, ts=20)])
+    got = {r.k for r in incremental_new_rows(source, target, "ts").collect()}
+    assert got == {1, 2}

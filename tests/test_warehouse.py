@@ -71,6 +71,20 @@ class TestScd2:
         assert before == [(1, "a"), (2, "b"), (3, "c")]
         assert after == [(1, "a"), (2, "B")]
 
+    def test_null_keyed_rows_routed_not_dropped(self, spark):
+        """A NULL natural key joins nothing; presence markers must route it
+        to closed (current side) / opened (snapshot side), never drop it."""
+        s1 = spark.createDataFrame([(None, "a"), (2, "x")], "id long, attr string")
+        dim = scd2_init(s1, ["id"], ["attr"], "2020-01-01")
+        snap = spark.createDataFrame([(None, "b"), (2, "x")], "id long, attr string")
+        out = scd2_apply(dim, snap, ["id"], ["attr"], "2021-01-01")
+        null_rows = _rows(
+            out.where(F.col("id").isNull()).select("attr", "is_current"), "attr"
+        )
+        # old NULL-keyed row closed, new NULL-keyed row opened
+        assert null_rows == [("a", False), ("b", True)]
+        assert out.count() == 3
+
 
 class TestCdc:
     def _log(self, spark):
