@@ -41,18 +41,42 @@ def assign_clusters(
 
 
 def _update_centroids(
-    df: DataFrame, assign: DataFrame, k: int, id_col: str, vec_col: str
+    df: DataFrame,
+    assign: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    quantize: float | None = None,
 ) -> list[list[float]]:
     joined = df.join(assign.select(id_col, "cluster"), id_col)
-    dims = (
-        joined.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
-        .groupBy("cluster", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-        .collect()
-    )
+    exploded = joined.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
+    if quantize:
+        # Engine-reproducible mean: floor-quantize each component to an
+        # integer, sum exactly (integer addition is order-independent, unlike
+        # float summation across partitions), divide once in IEEE double.
+        # Any engine that mirrors floor/sum/divide gets bit-identical
+        # centroids — this is what makes the k-means query oracle-checkable.
+        dims = (
+            exploded.groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("v").cast("double") * F.lit(float(quantize))).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        cells = {(r.cluster, r.dim): r.s / (r.n * float(quantize)) for r in dims}
+    else:
+        dims = (
+            exploded.groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        cells = {(r.cluster, r.dim): r.m for r in dims}
     by_cluster: dict[int, dict[int, float]] = {}
-    for r in dims:
-        by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+    for (cl, dim), m in cells.items():
+        by_cluster.setdefault(cl, {})[dim] = m
     out = []
     for i in range(k):
         d = by_cluster.get(i)
@@ -69,13 +93,19 @@ def kmeans(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Returns (assignment DataFrame, final centroids). Initial centroids =
-    first k vectors by id (deterministic; k-means++ would slot in here)."""
+    first k vectors by id (deterministic; k-means++ would slot in here).
+
+    With ``quantize`` set (e.g. 1e7), the centroid update uses exact
+    integer sums of floor-quantized components instead of float avg, making
+    every run bit-reproducible across engines and partitionings — the full
+    Lloyd iteration can then be replayed in SQL as a correctness oracle."""
     seed_rows = df.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(iterations):
         assign = assign_clusters(df, centroids, id_col, vec_col)
-        updated = _update_centroids(df, assign, k, id_col, vec_col)
+        updated = _update_centroids(df, assign, k, id_col, vec_col, quantize)
         centroids = [u if u is not None else centroids[i] for i, u in enumerate(updated)]
     return assign_clusters(df, centroids, id_col, vec_col), centroids

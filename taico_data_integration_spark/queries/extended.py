@@ -170,13 +170,30 @@ COUNT_DISTINCT_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1
 """
 
+APPROX_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_within_tol
+FROM events GROUP BY 1
+"""
+
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch — engine-specific estimate, driver records a
-    rows-only check (no oracle can reproduce the sketch)."""
+    """HyperLogLog++ sketch with a bounds-style oracle: the estimate itself
+    is engine-specific (no SQL oracle can reproduce the sketch), so the
+    hash-checked output is the exact count plus a boolean asserting the
+    sketch landed within 5x its configured rsd — the oracle emits TRUE
+    unconditionally, so a drifting sketch fails the value hash."""
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    )
+    tol = F.greatest(F.lit(1.0), F.col("n_users").cast("double") * F.lit(0.10))
+    return agg.select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("__approx").cast("double") - F.col("n_users").cast("double")) <= tol).alias(
+            "approx_within_tol"
+        ),
     )
 
 
@@ -554,6 +571,7 @@ ORACLE = {
     "intersect_repeat_customers": INTERSECT_SQL,
     "asof_last_click_before_purchase": ASOF_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
     "salted_event_counts": SALTED_SQL,
     "exists_high_value_customers": EXISTS_SQL,
 }

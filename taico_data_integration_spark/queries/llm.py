@@ -338,13 +338,62 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means (iterative — rows-only check; clustering quality is
-    covered by tests/test_llm.py cluster-recovery assertions)."""
+    """Lloyd k-means, fully oracle-checked: deterministic init (first k by
+    id), quantized-integer centroid updates (order-independent sums, so
+    centroids are bit-identical across engines/partitionings), and
+    sequential-fold distances. The DuckDB oracle replays every Lloyd
+    iteration in SQL — same mechanism that makes ann_topk_ivf checkable."""
     from ..llm.clustering import kmeans
 
     e = T(spark, sf_dir, "embeddings")
-    assign, _ = kmeans(e, k=8, iterations=3)
+    assign, _ = kmeans(e, k=8, iterations=3, quantize=1e7)
     return assign
+
+
+def _kmeans_sql(k: int, iterations: int) -> str:
+    """Unrolled Lloyd-in-SQL: mirrors llm.clustering.kmeans(quantize=1e7)
+    op-for-op — floor-quantized integer sums for the update, diff-list
+    sequential-fold dot product for distances, ties to the lower cid."""
+    q = "CAST(10000000 AS DOUBLE)"
+
+    def assign(cents: str, name: str) -> str:
+        diff = f"list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i])"
+        return f"""{name} AS (
+  SELECT vec_id, cid AS cluster, d FROM (
+    SELECT e.vec_id, c.cid, list_dot_product({diff}, {diff}) AS d
+    FROM e CROSS JOIN {cents} c) z
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)"""
+
+    def update(assign_name: str, prev: str, name: str) -> str:
+        return f"""{name}_sums AS (
+  SELECT a.cluster AS cid, t.i,
+         SUM(CAST(floor(e.v[t.i] * {q}) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM {assign_name} a JOIN e USING (vec_id), unnest(generate_series(1, len(e.v))) AS t(i)
+  GROUP BY 1, 2),
+{name} AS (
+  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {q}) ORDER BY i) AS cv
+    FROM {name}_sums GROUP BY cid) u USING (cid))"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= {k})""",
+    ]
+    for it in range(1, iterations + 1):
+        parts.append(assign(f"c{it - 1}", f"a{it}"))
+        parts.append(update(f"a{it}", f"c{it - 1}", f"c{it}"))
+    parts.append(assign(f"c{iterations}", "final_assign"))
+    return (
+        ",\n".join(parts)
+        + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(d, 6) AS sq_dist
+FROM final_assign"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql(k=8, iterations=3)
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,4 +659,5 @@ ORACLE = {
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
+    "kmeans_embedding_clusters": KMEANS_SQL,
 }
