@@ -58,16 +58,68 @@ def insert_if_not_exists(incoming: DataFrame, existing: DataFrame, keys: list[st
     )
 
 
-def mint_ids(df: DataFrame, order_cols: list[str], start_at: int = 1, id_col: str = "id") -> DataFrame:
+def mint_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    start_at: int = 1,
+    id_col: str = "id",
+    max_rows: int | None = 1_000_000,
+) -> DataFrame:
     """Assign dense surrogate ids with a deterministic order.
 
     The reference relies on Postgres serial ids; for oracle-reproducibility we
-    order explicitly (SURVEY.md §7.4 hazard 1/2). A global row_number
-    single-partitions the *distinct name set only* (small); fact tables never
-    pass through this.
-    """
+    order explicitly (SURVEY.md §7.4 hazard 1/2). A global row_number moves
+    every row to ONE partition — correct only for dimension-sized inputs
+    (distinct name sets). The ``max_rows`` contract enforces that: inputs
+    above it raise instead of silently single-partitioning a fact table
+    (use :func:`mint_ids_distributed` for those; ``max_rows=None`` opts out
+    when the caller has already bounded the input)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"mint_ids: input has {n} rows > max_rows={max_rows}; a global "
+                "row_number would single-partition it — use mint_ids_distributed "
+                "(scale-safe) or pass max_rows=None if this size is intended"
+            )
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(id_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("int"))
+
+
+def mint_ids_distributed(
+    df: DataFrame,
+    order_cols: list[str],
+    start_at: int = 1,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe ``mint_ids``: same dense, deterministically-ordered ids
+    without ever collapsing to one partition.
+
+    Range-partition on the order columns, number rows locally per partition
+    (window partitioned by partition id — each window group is one range
+    partition, so no global sort barrier), then shift by per-partition
+    offsets computed from partition counts (one tiny collect: one row per
+    partition, never row data). Contract shared with mint_ids: ``order_cols``
+    must be a unique key for the ids to be reproducible."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    local = parts.withColumn("__rn", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    acc = start_at - 1
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    off_df = df.sparkSession.createDataFrame(offsets or [(0, start_at - 1)], "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, (F.col("__rn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
 
 
 def mirror_sync(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:

@@ -10,6 +10,7 @@ from taico_data_integration_spark.ops.dims import (
     distinct_extract,
     insert_if_not_exists,
     mint_ids,
+    mint_ids_distributed,
     mirror_sync,
     missing_values,
     new_values,
@@ -315,3 +316,28 @@ def test_incremental_new_rows_empty_target_passes_all(spark):
     source = spark.createDataFrame([Row(k=1, ts=10), Row(k=2, ts=20)])
     got = {r.k for r in incremental_new_rows(source, target, "ts").collect()}
     assert got == {1, 2}
+
+
+def test_mint_ids_size_guard_raises(spark):
+    df = spark.range(50).select(F.col("id").alias("name"))
+    import pytest
+
+    with pytest.raises(ValueError, match="mint_ids_distributed"):
+        mint_ids(df, ["name"], max_rows=10)
+    # opt-out works
+    assert mint_ids(df, ["name"], max_rows=None).count() == 50
+
+
+def test_mint_ids_distributed_matches_global(spark):
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("name")
+    ).repartition(8)
+    dist = {
+        (r.id, r.name)
+        for r in mint_ids_distributed(df, ["name"], start_at=7, num_partitions=6).collect()
+    }
+    glob = {
+        (r.id, r.name)
+        for r in mint_ids(df, ["name"], start_at=7, max_rows=None).collect()
+    }
+    assert dist == glob  # dense, same deterministic order, same start offset
