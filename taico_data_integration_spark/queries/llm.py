@@ -17,7 +17,12 @@ from ..llm.dedup import (
     minhash_band_keys_fast,
     simhash_bits,
 )
-from ..llm.multimodal import documents_as_media, extract_metadata
+from ..llm.multimodal import (
+    decode_image,
+    documents_as_decodable_media,
+    documents_as_media,
+    extract_metadata,
+)
 from ..llm.similarity import cosine_topk_bruteforce, cosine_topk_ivf, embedding_neardup_pairs
 from ..llm.text import (
     STOPWORDS,
@@ -616,6 +621,29 @@ FROM documents
 """
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (non-stubbed) image decode: deterministic BMP/PPM fixtures are
+    rendered from doc_id, then genuinely parsed back (header, BMP row
+    padding, bottom-up order) in a mapInPandas stage. The oracle predicts
+    dimensions and channel means in closed form from doc_id — any decoder
+    bug (stride, channel order, row flip) breaks the value hash."""
+    media = documents_as_decodable_media(T(spark, sf_dir, "documents"))
+    return decode_image(media)
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(4 + doc_id % 7 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 59) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 83) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -637,6 +665,7 @@ QUERIES = {
     "text_quality": text_quality,
     "doc_fingerprints": doc_fingerprints,
     "multimodal_metadata": multimodal_metadata,
+    "multimodal_decode": multimodal_decode,
 }
 
 ORACLE = {
@@ -658,6 +687,7 @@ ORACLE = {
     "text_quality": QUALITY_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
 }

@@ -203,9 +203,64 @@ def test_fake_feature_extract_contract(spark):
         assert [pytest.approx(x) for x in again[r.asset_id]] == list(r.features)
 
 
-def test_decode_image_is_stubbed():
+def test_image_codecs_roundtrip_exact():
+    """encode->decode is lossless for BMP (incl. 4-byte row padding at
+    awkward widths) and PPM; channel order and row order survive."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    for w in (1, 2, 3, 4, 5, 8, 13):  # widths hitting every BMP pad size
+        for h in (1, 2, 5):
+            arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got_bmp, fmt_b = decode_image_bytes(encode_bmp(arr))
+            got_ppm, fmt_p = decode_image_bytes(encode_ppm(arr))
+            assert fmt_b == "bmp" and fmt_p == "ppm"
+            assert np.array_equal(got_bmp, arr)
+            assert np.array_equal(got_ppm, arr)
+
+
+def test_ppm_decoder_handles_comments():
+    from taico_data_integration_spark.llm.multimodal import decode_image_bytes
+
+    b = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    img, fmt = decode_image_bytes(b)
+    assert fmt == "ppm" and img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [1, 2, 3] and img[0, 1].tolist() == [4, 5, 6]
+
+
+def test_decode_and_resize_stages(spark):
+    """decode_image / resize_image run non-stubbed over Arrow batches; the
+    nearest-neighbor resize halves dimensions and keeps constant fills."""
+    from taico_data_integration_spark.llm.multimodal import (
+        documents_as_decodable_media,
+        resize_image,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(1, 21)])
+    media = documents_as_decodable_media(docs)
+    dec = {r.asset_id: r for r in decode_image(media).collect()}
+    assert len(dec) == 20
+    for d, r in dec.items():
+        assert (r.width, r.height) == (8 + d % 9, 4 + d % 7)
+        assert r.format == ("bmp" if d % 2 == 0 else "ppm")
+        assert r.mean_r == float((d * 37) % 256)  # constant fill -> exact mean
+    rez = {r.asset_id: r for r in resize_image(media, 4, 2).collect()}
+    for d, r in rez.items():
+        assert (r.width, r.height) == (4, 2)
+        assert r.mean_b == float((d * 83) % 256)
+
+
+def test_video_sampling_still_stubbed():
+    from taico_data_integration_spark.llm.multimodal import sample_video_frames
+
     with pytest.raises(NotImplementedError):
-        decode_image(None)
+        sample_video_frames(None, 1.0)
 
 
 def test_cosine_topk_ivf_kmeans_refined_finds_planted_duplicate(spark):
