@@ -53,8 +53,12 @@ def run_etl_pipeline(
     store_root: str,
     company_id: int = 1,
     bridge_keep_cols: list[str] | None = None,
+    callbacks=None,
 ) -> dict:
-    """Sync every dimension column of `fact`, validate, rebuild the bridge."""
+    """Sync every dimension column of `fact`, validate, rebuild the bridge.
+
+    ``callbacks`` (pipelines.callbacks.PipelineCallbacks) receives the run
+    summary via on_success/on_failure — the S15 notification seam."""
     store = TableStore(spark, store_root)
     results: dict[str, object] = {}
     dims: dict[str, DataFrame] = {}
@@ -82,4 +86,7 @@ def run_etl_pipeline(
         for k, r in results.items()
         if k != "bridge_rows"
     )
-    return {"ok": ok, "results": results}
+    summary = {"ok": ok, "results": results}
+    if callbacks is not None:
+        callbacks.report("etl_pipeline", summary)
+    return summary

@@ -14,8 +14,9 @@ one; downstream operators never know the format.
 | S12/S13 GCS/object storage  | same parquet/csv calls against `gs://` URIs |
 | S14 Airbyte connector       | `fixture_source` (connector output stand-in) |
 
-JDBC calls are thin wrappers kept import-safe in this container (no JDBC
-driver present); their tests assert wiring, not network IO.
+JDBC paths are tested end-to-end against Apache Derby (embedded RDBMS
+shipped inside Spark's own jars): set-based write, filter-pushed read, and
+predicate-partitioned parallel read — see tests/test_sources.py.
 """
 
 from __future__ import annotations

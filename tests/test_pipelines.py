@@ -51,3 +51,43 @@ def test_etl_pipeline_syncs_dims_and_bridge(spark, tmp_path):
     assert out2["ok"], out2
     dim = {r.name: r.id for r in store.read("dim_status").collect()}
     assert "P" not in dim and len(dim) == 2
+
+
+def test_pipeline_callbacks_fire(spark, tmp_path):
+    """S15 seam: on_success receives the run summary; on_failure receives
+    a failing summary or exception payload; exceptions are never swallowed."""
+    from pyspark.sql import Row
+
+    from taico_data_integration_spark.pipelines.callbacks import (
+        PipelineCallbacks,
+        summary_text,
+    )
+    from taico_data_integration_spark.pipelines.etl_pipeline import run_etl_pipeline
+
+    seen = []
+    cb = PipelineCallbacks(
+        on_success=lambda name, s: seen.append(("ok", name, s["ok"])),
+        on_failure=lambda name, s: seen.append(("fail", name, s.get("ok"))),
+    )
+    fact = spark.createDataFrame(
+        [Row(channel="tv", region="n"), Row(channel="web", region="s")]
+    )
+    summary = run_etl_pipeline(
+        spark, fact, ["channel", "region"], str(tmp_path / "store"), callbacks=cb
+    )
+    assert summary["ok"]
+    assert seen == [("ok", "etl_pipeline", True)]
+    assert cb.fired == [("etl_pipeline", "success")]
+    assert "etl_pipeline: OK" in summary_text("etl_pipeline", summary)
+
+    # failure + exception routing
+    def boom():
+        raise RuntimeError("stage exploded")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        cb.guard("etl_pipeline", boom)
+    assert seen[-1][0] == "fail"
+    cb.report("etl_pipeline", {"ok": False, "results": {}})
+    assert cb.fired[-1] == ("etl_pipeline", "failure")
