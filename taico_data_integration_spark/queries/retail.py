@@ -210,7 +210,10 @@ def media_relations_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dims = {
-        col: mint_ids(distinct_extract(fact, col), ["name"])
+        # max_rows=None: inputs are distinct extracts of low-cardinality
+        # dimension columns — bounded by construction, so skip the guard's
+        # extra count job (it would recompute the distinct shuffle).
+        col: mint_ids(distinct_extract(fact, col), ["name"], max_rows=None)
         for col in ("status", "priority", "segment", "nation")
     }
     out = rebuild_relations(fact, dims, keep_cols=["order_year"])

@@ -158,7 +158,10 @@ WHERE n_name NOT IN (SELECT n_name FROM nation WHERE n_nationkey < 15)
 
 def mint_segment_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = distinct_extract(T(spark, sf_dir, "customer"), "c_mktsegment", out_name="name")
-    return mint_ids(segs, ["name"], start_at=100).select(F.col("id").cast("bigint").alias("id"), "name")
+    # max_rows=None: distinct segment set is bounded by construction
+    return mint_ids(segs, ["name"], start_at=100, max_rows=None).select(
+        F.col("id").cast("bigint").alias("id"), "name"
+    )
 
 
 MINT_IDS_SQL = """
