@@ -51,3 +51,30 @@ def test_anti_join_is_distributed_join(spark):
 
     plan = _plan(customers_without_orders(spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_no_join_antipatterns_across_all_queries(spark):
+    """Scale guard over the ENTIRE query surface: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the non-streamed side
+    is 1-row/scalar or an intentionally-broadcast query set. A new query
+    that accidentally cross-joins two fact-sized frames fails here, not at
+    100 TB."""
+    import __spark_entry__ as em
+
+    # name -> why BNLJ is legitimate there (non-streamed side cardinality)
+    bnlj_ok = {
+        "q22_idle_rich_customers": "scalar avg-acctbal subquery (1 row)",
+        "watermark_incremental": "1-row max-watermark aggregate",
+        "q11_important_suppliers": "1-row global-total aggregate",
+        "fuzzy_name_match": "dim-sized fuzzy side, inequality join by design",
+        "ann_topk": "broadcast query set (documented brute-force baseline)",
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in em.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, f"join anti-patterns: {offenders}"
