@@ -176,6 +176,38 @@ FROM events GROUP BY 1
 """
 
 
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: HLL
+    sketches are built once per fine grain (event_type, day) and unioned up
+    a level without rescanning raw rows; exact COUNT(DISTINCT) cannot roll
+    up that way (distinct is not partial-aggregatable across grains). Same
+    bounds-oracle shape as approx_distinct_users: the hash-checked output
+    is the exact count plus a within-tolerance boolean for the rolled-up
+    sketch estimate."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+    tol = F.greatest(F.lit(1.0), F.col("n_users").cast("double") * F.lit(0.10))
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("__est").cast("double") - F.col("n_users").cast("double")) <= tol).alias(
+            "sketch_within_tol"
+        ),
+    )
+
+
+SKETCH_ROLLUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS sketch_within_tol
+FROM events GROUP BY 1
+"""
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch with a bounds-style oracle: the estimate itself
     is engine-specific (no SQL oracle can reproduce the sketch), so the
@@ -546,6 +578,7 @@ QUERIES = {
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
+    "sketch_distinct_rollup": sketch_distinct_rollup,
     "salted_event_counts": salted_event_counts,
     "exists_high_value_customers": exists_high_value_customers,
     "event_value_zscores": event_value_zscores,
@@ -572,6 +605,7 @@ ORACLE = {
     "asof_last_click_before_purchase": ASOF_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,
     "salted_event_counts": SALTED_SQL,
     "exists_high_value_customers": EXISTS_SQL,
 }

@@ -30,3 +30,27 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_sketch_rollup_union_is_lossless(spark):
+    """HLL registers are per-bucket maxima, so unioning per-day sketches
+    must give EXACTLY the same estimate as one sketch over all rows — the
+    property that makes sketch tables roll up without rescanning raw data."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    direct = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+    )
+    rolled = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    d = {r.event_type: r.est for r in direct.collect()}
+    r = {r.event_type: r.est for r in rolled.collect()}
+    assert d == r and len(d) > 0
