@@ -282,8 +282,76 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped OLS trend with EXACT integer accumulation. The naive formulation
+# (covar_samp/var_samp, or float sums) is summation-order-dependent — results
+# drift across partitionings and engines. Here x (day index) and y (cents)
+# are integers, all five sufficient statistics are exact integer sums (one
+# aggregation pass, partial-aggregatable, no UDF), and the float math is a
+# fixed IEEE expression over those exact sums — bit-identical everywhere.
+
+
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), x.alias("x"), y.alias("y"))
+    )
+    d38 = "decimal(38,0)"
+    sums = base.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("sxx"),
+    )
+    nd = F.col("n_orders").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    with_slope = sums.withColumn("slope", slope)
+    return with_slope.select(
+        "nation",
+        "n_orders",
+        F.round("slope", 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n_orders").cast("double"), 6
+        ).alias("intercept_cents"),
+    )
+
+
+TREND_SQL = """
+WITH base AS (
+  SELECT n_name AS nation,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+sums AS (
+  SELECT nation, COUNT(*) AS n_orders,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM base GROUP BY nation),
+sloped AS (
+  SELECT nation, n_orders, sx, sy,
+         (CAST(n_orders AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_orders AS DOUBLE) * sxx - sx * sx) AS slope
+  FROM sums)
+SELECT nation, n_orders,
+       ROUND(slope, 6) AS slope_cents_per_day,
+       ROUND((sy - slope * sx) / CAST(n_orders AS DOUBLE), 6) AS intercept_cents
+FROM sloped
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
+    "revenue_trend_by_nation": revenue_trend_by_nation,
     "percentile_price_by_priority": percentile_price_by_priority,
     "inter_event_gaps": inter_event_gaps,
     "top_orders_per_customer": top_orders_per_customer,
@@ -295,6 +363,7 @@ QUERIES = {
 
 ORACLE = {
     "cohort_retention": COHORT_SQL,
+    "revenue_trend_by_nation": TREND_SQL,
     "percentile_price_by_priority": PERCENTILE_SQL,
     "inter_event_gaps": INTER_EVENT_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,

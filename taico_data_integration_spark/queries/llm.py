@@ -31,6 +31,7 @@ from ..llm.text import (
     fingerprint,
     punct_count,
     quality_score,
+    tokens,
     whitespace_token_count,
 )
 from ._util import T
@@ -509,6 +510,62 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms — TF-IDF-shaped, but the idf weight is the
+    BM25-style rational (N - df + 0.5)/(df + 0.5) with NO logarithm: libm
+    log implementations differ in the last ulp across engines, while integer
+    counts pushed through one fixed divide/multiply are bit-identical
+    everywhere. tf and df are one aggregation pass each over the exploded
+    token set; N joins in as a broadcast 1-row aggregate."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "token").distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.countDistinct("doc_id").alias("__n"))
+    sal = (
+        F.col("tf").cast("double")
+        * (F.col("__n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("salience", sal)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "df", F.round("salience", 6).alias("salience"), "rank")
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents) z
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok AS token FROM toks) u GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS sal
+  FROM tf JOIN dfq USING (token) CROSS JOIN nn)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(sal, 6) AS salience,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sal DESC, token) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 _EN_HITS = _hits_sql("en")
 QUALITY_SQL = f"""
 SELECT doc_id,
@@ -663,6 +720,7 @@ QUERIES = {
     "text_token_counts": text_token_counts,
     "text_langid": text_langid,
     "text_quality": text_quality,
+    "text_top_terms": text_top_terms,
     "doc_fingerprints": doc_fingerprints,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
@@ -685,6 +743,7 @@ ORACLE = {
     "text_token_counts": TOKEN_COUNTS_SQL,
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
+    "text_top_terms": TOP_TERMS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
