@@ -67,6 +67,20 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_text(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-per-row text source (``value`` column); ``whole=True`` reads one
+    row per file — the raw-document ingestion path for corpus pipelines."""
+    reader = spark.read
+    if whole:
+        reader = reader.option("wholetext", "true")
+    return reader.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-string-column sink (Spark requires exactly one string col)."""
+    df.write.mode(mode).text(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 

@@ -341,3 +341,48 @@ def test_mint_ids_distributed_matches_global(spark):
         for r in mint_ids(df, ["name"], start_at=7, max_rows=None).collect()
     }
     assert dist == glob  # dense, same deterministic order, same start offset
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be result-invariant: same rows as the plain join, for
+    inner and left, on data with one dominating hot key."""
+    from taico_data_integration_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k="hot", v=i) for i in range(500)]
+        + [Row(k=f"cold{i % 7}", v=i) for i in range(100)]
+        + [Row(k="orphan", v=-1)]
+    )
+    small = spark.createDataFrame(
+        [Row(k="hot", name="H"), Row(k="cold3", name="C3"), Row(k="unused", name="U")]
+    )
+    for how in ("inner", "left"):
+        plain = {(r.k, r.v, r.name) for r in big.join(small, "k", how).collect()}
+        salted = {(r.k, r.v, r.name) for r in salted_join(big, small, ["k"], how).collect()}
+        assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must occupy multiple salt buckets (the whole
+    point: no single reducer owns the key)."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.ops.skew import SALT_COL, salted_join
+
+    big = spark.createDataFrame([Row(k="hot", v=i) for i in range(2000)]).repartition(8)
+    small = spark.createDataFrame([Row(k="hot", name="H")])
+    salted = big.withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(16)).cast("int")
+    )
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets >= 8
+    assert salted_join(big, small, ["k"], salt_buckets=16).count() == 2000
+
+
+def test_text_source_roundtrip(spark, tmp_path):
+    from taico_data_integration_spark.sources import read_text, write_text
+
+    df = spark.createDataFrame([Row(value=f"line {i}") for i in range(10)])
+    write_text(df, str(tmp_path / "txt"))
+    back = read_text(spark, str(tmp_path / "txt"))
+    assert {r.value for r in back.collect()} == {f"line {i}" for i in range(10)}
