@@ -24,8 +24,18 @@ import __spark_entry__ as e
 assert len(e.entry(spark).collect()) > 0
 
 qs = e.queries()
-# events table is the nanos-timestamp hazard; orders exercises ANSI casts
-for name in ("tumbling_events", "golden_record_users", "cdc_orders_final_state"):
+# events table is the nanos-timestamp hazard; orders exercises ANSI casts;
+# round-2 additions: sketch aggs, mapInPandas decode, kmeans quantized path
+for name in (
+    "tumbling_events",
+    "golden_record_users",
+    "cdc_orders_final_state",
+    "sketch_distinct_rollup",
+    "multimodal_decode",
+    "revenue_trend_by_nation",
+    "text_top_terms",
+    "kmeans_embedding_clusters",
+):
     rows = qs[name](spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0, name
 print("VANILLA-OK")
