@@ -107,7 +107,12 @@ def mint_ids_distributed(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    local = parts.withColumn("__rn", F.row_number().over(w))
+    # localCheckpoint: the frame feeds two jobs (offset computation + final
+    # assignment), and repartitionByRange picks its boundaries by SAMPLING —
+    # recomputed lineage may sample different boundaries, making the offsets
+    # disagree with the final partitioning (observed at sf0.1). Cutting the
+    # lineage pins one materialized partitioning for both passes.
+    local = parts.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     acc = start_at - 1
     offsets = []

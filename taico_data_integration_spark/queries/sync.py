@@ -169,6 +169,27 @@ SELECT CAST(row_number() OVER (ORDER BY name) + 99 AS BIGINT) AS id, name
 FROM (SELECT DISTINCT c_mktsegment AS name FROM customer WHERE c_mktsegment IS NOT NULL) t
 """
 
+
+def mint_part_ids_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe id minting exercised on a fact-sized input: ids are dense
+    and in global (p_name, p_partkey) order, yet no global-sort barrier
+    exists — range partition + per-partition numbering + offset join
+    (ops.dims.mint_ids_distributed). The ORACLE is a plain row_number: the
+    operator's contract is exactly that its partitioned execution is
+    indistinguishable from the single-partition form."""
+    from ..ops.dims import mint_ids_distributed
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    out = mint_ids_distributed(p, ["p_name", "p_partkey"], num_partitions=8)
+    return out.select(F.col("id").cast("bigint").alias("id"), "p_partkey", "p_name")
+
+
+MINT_DISTRIBUTED_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS id,
+       p_partkey, p_name
+FROM part
+"""
+
 # ---------------------------------------------------------------------------
 # Stateful sessionization (streaming-adjacent; batch twin of
 # applyInPandasWithState — here pure window functions, no Python).
@@ -223,6 +244,7 @@ QUERIES = {
     "sync_diff_suppliers": sync_diff_suppliers,
     "insert_if_absent_nations": insert_if_absent_nations,
     "mint_segment_ids": mint_segment_ids,
+    "mint_part_ids_distributed": mint_part_ids_distributed,
     "events_sessionize": events_sessionize,
 }
 
@@ -234,5 +256,6 @@ ORACLE = {
     "sync_diff_suppliers": SYNC_DIFF_SQL,
     "insert_if_absent_nations": INSERT_ABSENT_SQL,
     "mint_segment_ids": MINT_IDS_SQL,
+    "mint_part_ids_distributed": MINT_DISTRIBUTED_SQL,
     "events_sessionize": SESSIONIZE_SQL,
 }
