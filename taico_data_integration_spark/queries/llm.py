@@ -544,6 +544,42 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str, window: int = 64, stride: int = 48) -> DataFrame:
+    """Fixed-token-window chunking with overlap (window 64, stride 48) — the
+    stage between cleaning and tokenized shard packing in a training-data
+    pipeline. Pure integer arithmetic + array slicing, one narrow pass, no
+    shuffle at all: chunks = explode(sequence) over each doc's token array.
+    Chunk i covers tokens [i*stride, i*stride + window)."""
+    d = T(spark, sf_dir, "documents")
+    toks = tokens("text")
+    max_i = F.floor((F.size(toks) - F.lit(1)) / F.lit(stride)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), F.greatest(max_i, F.lit(0)))).alias("chunk_id"),
+    )
+    sliced = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, window)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(CAST(floor((len(toks) - 1) / 48) AS INT), 0))) AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
 TOP_TERMS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -721,6 +757,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_top_terms": text_top_terms,
+    "doc_chunking": doc_chunking,
     "doc_fingerprints": doc_fingerprints,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
@@ -744,6 +781,7 @@ ORACLE = {
     "text_langid": LANGID_SQL,
     "text_quality": QUALITY_SQL,
     "text_top_terms": TOP_TERMS_SQL,
+    "doc_chunking": DOC_CHUNKING_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
