@@ -144,3 +144,82 @@ def test_cdc_collapse_matches_python(sc, ops):
         else:
             state[k] = v
     assert got == sorted(state.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot"] * 6 + ["a", "b", "c"]), st.integers(0, 99)),
+        min_size=0,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+    parts=st.sampled_from([1, 4]),
+)
+@settings(max_examples=15, deadline=None)
+def test_salted_join_partitioning_invariant(sc, rows, buckets, parts):
+    """salted_join == plain join for ANY row multiset, bucket count, and
+    input partitioning (the salt must never change the result set)."""
+    from pyspark.sql import Row
+
+    from taico_data_integration_spark.ops.skew import salted_join
+
+    big = sc.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows] or [Row(k="__none", v=0)]
+    ).repartition(parts)
+    small = sc.createDataFrame(
+        [Row(k="hot", tag="H"), Row(k="b", tag="B"), Row(k="zz", tag="Z")]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.v, r.tag) for r in big.join(small, "k", how).collect()
+        )
+        salted = sorted(
+            (r.k, r.v, r.tag)
+            for r in salted_join(big, small, ["k"], how, salt_buckets=buckets).collect()
+        )
+        assert salted == plain
+
+
+@given(
+    n=st.integers(0, 120),
+    parts=st.sampled_from([1, 3, 8]),
+    start=st.integers(1, 50),
+)
+@settings(max_examples=10, deadline=None)
+def test_mint_ids_distributed_partitioning_invariant(sc, n, parts, start):
+    """Dense ids in global key order, regardless of num_partitions or input
+    layout — partitioned execution indistinguishable from the global form."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.ops.dims import mint_ids_distributed
+
+    df = sc.range(n).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("name")
+    ).repartition(4)
+    got = sorted(
+        (r.id, r.name)
+        for r in mint_ids_distributed(df, ["name"], start_at=start, num_partitions=parts).collect()
+    )
+    expect = [(start + i, f"k{i:04d}") for i in range(n)]
+    assert got == expect
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_image_codec_roundtrip_property(w, h, seed):
+    """encode->decode identity for arbitrary small images, both codecs."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        decode_image_bytes,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image_bytes(encode_bmp(arr))[0], arr)
+    assert np.array_equal(decode_image_bytes(encode_ppm(arr))[0], arr)
