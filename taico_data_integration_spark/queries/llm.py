@@ -209,6 +209,85 @@ JOIN sets sa ON sa.doc_id = doc_a
 JOIN sets sb ON sb.doc_id = doc_b
 """
 
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-accuracy evidence for the MinHash stack: per LSH candidate
+    pair, the signature-based Jaccard estimate (matching components / 16)
+    next to the exact shingle Jaccard and the absolute error. All integer
+    counts pushed through fixed divisions — deterministic across engines,
+    so the calibration itself is hash-checked, not just eyeballed."""
+    d = T(spark, sf_dir, "documents")
+    base = materialized_shingles(d, "text", "doc_id", 3)
+
+    def mh(seed: int):
+        s_lit = F.lit(str(seed))
+        return F.array_min(F.transform("__sh", lambda s: F.md5(F.concat_ws(":", s_lit, s))))
+
+    sigs = base.select(
+        "doc_id", F.array(*[mh(i) for i in range(16)]).alias("sig"), F.col("__sh")
+    )
+    bands = minhash_band_keys_fast(d, shingled=base)
+    cands = lsh_candidate_pairs(bands)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), F.col("__sh").alias("sh_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), F.col("__sh").alias("sh_b")
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    est = matches.cast("double") / F.lit(16.0)
+    exact = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common).cast("double")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("bigint").alias("sig_matches"),
+            F.round(est, 6).alias("jaccard_est"),
+            F.round(exact, 6).alias("jaccard_exact"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(concat_ws(':', CAST(s.seed AS VARCHAR), shingle))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed),
+sig AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(concat_ws('|', sig[b.band_id*4 + 1], sig[b.band_id*4 + 2],
+                            sig[b.band_id*4 + 3], sig[b.band_id*4 + 4])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(shingle) AS shl FROM sh GROUP BY doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+    len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS sig_matches,
+    CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+      / CAST(16.0 AS DOUBLE) AS est,
+    CAST(len(list_intersect(ca.shl, cb.shl)) AS DOUBLE)
+      / CAST(len(ca.shl) + len(cb.shl) - len(list_intersect(ca.shl, cb.shl)) AS DOUBLE) AS exact
+  FROM cands
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  JOIN sets ca ON ca.doc_id = doc_a
+  JOIN sets cb ON cb.doc_id = doc_b)
+SELECT doc_a, doc_b, CAST(sig_matches AS BIGINT) AS sig_matches,
+       ROUND(est, 6) AS jaccard_est,
+       ROUND(exact, 6) AS jaccard_exact,
+       ROUND(abs(est - exact), 6) AS abs_err
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster assignment: LSH verified pairs -> connected components ->
 # (doc, cluster, representative flag). The cluster id is the min reachable
@@ -743,6 +822,7 @@ QUERIES = {
     "dedup_jaccard_capped": dedup_jaccard_capped,
     "dedup_minhash_bands": dedup_minhash_bands,
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
+    "minhash_calibration": minhash_calibration,
     "dedup_clusters": dedup_clusters,
     "dedup_canonical_keepers": dedup_canonical_keepers,
     "dedup_simhash": dedup_simhash,
@@ -769,6 +849,7 @@ ORACLE = {
     "dedup_jaccard_capped": JACCARD_CAPPED_SQL,
     "dedup_minhash_bands": MINHASH_BANDS_SQL,
     "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
+    "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_canonical_keepers": DEDUP_KEEPERS_SQL,
     "dedup_simhash": SIMHASH_SQL,
