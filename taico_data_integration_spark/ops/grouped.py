@@ -39,3 +39,54 @@ def zscore_apply_in_pandas(df: DataFrame, group_col: str, value_col: str, out_co
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_norm, schema=out_schema)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join (strictly-before, backward) via cogroup + applyInPandas:
+    both sides co-partition by ``key``, each key's two groups meet in one
+    pandas ``merge_asof``. This is the API shape for per-key two-frame
+    custom logic Spark lacks a built-in for; at scale the cost is one
+    co-partitioning shuffle of each side, and per-key groups must fit in
+    executor memory (same contract as applyInPandas).
+
+    The window-carry formulation in queries/extended.py
+    (asof_last_click_before_purchase) is the pure-JVM alternative when the
+    right side's payload is small; this one generalizes to wide payloads
+    and tolerance semantics via pandas.
+    """
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(list(left.schema.fields))
+    for c in value_cols:
+        out_schema = out_schema.add(c + suffix, right.schema[c].dataType)
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    int_cols = [
+        c + suffix for c in value_cols if right.schema[c].dataType.simpleString() in int_types
+    ]
+
+    def _merge(lpdf, rpdf):
+        import pandas as pd
+
+        lpdf = lpdf.sort_values(ts_col)
+        rpdf = rpdf.sort_values(ts_col)[[ts_col, *value_cols]].rename(
+            columns={c: c + suffix for c in value_cols}
+        )
+        out = pd.merge_asof(
+            lpdf, rpdf, on=ts_col, direction="backward", allow_exact_matches=False
+        )
+        for c in int_cols:  # NaN-padded ints arrive as float64; restore nullable ints
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(_merge, schema=out_schema)
+    )

@@ -386,3 +386,43 @@ def test_text_source_roundtrip(spark, tmp_path):
     write_text(df, str(tmp_path / "txt"))
     back = read_text(spark, str(tmp_path / "txt"))
     assert {r.value for r in back.collect()} == {f"line {i}" for i in range(10)}
+
+
+def test_asof_join_cogroup_matches_local_pandas(spark):
+    """Distributed cogroup as-of == single-process pandas merge_asof per
+    key, on the real events fixture (purchases matched to last prior
+    click)."""
+    import pandas as pd
+
+    from taico_data_integration_spark.catalog import load_table
+    from taico_data_integration_spark.ops.grouped import asof_join_cogroup
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = e.where(F.col("event_type") == "click").drop("event_type")
+
+    got = {
+        (r.event_id, r.event_id_right)
+        for r in asof_join_cogroup(
+            purchases, clicks, "user_id", "ts", ["event_id"]
+        ).collect()
+    }
+
+    lp = purchases.toPandas()
+    cp = clicks.toPandas()
+    expect = set()
+    for uid, grp in lp.groupby("user_id"):
+        rg = cp[cp.user_id == uid].sort_values("ts")
+        m = pd.merge_asof(
+            grp.sort_values("ts"),
+            rg[["ts", "event_id"]].rename(columns={"event_id": "event_id_right"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        for _, row in m.iterrows():
+            rid = row["event_id_right"]
+            expect.add((row["event_id"], None if pd.isna(rid) else int(rid)))
+    assert got == expect and len(got) > 100
