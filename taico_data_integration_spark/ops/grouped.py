@@ -63,6 +63,16 @@ def asof_join_cogroup(
     """
     from pyspark.sql.types import StructType
 
+    # Lineage break: when both sides derive from the SAME plan (the common
+    # "filter one scan two ways" shape), Spark's binary-node attribute
+    # de-duplication rewrites one side's exprIds and the cogroup's Python
+    # projection then drops every non-grouping column from that side
+    # (observed: right pdf arriving with only the key column). An explicit
+    # alias projection mints fresh output exprIds on each side, which keeps
+    # the cogroup attribute mapping intact. Plan-only; no extra job.
+    left = left.select(*[F.col(c).alias(c) for c in left.columns])
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+
     out_schema = StructType(list(left.schema.fields))
     for c in value_cols:
         out_schema = out_schema.add(c + suffix, right.schema[c].dataType)
@@ -74,13 +84,25 @@ def asof_join_cogroup(
     def _merge(lpdf, rpdf):
         import pandas as pd
 
+        # cogroup hands an EMPTY, column-less frame for a key absent from
+        # one side (keys live in the union of both sides) — guard both.
+        if len(lpdf) == 0:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+        assert ts_col in lpdf.columns and (len(rpdf) == 0 or ts_col in rpdf.columns), (
+            f"cogroup column loss: left={list(lpdf.columns)} right={list(rpdf.columns)}"
+        )
         lpdf = lpdf.sort_values(ts_col)
-        rpdf = rpdf.sort_values(ts_col)[[ts_col, *value_cols]].rename(
-            columns={c: c + suffix for c in value_cols}
-        )
-        out = pd.merge_asof(
-            lpdf, rpdf, on=ts_col, direction="backward", allow_exact_matches=False
-        )
+        if len(rpdf) == 0:
+            out = lpdf.copy()
+            for c in value_cols:
+                out[c + suffix] = pd.Series([None] * len(out), index=out.index, dtype="object")
+        else:
+            rpdf = rpdf.sort_values(ts_col)[[ts_col, *value_cols]].rename(
+                columns={c: c + suffix for c in value_cols}
+            )
+            out = pd.merge_asof(
+                lpdf, rpdf, on=ts_col, direction="backward", allow_exact_matches=False
+            )
         for c in int_cols:  # NaN-padded ints arrive as float64; restore nullable ints
             out[c] = out[c].astype("Int64")
         return out

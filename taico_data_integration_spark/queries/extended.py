@@ -157,6 +157,61 @@ WITH ranked AS (
 SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM ranked WHERE rn = 1
 """
 
+def asof_cogroup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as asof_last_click_before_purchase, but through
+    the cogroup+applyInPandas operator (ops.grouped.asof_join_cogroup) —
+    driver-verified evidence that the pandas path agrees with SQL. The
+    events fixture has zero (user_id, ts) ties, so strictly-before matching
+    is unambiguous."""
+    from ..ops.grouped import asof_join_cogroup
+
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    purchases = e.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = e.where(F.col("event_type") == "click").drop("event_type")
+    out = asof_join_cogroup(purchases, clicks, "user_id", "ts", ["event_id"])
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("event_id_right").alias("click_id"),
+    )
+
+
+ASOF_COGROUP_SQL = """
+WITH ranked AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts < p.ts
+)
+SELECT purchase_id, user_id, purchase_ts, click_id FROM ranked WHERE rn = 1
+"""
+
+
+def salted_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator on a maximally skewed key (5 priority values
+    over all orders). The oracle is the plain projection the join is
+    equivalent to — salting must be invisible in the result."""
+    from ..ops.skew import salted_join
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    dim = o.select("o_orderpriority").distinct().withColumn(
+        "priority_class", F.expr("substr(o_orderpriority, 3)")
+    )
+    return salted_join(o, dim, ["o_orderpriority"], salt_buckets=8).select(
+        "o_orderkey", "o_orderpriority", "priority_class"
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT o_orderkey, o_orderpriority, substr(o_orderpriority, 3) AS priority_class
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Distinct counting: exact (oracle-checked) and HLL sketch (rows-only).
 
@@ -576,6 +631,8 @@ QUERIES = {
     "pivot_status_by_year": pivot_status_by_year,
     "intersect_repeat_customers": intersect_repeat_customers,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
+    "asof_cogroup_purchases": asof_cogroup_purchases,
+    "salted_priority_join": salted_priority_join,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "sketch_distinct_rollup": sketch_distinct_rollup,
@@ -603,6 +660,8 @@ ORACLE = {
     "pivot_status_by_year": PIVOT_SQL,
     "intersect_repeat_customers": INTERSECT_SQL,
     "asof_last_click_before_purchase": ASOF_SQL,
+    "asof_cogroup_purchases": ASOF_COGROUP_SQL,
+    "salted_priority_join": SALTED_JOIN_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,

@@ -397,6 +397,8 @@ def test_asof_join_cogroup_matches_local_pandas(spark):
     from taico_data_integration_spark.catalog import load_table
     from taico_data_integration_spark.ops.grouped import asof_join_cogroup
 
+    # both sides from ONE shared plan — the shape that trips Spark's cogroup
+    # attribute de-duplication (regression: right pdf lost all non-key cols)
     e = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
