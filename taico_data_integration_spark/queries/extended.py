@@ -157,6 +157,40 @@ WITH ranked AS (
 SELECT purchase_id, user_id, purchase_ts, click_id, click_ts FROM ranked WHERE rn = 1
 """
 
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 breadth: the string/null function families the reference's SQL
+    and pandas transforms lean on, in one parity-gated pass — pad, split,
+    translate, repeat/reverse, NULLIF-based blank detection, ascii/chr."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_lpad"),
+        F.rpad(F.col("c_name"), 24, ".").alias("name_rpad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_number"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull().alias("is_building"),
+        F.ascii(F.substring(F.col("c_name"), 1, 1)).cast("bigint").alias("first_ascii"),
+        F.chr(F.lit(65) + F.col("c_nationkey") % 26).alias("nation_letter"),
+    )
+
+
+STRING_SUITE_SQL = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_lpad,
+       rpad(c_name, 24, '.') AS name_rpad,
+       split_part(c_name, '#', 2) AS name_number,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+       repeat('*', CAST(c_nationkey % 4 AS INT)) AS stars,
+       reverse(c_name) AS name_rev,
+       (nullif(c_mktsegment, 'BUILDING') IS NULL) AS is_building,
+       CAST(ascii(substr(c_name, 1, 1)) AS BIGINT) AS first_ascii,
+       chr(65 + CAST(c_nationkey AS INT) % 26) AS nation_letter
+FROM customer
+"""
+
+
 def asof_cogroup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics as asof_last_click_before_purchase, but through
     the cogroup+applyInPandas operator (ops.grouped.asof_join_cogroup) —
@@ -633,6 +667,7 @@ QUERIES = {
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
     "asof_cogroup_purchases": asof_cogroup_purchases,
     "salted_priority_join": salted_priority_join,
+    "string_function_suite": string_function_suite,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "sketch_distinct_rollup": sketch_distinct_rollup,
@@ -662,6 +697,7 @@ ORACLE = {
     "asof_last_click_before_purchase": ASOF_SQL,
     "asof_cogroup_purchases": ASOF_COGROUP_SQL,
     "salted_priority_join": SALTED_JOIN_SQL,
+    "string_function_suite": STRING_SUITE_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,
