@@ -191,6 +191,35 @@ FROM customer
 """
 
 
+def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time breadth beyond the extract/dual-format queries:
+    month-end (last_day), calendar arithmetic with end-of-month clamping
+    (add_months), quarter, ISO week, day-of-year, quarter truncation —
+    each verified to agree with DuckDB's semantics."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus3m"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter_start"),
+    )
+
+
+DATETIME_SUITE_SQL = """
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+FROM orders
+"""
+
+
 def asof_cogroup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics as asof_last_click_before_purchase, but through
     the cogroup+applyInPandas operator (ops.grouped.asof_join_cogroup) —
@@ -668,6 +697,7 @@ QUERIES = {
     "asof_cogroup_purchases": asof_cogroup_purchases,
     "salted_priority_join": salted_priority_join,
     "string_function_suite": string_function_suite,
+    "datetime_function_suite": datetime_function_suite,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "sketch_distinct_rollup": sketch_distinct_rollup,
@@ -698,6 +728,7 @@ ORACLE = {
     "asof_cogroup_purchases": ASOF_COGROUP_SQL,
     "salted_priority_join": SALTED_JOIN_SQL,
     "string_function_suite": STRING_SUITE_SQL,
+    "datetime_function_suite": DATETIME_SUITE_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,
