@@ -220,6 +220,67 @@ FROM orders
 """
 
 
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 collection-function breadth: collect/sort/distinct/contains/
+    slice over per-order line arrays. Array outputs are joined to strings —
+    array renderings differ across engines but the joined string hashes
+    identically (and DuckDB's list_distinct does not even preserve order,
+    so distinct feeds a count, never an output)."""
+    l = T(spark, sf_dir, "lineitem")
+    lines_sorted = F.sort_array(F.collect_list(F.col("l_linenumber").cast("bigint")))
+    qtys = F.collect_list(F.col("l_quantity").cast("bigint"))
+    return l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(
+            F.transform(lines_sorted, lambda x: x.cast("string")), ","
+        ).alias("lines_csv"),
+        F.size(F.array_distinct(qtys)).cast("bigint").alias("n_distinct_qty"),
+        F.array_contains(lines_sorted, F.lit(7)).alias("has_line_7"),
+        F.array_join(
+            F.transform(
+                F.slice(F.reverse(F.sort_array(qtys)), 1, 3), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("top3_qty_csv"),
+    )
+
+
+ARRAY_SUITE_SQL = """
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))), ',') AS lines_csv,
+       CAST(len(list_distinct(list(CAST(l_quantity AS BIGINT)))) AS BIGINT) AS n_distinct_qty,
+       list_contains(list_sort(list(CAST(l_linenumber AS BIGINT))), 7) AS has_line_7,
+       array_to_string(list_reverse(list_sort(list(CAST(l_quantity AS BIGINT))))[1:3], ',') AS top3_qty_csv
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def bitwise_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate parity (bit_and/bit_or/bit_xor) — the integer
+    lattice aggregates used for permission masks and feature flags; fully
+    associative/commutative, so partitioning-invariant by construction."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(F.col("o_orderkey")).alias("key_band"),
+        F.bit_or(F.col("o_orderkey")).alias("key_bor"),
+        F.bit_xor(F.col("o_orderkey")).alias("key_bxor"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+BITWISE_SUITE_SQL = """
+SELECT o_orderpriority,
+       bit_and(o_orderkey) AS key_band,
+       bit_or(o_orderkey) AS key_bor,
+       bit_xor(o_orderkey) AS key_bxor,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def asof_cogroup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics as asof_last_click_before_purchase, but through
     the cogroup+applyInPandas operator (ops.grouped.asof_join_cogroup) —
@@ -698,6 +759,8 @@ QUERIES = {
     "salted_priority_join": salted_priority_join,
     "string_function_suite": string_function_suite,
     "datetime_function_suite": datetime_function_suite,
+    "array_function_suite": array_function_suite,
+    "bitwise_agg_suite": bitwise_agg_suite,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "sketch_distinct_rollup": sketch_distinct_rollup,
@@ -729,6 +792,8 @@ ORACLE = {
     "salted_priority_join": SALTED_JOIN_SQL,
     "string_function_suite": STRING_SUITE_SQL,
     "datetime_function_suite": DATETIME_SUITE_SQL,
+    "array_function_suite": ARRAY_SUITE_SQL,
+    "bitwise_agg_suite": BITWISE_SUITE_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,
