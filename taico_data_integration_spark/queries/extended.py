@@ -281,6 +281,48 @@ GROUP BY o_orderpriority
 """
 
 
+def quantiles_and_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles next to the approx-percentile sketch.
+    Exactness trick: quantiles run over integer CENTS, so the interpolation
+    fraction is a power of two ((n-1)*q at q=0.25/0.5/0.75) and every
+    engine's lerp formula gives the bit-identical double. The KLL-style
+    approx_percentile is engine-specific, so it contributes a hash-checked
+    within-tolerance boolean (same pattern as the HLL sketch queries)."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select("o_orderpriority", cents.alias("cents"))
+    agg = base.groupBy("o_orderpriority").agg(
+        F.percentile("cents", 0.25).alias("q25_cents"),
+        F.percentile("cents", 0.5).alias("median_cents"),
+        F.percentile("cents", 0.75).alias("q75_cents"),
+        F.approx_percentile("cents", 0.5, 10000).alias("__approx_med"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tol = F.col("median_cents") * F.lit(0.02)
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "q25_cents",
+        "median_cents",
+        "q75_cents",
+        (F.abs(F.col("__approx_med").cast("double") - F.col("median_cents")) <= tol).alias(
+            "approx_median_within_tol"
+        ),
+    )
+
+
+QUANTILES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS q25_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS q75_cents,
+       TRUE AS approx_median_within_tol
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def asof_cogroup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics as asof_last_click_before_purchase, but through
     the cogroup+applyInPandas operator (ops.grouped.asof_join_cogroup) —
@@ -761,6 +803,7 @@ QUERIES = {
     "datetime_function_suite": datetime_function_suite,
     "array_function_suite": array_function_suite,
     "bitwise_agg_suite": bitwise_agg_suite,
+    "quantiles_and_sketch": quantiles_and_sketch,
     "count_distinct_users": count_distinct_users,
     "approx_distinct_users": approx_distinct_users,
     "sketch_distinct_rollup": sketch_distinct_rollup,
@@ -794,6 +837,7 @@ ORACLE = {
     "datetime_function_suite": DATETIME_SUITE_SQL,
     "array_function_suite": ARRAY_SUITE_SQL,
     "bitwise_agg_suite": BITWISE_SUITE_SQL,
+    "quantiles_and_sketch": QUANTILES_SQL,
     "count_distinct_users": COUNT_DISTINCT_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "sketch_distinct_rollup": SKETCH_ROLLUP_SQL,
