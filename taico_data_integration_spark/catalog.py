@@ -51,17 +51,34 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to TIMESTAMP (LTZ) whatever physical
+    type the fixture generation produced:
+    - bigint: TIMESTAMP(NANOS) parquet read under nanosAsLong — truncate to
+      micros, the same semantics as DuckDB casting TIMESTAMP_NS -> TIMESTAMP;
+    - timestamp_ntz: TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet under
+      Spark 4's NTZ inference — reinterpret as an instant (sessions run UTC,
+      so the wall clock is unchanged and oracle parity holds);
+    - timestamp: already the canonical type.
+    LTZ is required downstream by withWatermark / unix_* and keeps batch and
+    streaming reads of the same fixture type-identical."""
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan. Filters/projections applied by callers reach the scan
     via Catalyst pushdown (verified in tests/test_plans.py)."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long (see session.py): truncate to microseconds, the same
-        # semantics as DuckDB casting TIMESTAMP_NS -> TIMESTAMP.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -2,10 +2,12 @@
 
 Images/audio/video travel as `binary` columns with a `modality` tag and a
 metadata struct. Decode/resize/frame-sample are Arrow-batched mapInPandas
-stages; the actual media codecs are NOT in this container, so decode is
-stubbed (deterministic fake features / NotImplementedError), while the
-Spark-side plumbing — schema, batch iteration, partitioning — is real and
-tested.
+stages. Image decode (BMP/PPM) and video frame-sampling (YUV4MPEG2) are
+REAL pure-numpy codecs — header parse, stride/padding, plane offsets —
+because those formats are uncompressed; compressed codecs (JPEG/H.264)
+would slot into the same kernels but need libs absent from this container.
+The Spark-side plumbing — schema, batch iteration, partitioning — is the
+production contract either way.
 
 Scale notes: payloads stay in executors (never collected); repartition by a
 content-hash prefix before the decode stage so batches are size-balanced
@@ -132,8 +134,8 @@ def repartition_for_decode(media: DataFrame, parallelism: int) -> DataFrame:
 # Real image codecs: 24-bit uncompressed BMP and binary PPM (P6), pure
 # python/numpy — no PIL/opencv needed. These are genuine decoders (header
 # parse, BMP 4-byte row padding, bottom-up row order), so the decode and
-# resize stages below execute non-stubbed. Only video frame-sampling stays
-# a stub (ffmpeg is genuinely absent from this container).
+# resize stages below execute non-stubbed. Video frame-sampling is likewise
+# real over YUV4MPEG2 (see encode_y4m/decode_y4m_bytes below).
 
 
 def encode_ppm(arr) -> bytes:
@@ -257,10 +259,269 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def sample_video_frames(media: DataFrame, every_n_seconds: float):
-    """Frame-sampling stub — real impl shells to ffmpeg per Arrow batch;
-    ffmpeg is not present in this container."""
-    raise NotImplementedError("video frame sampling requires ffmpeg, not present in this container")
+# ---------------------------------------------------------------------------
+# Real video codec: YUV4MPEG2 (.y4m), the standard uncompressed video
+# container (mjpegtools/ffmpeg interchange format). Header + raw YUV planes,
+# so a genuine pure-numpy parser needs no ffmpeg. Supports C444 (full-res
+# chroma) and C420 (2x2-subsampled chroma) colorspaces.
+
+
+def encode_y4m(frames, fps=(5, 1), colorspace: str = "C444") -> bytes:
+    """YUV4MPEG2 bytes from a list of (y, u, v) uint8 plane arrays. For C444
+    all planes are (h, w); for C420 chroma planes are (h//2, w//2)."""
+    import numpy as np
+
+    y0 = np.asarray(frames[0][0], dtype=np.uint8)
+    h, w = y0.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps[0], fps[1], colorspace.encode())]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(np.asarray(y, dtype=np.uint8).tobytes())
+        out.append(np.asarray(u, dtype=np.uint8).tobytes())
+        out.append(np.asarray(v, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m_bytes(b: bytes):
+    """Parse YUV4MPEG2 bytes -> (frames, fps) where frames is a list of
+    (y, u, v) uint8 arrays and fps is a (num, den) tuple. Genuine container
+    parse: tagged header params, per-frame FRAME markers (with optional
+    frame parameters), plane sizes from the colorspace tag."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    eol = b.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "C420"
+    for tag in b[9:eol].split():
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            chroma = tag.decode()
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith("C444"):
+        cw, ch = w, h
+    elif chroma.startswith("C420"):
+        cw, ch = w // 2, h // 2
+    else:
+        raise ValueError(f"unsupported y4m colorspace: {chroma}")
+    y_sz, c_sz = w * h, cw * ch
+    frames = []
+    pos = eol + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = b.index(b"\n", pos) + 1  # FRAME line may carry parameters
+        y = np.frombuffer(b, dtype=np.uint8, count=y_sz, offset=pos).reshape(h, w)
+        u = np.frombuffer(b, dtype=np.uint8, count=c_sz, offset=pos + y_sz).reshape(ch, cw)
+        v = np.frombuffer(b, dtype=np.uint8, count=c_sz, offset=pos + y_sz + c_sz).reshape(ch, cw)
+        frames.append((y, u, v))
+        pos += y_sz + 2 * c_sz
+    return frames, fps
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_y", DoubleType(), True),
+        StructField("mean_u", DoubleType(), True),
+        StructField("mean_v", DoubleType(), True),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n_seconds: float) -> DataFrame:
+    """Real frame-sampling stage: Arrow batches of y4m payloads -> one row
+    per sampled frame (every_n_seconds apart by the stream's own framerate)
+    with per-plane means. Same mapInPandas contract an ffmpeg deployment
+    would use; the y4m parse is genuine (header tags, FRAME markers, plane
+    offsets). Payloads never leave executors; output is per-frame stats,
+    orders of magnitude smaller than the input."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "frame_idx", "ts_ms", "width", "height", "mean_y", "mean_u", "mean_v")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, (num, den) = decode_y4m_bytes(bytes(payload))
+                stride = max(1, int(round(every_n_seconds * num / den)))
+                for idx in range(0, len(frames), stride):
+                    y, u, v = frames[idx]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * 1000 * den // num)
+                    out["height"].append(y.shape[0])
+                    out["width"].append(y.shape[1])
+                    out["mean_y"].append(float(y.mean()))
+                    out["mean_u"].append(float(u.mean()))
+                    out["mean_v"].append(float(v.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec: RIFF/WAVE PCM (16-bit), pure python/numpy — uncompressed,
+# so no audio libs needed. Genuine chunk-walk parser (fmt /data chunks in any
+# order, unknown chunks skipped, word-aligned chunk sizes).
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE PCM bytes from an int16 array — (n,) mono or (n, channels)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()  # interleaved little-endian int16
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_bytes(b: bytes):
+    """Parse RIFF/WAVE PCM bytes -> ((n, channels) int16 array, sample_rate).
+    Walks the chunk list (chunks are word-aligned; unknown ones skipped), so
+    files with LIST/INFO or cue chunks parse correctly."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    a = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    return a, rate
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("peak", LongType(), True),
+        StructField("mean_abs", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Real audio feature stage: Arrow batches of WAV payloads -> per-asset
+    duration, peak amplitude, and mean absolute amplitude (integer sums over
+    int16 — exact in double well past any real clip length). Same
+    mapInPandas contract a librosa/whisper front-end would use."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "sample_rate", "n_samples", "n_channels", "duration_ms", "peak", "mean_abs")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                a, rate = decode_wav_bytes(bytes(payload))
+                n, ch = a.shape
+                absa = np.abs(a.astype(np.int64))
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["n_channels"].append(ch)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(absa.max()))
+                out["mean_abs"].append(float(absa.sum()) / (n * ch))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_feat, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def documents_as_audio_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: deterministic PCM clips from doc_id — sample i of doc
+    d is ((d*13 + i*7) % 2048) - 1024, so a SQL oracle replays the exact
+    waveform with generate_series while the parser genuinely walks RIFF
+    chunks (a decoy LIST chunk is included to exercise chunk skipping)."""
+    import numpy as np
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype(int):
+                n = 64 + 8 * (d % 9)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 13 + i * 7) % 2048 - 1024).astype(np.int16)
+                wav = encode_wav(samples, sample_rate=8000)
+                # splice a decoy chunk between fmt and data: parser must skip it
+                decoy = b"LIST" + (7).to_bytes(4, "little") + b"INFOxyz" + b"\x00"
+                fmt_end = wav.index(b"data")
+                spliced = wav[:fmt_end] + decoy + wav[fmt_end:]
+                riff_sz = (len(spliced) - 8).to_bytes(4, "little")
+                payloads.append(spliced[:4] + riff_sz + spliced[8:])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "modality": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_render, schema=MEDIA_SCHEMA)
+
+
+def documents_as_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: deterministic y4m clips derived from doc_id (frame
+    count, dims, and constant plane fills are pure doc_id/frame arithmetic),
+    so a SQL oracle can predict the sampled-frame output in closed form
+    while the parser genuinely walks the container."""
+    import numpy as np
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype(int):
+                w, h = 8 + 2 * (d % 5), 4 + 2 * (d % 3)
+                frames = []
+                for f in range(3 + d % 5):
+                    y = np.full((h, w), (d * 31 + f * 17) % 256, dtype=np.uint8)
+                    u = np.full((h, w), (d * 53 + f * 29) % 256, dtype=np.uint8)
+                    v = np.full((h, w), (d * 71 + f * 13) % 256, dtype=np.uint8)
+                    frames.append((y, u, v))
+                payloads.append(encode_y4m(frames, fps=(5, 1), colorspace="C444"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "modality": "video",
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_render, schema=MEDIA_SCHEMA)
 
 
 def documents_as_decodable_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

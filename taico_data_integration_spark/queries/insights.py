@@ -228,9 +228,14 @@ FROM orders GROUP BY o_orderpriority
 def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    g = e.withColumn(
-        "gap_us", F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    ).where(F.col("gap_us").isNotNull())
+    # timestampdiff is wall-clock arithmetic and accepts both TIMESTAMP and
+    # TIMESTAMP_NTZ — unix_micros would reject the NTZ type a vanilla
+    # session infers for parquet timestamps.
+    g = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .where(F.col("gap_us").isNotNull())
+    )
     return g.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.max("gap_us").alias("max_gap_us"),

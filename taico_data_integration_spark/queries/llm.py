@@ -19,9 +19,13 @@ from ..llm.dedup import (
 )
 from ..llm.multimodal import (
     decode_image,
+    documents_as_audio_media,
     documents_as_decodable_media,
     documents_as_media,
+    documents_as_video_media,
+    extract_audio_features,
     extract_metadata,
+    sample_video_frames,
 )
 from ..llm.similarity import cosine_topk_bruteforce, cosine_topk_ivf, embedding_neardup_pairs
 from ..llm.text import (
@@ -816,6 +820,55 @@ FROM documents
 """
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (non-stubbed) video frame-sampling: deterministic YUV4MPEG2
+    clips (5 fps, C444, 3-7 constant-fill frames) are rendered from doc_id,
+    then genuinely container-parsed back (header tags, FRAME markers, plane
+    offsets) in a mapInPandas stage sampling every 0.4 s = every 2nd frame.
+    The oracle predicts each sampled frame's index, timestamp, dims, and
+    plane means in closed form from doc_id — any parser bug (plane order,
+    frame offset, stride arithmetic) breaks the value hash."""
+    media = documents_as_video_media(T(spark, sf_dir, "documents"))
+    return sample_video_frames(media, every_n_seconds=0.4)
+
+
+MULTIMODAL_VIDEO_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 200 AS BIGINT) AS ts_ms,
+       CAST(8 + 2 * (doc_id % 5) AS BIGINT) AS width,
+       CAST(4 + 2 * (doc_id % 3) AS BIGINT) AS height,
+       CAST((doc_id * 31 + f * 17) % 256 AS DOUBLE) AS mean_y,
+       CAST((doc_id * 53 + f * 29) % 256 AS DOUBLE) AS mean_u,
+       CAST((doc_id * 71 + f * 13) % 256 AS DOUBLE) AS mean_v
+FROM documents, UNNEST(generate_series(0, CAST(2 + doc_id % 5 AS BIGINT), 2)) AS t(f)
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (non-stubbed) audio decode: deterministic 16-bit PCM WAV clips
+    (8 kHz mono, waveform is pure doc_id/sample-index arithmetic, plus a
+    decoy LIST chunk the parser must skip) are rendered from doc_id, then
+    genuinely RIFF-chunk-walked back in a mapInPandas stage. The oracle
+    replays the exact waveform with generate_series — any parser bug (chunk
+    offsets, endianness, sign) breaks the value hash."""
+    media = documents_as_audio_media(T(spark, sf_dir, "documents"))
+    return extract_audio_features(media)
+
+
+MULTIMODAL_AUDIO_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS asset_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(COUNT(*) // 8 AS BIGINT) AS duration_ms,
+       CAST(MAX(ABS((doc_id * 13 + i * 7) % 2048 - 1024)) AS BIGINT) AS peak,
+       CAST(SUM(ABS((doc_id * 13 + i * 7) % 2048 - 1024)) AS DOUBLE) / COUNT(*) AS mean_abs
+FROM documents, UNNEST(generate_series(0, CAST(63 + 8 * (doc_id % 9) AS BIGINT))) AS t(i)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -841,6 +894,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_decode": multimodal_decode,
+    "multimodal_video_frames": multimodal_video_frames,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLE = {
@@ -866,6 +921,8 @@ ORACLE = {
     "doc_fingerprints": FINGERPRINT_SQL,
     "multimodal_metadata": MULTIMODAL_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
 }

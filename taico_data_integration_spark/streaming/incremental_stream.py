@@ -39,9 +39,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
     stream = spark.readStream.schema(static.schema).format("parquet").load(link_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from ..catalog import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

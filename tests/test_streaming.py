@@ -90,18 +90,19 @@ def test_stateful_sessions_across_microbatches(spark, tmp_path):
 
     from pyspark.sql import Window
 
+    from taico_data_integration_spark.catalog import normalize_event_ts
+
     # re-write as 5 time-ordered partitions so micro-batches arrive in order
-    df = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts = raw epoch-nanos long
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
     df.withColumn("__b", F.ntile(5).over(Window.orderBy("ts"))).write.mode(
         "overwrite"
     ).partitionBy("__b").parquet(str(tmp_path / "events_batched"))
     batched = spark.read.parquet(str(tmp_path / "events_batched"))
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(batched.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(tmp_path / "events_batched"))
         .drop("__b")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     out = sessionize_stream(stream, gap_seconds=1800)
     q = (
@@ -151,7 +152,9 @@ def test_stream_stream_interval_join_matches_batch(spark):
     b = spark.read.parquet(f"{SF_DIR}/events.parquet")
     from pyspark.sql import functions as SF
 
-    b = b.withColumn("ts", SF.timestamp_micros(SF.expr("ts div 1000")))
+    from taico_data_integration_spark.catalog import normalize_event_ts
+
+    b = normalize_event_ts(b)
     bp = b.where("event_type = 'purchase'").select("user_id", SF.col("ts").alias("p_ts"))
     bc = b.where("event_type = 'click'").select(SF.col("user_id").alias("c_uid"), SF.col("ts").alias("c_ts"))
     expected = bp.join(
