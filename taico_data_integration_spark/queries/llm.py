@@ -329,6 +329,131 @@ SELECT vertex AS doc_id, MIN(label) AS cluster_id,
 FROM reach GROUP BY vertex
 """
 
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup: a NEW batch of documents (doc_id % 10 = 0 plays
+# the arriving batch; the rest is the already-indexed corpus) LSH-probed
+# against the corpus — band keys equi-join across the two sides, never a
+# self-join of everything. This is the shape ingestion takes at 100 TB: the
+# corpus band index is precomputed/persisted; each arriving batch computes
+# only its own signatures and joins.
+
+_INCR_MIN_JACCARD = 0.05
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    base = materialized_shingles(d, "text", "doc_id", 3)
+    bands = minhash_band_keys_fast(
+        d, k=3, num_hashes=16, bands=4, rows_per_band=4, shingled=base
+    )
+    new_b = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
+    )
+    corp_b = bands.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_key"
+    )
+    cands = (
+        new_b.join(corp_b, ["band_id", "band_key"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("new_doc_id"), F.col("__sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("corpus_doc_id"), F.col("__sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common).cast("double"), 6
+    )
+    return (
+        cands.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            common.cast("bigint").alias("common"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _INCR_MIN_JACCARD)
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, s.seed, min(md5(concat_ws(':', CAST(s.seed AS VARCHAR), shingle))) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY doc_id, s.seed),
+sig AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(concat_ws('|', sig[b.band_id*4 + 1], sig[b.band_id*4 + 2],
+                            sig[b.band_id*4 + 3], sig[b.band_id*4 + 4])) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b),
+cands AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+sets AS (SELECT doc_id, list(shingle) AS shl FROM sh GROUP BY doc_id)
+SELECT new_doc_id, corpus_doc_id,
+  CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS common,
+  ROUND(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+        / CAST(len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE), 6) AS jaccard
+FROM cands
+JOIN sets sa ON sa.doc_id = new_doc_id
+JOIN sets sb ON sb.doc_id = corpus_doc_id
+WHERE ROUND(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+        / CAST(len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE), 6)
+      >= {_INCR_MIN_JACCARD}
+"""
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split: every document inherits the hash bucket of its
+# near-dup CLUSTER (singletons are their own cluster), so two near-duplicate
+# documents can never land in different splits — train/test contamination
+# via near-dups is impossible by construction, not by post-hoc filtering.
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.curation import dataset_split
+    from ..llm.dedup import connected_components
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_lsh_verified_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= _CLUSTER_MIN_JACCARD
+    )
+    cc = connected_components(pairs)
+    assigned = d.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return assigned.select(
+        "doc_id", "cluster_id", dataset_split(F.col("cluster_id")).alias("split")
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE
+pairsq AS (SELECT doc_a, doc_b FROM ({LSH_VERIFIED_SQL}) z WHERE jaccard >= {_CLUSTER_MIN_JACCARD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairsq
+          UNION SELECT doc_b, doc_a FROM pairsq),
+verts AS (SELECT DISTINCT u AS vertex FROM edges),
+reach(vertex, label) AS (
+  SELECT vertex, vertex FROM verts
+  UNION
+  SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.vertex),
+cc AS (SELECT vertex AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY vertex),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+SELECT doc_id, cluster_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS b
+  FROM (SELECT doc_id, cluster_id, md5(CAST(cluster_id AS VARCHAR)) AS h FROM assigned) z) y
+"""
+
 
 def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup resolution: LSH candidates -> Jaccard verify ->
@@ -877,6 +1002,8 @@ QUERIES = {
     "dedup_lsh_verified_pairs": dedup_lsh_verified_pairs,
     "minhash_calibration": minhash_calibration,
     "dedup_clusters": dedup_clusters,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
+    "leakage_safe_split": leakage_safe_split,
     "dedup_canonical_keepers": dedup_canonical_keepers,
     "dedup_simhash": dedup_simhash,
     "embedding_neardup": embedding_neardup,
@@ -906,6 +1033,8 @@ ORACLE = {
     "dedup_lsh_verified_pairs": LSH_VERIFIED_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_incremental_lsh": DEDUP_INCREMENTAL_SQL,
+    "leakage_safe_split": LEAKAGE_SPLIT_SQL,
     "dedup_canonical_keepers": DEDUP_KEEPERS_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,

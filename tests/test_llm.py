@@ -332,6 +332,55 @@ def test_video_frame_sampling_real(spark):
     assert (r.mean_u, r.mean_v) == (7.0, 9.0)
 
 
+def test_incremental_dedup_sides_and_symmetry(spark):
+    """dedup_incremental_lsh emits only cross-side pairs (new batch = ids
+    %10==0 vs corpus), and each emitted pair's jaccard agrees with the
+    symmetric full-corpus LSH-verified pair set."""
+    from taico_data_integration_spark.queries.llm import (
+        dedup_incremental_lsh,
+        dedup_lsh_verified_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = dedup_incremental_lsh(spark, sf).collect()
+    assert len(inc) > 0
+    for r in inc:
+        assert r.new_doc_id % 10 == 0 and r.corpus_doc_id % 10 != 0
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+        for r in dedup_lsh_verified_pairs(spark, sf).collect()
+    }
+    for r in inc:
+        key = (min(r.new_doc_id, r.corpus_doc_id), max(r.new_doc_id, r.corpus_doc_id))
+        assert key in full and full[key] == r.jaccard
+
+
+def test_leakage_safe_split_no_cross_split_neardups(spark):
+    """The defining invariant: every verified near-dup pair (jaccard >= the
+    cluster threshold) lands in ONE split, and split labels agree with the
+    md5 bucket of the pair's cluster id."""
+    from taico_data_integration_spark.queries.llm import (
+        _CLUSTER_MIN_JACCARD,
+        dedup_lsh_verified_pairs,
+        leakage_safe_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    split = {r.doc_id: (r.cluster_id, r.split) for r in leakage_safe_split(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(split) == docs
+    pairs = [
+        r
+        for r in dedup_lsh_verified_pairs(spark, sf).collect()
+        if r.jaccard >= _CLUSTER_MIN_JACCARD
+    ]
+    assert len(pairs) > 0
+    for r in pairs:
+        ca, sa = split[r.doc_a]
+        cb, sb = split[r.doc_b]
+        assert ca == cb and sa == sb, (r.doc_a, r.doc_b)
+
+
 def test_wav_codec_roundtrip_exact():
     """encode->decode is lossless for mono and stereo 16-bit PCM; the
     chunk-walk parser skips unknown chunks and tolerates word-align pads."""
