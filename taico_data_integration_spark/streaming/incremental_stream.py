@@ -44,6 +44,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (same symlink-directory
+    trick as stream_events) — stands in for the arrival feed of an
+    ingestion pipeline."""
+    ensure_runtime_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(), "taico_stream_docs", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    return spark.readStream.schema(static.schema).format("parquet").load(link_dir)
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window aggregation — the streaming twin of
     queries.core.tumbling_events; late rows beyond the watermark drop."""

@@ -140,6 +140,50 @@ def test_stream_dedup_matches_batch(spark):
     assert got == expected
 
 
+def test_stream_static_lsh_dedup_matches_batch(spark):
+    """Stream-static band join: documents arriving as a stream probe the
+    static corpus band index; the DISTINCT collision pairs must equal the
+    batch dedup_incremental_lsh candidate set (pre-verification)."""
+    from taico_data_integration_spark.llm.dedup import minhash_band_keys_fast
+    from taico_data_integration_spark.queries.llm import dedup_lsh_verified_pairs
+    from taico_data_integration_spark.streaming.incremental_stream import stream_documents
+    from taico_data_integration_spark.streaming.joins import stream_lsh_dedup_against_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_bands = minhash_band_keys_fast(docs.where(F.col("doc_id") % 10 != 0))
+    new_stream = stream_documents(spark, SF_DIR).where(F.col("doc_id") % 10 == 0)
+    out = stream_lsh_dedup_against_index(new_stream, corpus_bands)
+    run_to_memory(out, "stream_lsh_dedup", output_mode="append")
+    got = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in spark.table("stream_lsh_dedup").collect()
+    }
+    # batch twin: candidate pairs = any shared band between the two sides
+    new_bands = minhash_band_keys_fast(docs.where(F.col("doc_id") % 10 == 0))
+    expected = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in new_bands.select(F.col("doc_id").alias("new_doc_id"), "band_id", "band_key")
+        .join(
+            corpus_bands.select(
+                F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .collect()
+    }
+    assert len(expected) > 0 and got == expected
+    # every verified incremental near-dup is reachable through the stream's
+    # candidate set (LSH candidates are a superset of verified pairs)
+    verified = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in dedup_lsh_verified_pairs(spark, SF_DIR).collect()
+    }
+    cross_side = {p for p in verified if (p[0] % 10 == 0) != (p[1] % 10 == 0)}
+    normalized_got = {(min(a, b), max(a, b)) for a, b in got}
+    assert cross_side <= normalized_got or not cross_side
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     from taico_data_integration_spark.streaming.joins import interval_join
 
