@@ -18,6 +18,8 @@ JOIN_HEAVY = [
     "scd2_customer_orders",
     "cdc_orders_final_state",
     "dedup_lsh_verified_pairs",
+    "dedup_incremental_lsh",
+    "leakage_safe_split",
 ]
 
 

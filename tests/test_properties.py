@@ -223,3 +223,48 @@ def test_image_codec_roundtrip_property(w, h, seed):
     arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_image_bytes(encode_bmp(arr))[0], arr)
     assert np.array_equal(decode_image_bytes(encode_ppm(arr))[0], arr)
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    n_frames=st.integers(1, 5),
+    num=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_y4m_codec_roundtrip_property(w, h, n_frames, num, seed):
+    """encode->decode identity for arbitrary C444 clips: every frame, every
+    plane, and the framerate tag survive."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import decode_y4m_bytes, encode_y4m
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        tuple(rng.randint(0, 256, size=(h, w), dtype=np.uint8) for _ in range(3))
+        for _ in range(n_frames)
+    ]
+    got, fps = decode_y4m_bytes(encode_y4m(frames, fps=(num, 1), colorspace="C444"))
+    assert fps == (num, 1) and len(got) == n_frames
+    for f, g in zip(frames, got):
+        assert all(np.array_equal(a, b) for a, b in zip(f, g))
+
+
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_codec_roundtrip_property(n, ch, rate, seed):
+    """encode->decode identity for arbitrary PCM clips (mono/stereo, odd
+    lengths exercising the word-align path)."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import decode_wav_bytes, encode_wav
+
+    a = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch), dtype=np.int16)
+    got, r = decode_wav_bytes(encode_wav(a, sample_rate=rate))
+    assert r == rate and np.array_equal(got, a)

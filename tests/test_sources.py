@@ -111,3 +111,31 @@ def test_jdbc_roundtrip_derby_with_pushdown(spark, tmp_path):
     )
     assert parts.rdd.getNumPartitions() == 3
     assert parts.count() == 30
+
+
+def test_normalize_event_ts_all_physical_types(spark, tmp_path):
+    """catalog.normalize_event_ts canonicalizes every fixture generation's
+    ts physical type — epoch-nanos bigint, TIMESTAMP_NTZ, TIMESTAMP — to the
+    same LTZ instants (UTC session)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.catalog import normalize_event_ts
+
+    wall = [
+        datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),
+        datetime.datetime(2024, 3, 2, 0, 0, 0, 0),
+    ]
+    # bigint epoch-nanos
+    nanos = [int(w.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000 for w in wall]
+    df_big = spark.createDataFrame([(n,) for n in nanos], "ts bigint")
+    # NTZ and LTZ
+    df_ntz = spark.createDataFrame([(w,) for w in wall], "ts timestamp_ntz")
+    df_ltz = spark.createDataFrame([(w,) for w in wall], "ts timestamp")
+    outs = []
+    for df in (df_big, df_ntz, df_ltz):
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        outs.append(sorted(r.ts for r in out.collect()))
+    assert outs[0] == outs[1] == outs[2] == sorted(wall)
