@@ -648,6 +648,53 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-space incremental probe: the semantic twin of
+# dedup_incremental_lsh. The IVF index (quantizer + list assignments) is
+# built from the CORPUS side only (vec_id % 10 != 0); the arriving batch
+# (vec_id % 10 = 0) probes it. Per-batch cost is O(batch x nprobe lists),
+# independent of corpus size once the index is persisted.
+
+
+def semantic_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 10 != 0)
+    new_batch = e.where(F.col("vec_id") % 10 == 0)
+    return cosine_topk_ivf(corpus, new_batch, k=3, n_lists=8, nprobe=2)
+
+
+SEMANTIC_INCREMENTAL_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+corp AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+newb AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM corp QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+),
+cn AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cents),
+c_scores AS (SELECT corp.vec_id, cn.cid, list_dot_product(corp.v, cn.cvn) AS s FROM corp CROSS JOIN cn),
+q_scores AS (SELECT newb.vec_id, cn.cid, list_dot_product(newb.v, cn.cvn) AS s FROM newb CROSS JOIN cn),
+c_assign AS (SELECT vec_id, cid AS list_id FROM c_scores
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 1),
+q_assign AS (SELECT vec_id, cid AS list_id FROM q_scores
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) <= 2),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qn.v, cn2.v) / (qn.nrm * cn2.nrm) AS cosine_raw
+  FROM q_assign q
+  JOIN c_assign c ON q.list_id = c.list_id AND c.vec_id <> q.vec_id
+  JOIN n qn ON qn.vec_id = q.vec_id
+  JOIN n cn2 ON cn2.vec_id = c.vec_id
+),
+d AS (SELECT DISTINCT query_id, neighbor_id, cosine_raw FROM cand)
+SELECT query_id, neighbor_id, ROUND(cosine_raw, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, neighbor_id) AS BIGINT) AS rank
+FROM d
+QUALIFY rank <= 3
+"""
+
+
 ANN_TOPK_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -1009,6 +1056,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
     "ann_topk_ivf": ann_topk_ivf,
+    "semantic_incremental_probe": semantic_incremental_probe,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "token_frequency": token_frequency,
     "doc_length_stats": doc_length_stats,
@@ -1053,5 +1101,6 @@ ORACLE = {
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
+    "semantic_incremental_probe": SEMANTIC_INCREMENTAL_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
 }
