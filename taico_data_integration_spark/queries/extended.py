@@ -785,7 +785,39 @@ FROM supplier a JOIN supplier b
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE). Walks
+# each customer's orders as a linked chain: anchor = first order by date,
+# recursive step joins the (rn = pos + 1) successor. UNION ALL recursion on
+# an acyclic structure, depth bounded by the longest per-customer chain.
+# At scale the window formulation IS the plan of choice — this query exists
+# to give recursive-SQL workloads a checked migration target, and the
+# oracle runs the IDENTICAL statement text on DuckDB.
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE
+seq AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+chain(o_orderkey, o_custkey, pos) AS (
+  SELECT o_orderkey, o_custkey, CAST(1 AS BIGINT) FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.o_orderkey, s.o_custkey, c.pos + 1
+  FROM chain c JOIN seq s ON s.o_custkey = c.o_custkey AND s.rn = c.pos + 1
+)
+SELECT o_orderkey, o_custkey, pos FROM chain
+"""
+
+
+def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
 QUERIES = {
+    "recursive_order_chains": recursive_order_chains,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -816,6 +848,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "recursive_order_chains": _RECURSIVE_CHAIN_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
