@@ -91,3 +91,52 @@ def test_pipeline_callbacks_fire(spark, tmp_path):
     assert seen[-1][0] == "fail"
     cb.report("etl_pipeline", {"ok": False, "results": {}})
     assert cb.fired[-1] == ("etl_pipeline", "failure")
+
+
+def test_ingestion_pipeline_end_to_end(spark, tmp_path):
+    """Two-batch ingestion: batch 1 seeds the corpus; batch 2 re-sends one
+    exact copy, one near-dup (small edit), and fresh docs. The stored band
+    index must reject both repeats while the fresh English docs land, and
+    re-ingesting batch 2 verbatim must accept nothing (idempotence)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+    from taico_data_integration_spark.pipelines.callbacks import PipelineCallbacks
+    from taico_data_integration_spark.pipelines.ingestion_pipeline import ingest_batch
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green hills where many other animals live together happily "
+        "and the seasons pass with sun and rain and the fields grow tall "
+    )
+    def doc(i, text):
+        return (i, text, "en", "unit", len(text))
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = spark.createDataFrame(
+        [doc(1, base * 2), doc(2, base + "completely different second story about ships and oceans " * 3)],
+        cols,
+    )
+    store = TableStore(spark, str(tmp_path / "corpus"))
+    cb = PipelineCallbacks()
+    s1 = ingest_batch(spark, store, b1, cb)
+    assert s1["n_accepted"] == 2 and s1["corpus_rows"] == 2
+
+    b2 = spark.createDataFrame(
+        [
+            doc(10, base * 2),  # exact copy of doc 1
+            doc(11, base * 2 + "one extra tail sentence appended here today"),  # near-dup
+            doc(12, "A genuinely new long document about the mountain weather patterns. "
+                    "It keeps describing the clouds, the wind, the snow and the valleys. "
+                    "The writing passes the minimum token and quality thresholds easily. "
+                    "Varied words keep appearing throughout the whole of the text body."),
+        ],
+        cols,
+    )
+    s2 = ingest_batch(spark, store, b2, cb)
+    assert s2["n_exact_dup"] == 1
+    assert s2["n_near_dup"] == 1
+    assert s2["n_accepted"] == 1 and s2["corpus_rows"] == 3
+
+    # idempotence: the whole of batch 2 is now in/near the corpus
+    s3 = ingest_batch(spark, store, b2, cb)
+    assert s3["n_accepted"] == 0 and s3["corpus_rows"] == 3
+    assert [p for p, kind in cb.fired] == ["ingestion"] * 3
