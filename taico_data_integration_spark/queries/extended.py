@@ -786,6 +786,58 @@ FROM supplier a JOIN supplier b
 
 
 # ---------------------------------------------------------------------------
+# Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
+# SQL" (EDBT 2023) motivates native skyline support; this is the operator
+# re-expressed with existing primitives. For the 2-D case (minimize price,
+# maximize size) no self-join is needed: group to one row per distinct
+# price (shuffle on price), cumulative-max over that compressed
+# dimension-sized frame, broadcast the surviving prices back. A part is
+# Pareto-optimal iff no part is cheaper-or-equal AND larger-or-equal with
+# one strict — i.e. its price's running max over strictly-cheaper prices is
+# below its size, and it carries the max size at its own price. The oracle
+# is the textbook NOT EXISTS dominance test (quadratic, fine at oracle SF).
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    cents = F.round(dec2("p_retailprice", 12) * 100).cast("bigint")
+    base = p.select(
+        "p_partkey",
+        "p_name",
+        cents.alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    per_price = base.groupBy("price_cents").agg(F.max("size").alias("max_size"))
+    # global window over DISTINCT prices only — a compressed, dimension-sized
+    # frame (same size contract as the daily-series windows), not the fact rows
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    sky_prices = (
+        per_price.withColumn("max_cheaper", F.max("max_size").over(w))
+        .where(F.col("max_cheaper").isNull() | (F.col("max_size") > F.col("max_cheaper")))
+        .select("price_cents", "max_size")
+    )
+    return (
+        base.join(F.broadcast(sky_prices), "price_cents")
+        .where(F.col("size") == F.col("max_size"))
+        .select("p_partkey", "p_name", "price_cents", "size")
+    )
+
+
+SKYLINE_SQL = """
+WITH b AS (
+  SELECT p_partkey, p_name,
+         CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part)
+SELECT p_partkey, p_name, price_cents, size
+FROM b x
+WHERE NOT EXISTS (
+  SELECT 1 FROM b y
+  WHERE y.price_cents <= x.price_cents AND y.size >= x.size
+    AND (y.price_cents < x.price_cents OR y.size > x.size))
+"""
+
+# ---------------------------------------------------------------------------
 # Recursive CTE on the Spark SQL surface (Spark 4 WITH RECURSIVE). Walks
 # each customer's orders as a linked chain: anchor = first order by date,
 # recursive step joins the (rn = pos + 1) successor. UNION ALL recursion on
@@ -818,6 +870,7 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "recursive_order_chains": recursive_order_chains,
+    "skyline_parts": skyline_parts,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -849,6 +902,7 @@ QUERIES = {
 
 ORACLE = {
     "recursive_order_chains": _RECURSIVE_CHAIN_SQL,
+    "skyline_parts": SKYLINE_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
