@@ -1041,6 +1041,48 @@ GROUP BY doc_id
 """
 
 
+def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal retrieval end-to-end: REAL image decode (BMP/PPM byte
+    parsing in mapInPandas) -> per-asset feature vector (dims + channel
+    means, all exact integers as doubles) -> brute-force cosine top-3.
+    The oracle reproduces the features in closed form from doc_id and the
+    full similarity ranking in SQL — a decoder bug OR a ranking bug breaks
+    the value hash. Composes the modality stack with the similarity stack:
+    swap the stat-features kernel for CLIP and nothing else changes."""
+    media = documents_as_decodable_media(T(spark, sf_dir, "documents"))
+    dec = decode_image(media)
+    feats = dec.select(
+        F.col("asset_id").alias("vec_id"),
+        F.array(
+            F.col("width").cast("double"),
+            F.col("height").cast("double"),
+            "mean_r",
+            "mean_g",
+            "mean_b",
+        ).alias("embedding"),
+    )
+    return cosine_topk_bruteforce(feats, feats.where(F.col("vec_id") <= 5), k=3)
+
+
+MULTIMODAL_ANN_SQL = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS vec_id,
+         [CAST(8 + doc_id % 9 AS DOUBLE), CAST(4 + doc_id % 7 AS DOUBLE),
+          CAST((doc_id * 37) % 256 AS DOUBLE), CAST((doc_id * 59) % 256 AS DOUBLE),
+          CAST((doc_id * 83) % 256 AS DOUBLE)] AS v
+  FROM documents),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM f),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id <= 5),
+s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qv, c.v) / (qn * c.nrm) AS cos
+      FROM q JOIN n c ON c.vec_id <> query_id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1071,6 +1113,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_video_frames": multimodal_video_frames,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_feature_ann": multimodal_feature_ann,
 }
 
 ORACLE = {
@@ -1100,6 +1143,7 @@ ORACLE = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+    "multimodal_feature_ann": MULTIMODAL_ANN_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
     "semantic_incremental_probe": SEMANTIC_INCREMENTAL_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
