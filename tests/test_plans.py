@@ -68,6 +68,7 @@ def test_no_join_antipatterns_across_all_queries(spark):
         "q11_important_suppliers": "1-row global-total aggregate",
         "fuzzy_name_match": "dim-sized fuzzy side, inequality join by design",
         "ann_topk": "broadcast query set (documented brute-force baseline)",
+        "multimodal_feature_ann": "broadcast query set (same brute-force baseline over decoded features)",
         "text_top_terms": "broadcast 1-row corpus-size aggregate",
     }
     sf = "/root/testdata/sf0.001"

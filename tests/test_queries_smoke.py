@@ -54,3 +54,33 @@ def test_sketch_rollup_union_is_lossless(spark):
     d = {r.event_type: r.est for r in direct.collect()}
     r = {r.event_type: r.est for r in rolled.collect()}
     assert d == r and len(d) > 0
+
+
+def test_skyline_planted_dominance(spark):
+    """Planted Pareto case: only the non-dominated (price, size) points
+    survive; duplicates of a skyline point all survive (no strict edge)."""
+    from taico_data_integration_spark.queries.extended import skyline_parts
+    import taico_data_integration_spark.queries.extended as ext
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a", 10.00, 5),   # skyline (cheapest)
+        (2, "b", 12.00, 8),   # skyline (bigger, pricier)
+        (3, "c", 12.00, 8),   # duplicate of 2 -> also survives
+        (4, "d", 12.00, 3),   # dominated by 2 (same price, smaller)
+        (5, "e", 15.00, 8),   # dominated by 2 (pricier, same size)
+        (6, "f", 20.00, 9),   # skyline (biggest)
+        (7, "g", 25.00, 1),   # dominated by everything cheaper+bigger
+    ]
+    df = spark.createDataFrame(
+        rows, ["p_partkey", "p_name", "p_retailprice", "p_size"]
+    )
+
+    # run the same formulation against the in-memory frame by monkeypatching T
+    orig_t = ext.T
+    try:
+        ext.T = lambda _s, _d, _n: df
+        got = {r.p_partkey for r in skyline_parts(spark, "unused").collect()}
+    finally:
+        ext.T = orig_t
+    assert got == {1, 2, 3, 6}
