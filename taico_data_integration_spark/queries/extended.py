@@ -753,6 +753,59 @@ FROM scored WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# Blocked entity resolution — the fact-scale version of fuzzy_name_match.
+# The all-pairs variant above is the intentionally-broadcast dim-sized
+# baseline; real ER at scale blocks on corruption-invariant keys so the
+# candidate step is an EQUI-join (shuffle on block key), then verifies
+# edit distance within blocks only. Here the invariant is the stable name
+# prefix (the synthetic corruption deletes one character past position 10),
+# exactly how production blocking picks keys the noise model cannot touch.
+
+
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "supplier")
+    pos = (F.col("s_suppkey") % 8 + 10).cast("int")
+    corrupted = s.select(
+        "s_suppkey",
+        F.concat(
+            F.substring("s_name", 1, 30).substr(F.lit(1), pos - 1),
+            F.col("s_name").substr(pos + 1, F.lit(30)),
+        ).alias("corrupt_name"),
+    ).withColumn("block", F.substring("corrupt_name", 1, 9))
+    canon = s.select(F.col("s_name").alias("canonical")).withColumn(
+        "block", F.substring("canonical", 1, 9)
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("dist", "canonical")
+    return (
+        corrupted.join(canon, "block")
+        .withColumn("dist", F.levenshtein("corrupt_name", "canonical").cast("bigint"))
+        .where(F.col("dist") <= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_suppkey", "corrupt_name", F.col("canonical").alias("best_match"), "dist")
+    )
+
+
+ER_BLOCKED_SQL = """
+WITH corrupted AS (
+  SELECT s_suppkey,
+         substr(s_name, 1, CAST(s_suppkey % 8 + 10 AS INT) - 1)
+           || substr(s_name, CAST(s_suppkey % 8 + 10 AS INT) + 1, 30) AS corrupt_name
+  FROM supplier),
+scored AS (
+  SELECT c.s_suppkey, c.corrupt_name, s.s_name AS canonical,
+         CAST(levenshtein(c.corrupt_name, s.s_name) AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY c.s_suppkey
+                            ORDER BY levenshtein(c.corrupt_name, s.s_name), s.s_name) AS rn
+  FROM corrupted c
+  JOIN supplier s ON substr(c.corrupt_name, 1, 9) = substr(s.s_name, 1, 9)
+  WHERE levenshtein(c.corrupt_name, s.s_name) <= 2)
+SELECT s_suppkey, corrupt_name, canonical AS best_match, dist
+FROM scored WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Band join: supplier pairs in the same nation within an account-balance
 # tolerance — executed as a bucketed EQUI-join (ops.joins.band_join), never
 # a nested-loop theta join; the oracle runs the naive theta form.
@@ -871,6 +924,7 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "recursive_order_chains": recursive_order_chains,
     "skyline_parts": skyline_parts,
+    "entity_resolution_blocked": entity_resolution_blocked,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -903,6 +957,7 @@ QUERIES = {
 ORACLE = {
     "recursive_order_chains": _RECURSIVE_CHAIN_SQL,
     "skyline_parts": SKYLINE_SQL,
+    "entity_resolution_blocked": ER_BLOCKED_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
