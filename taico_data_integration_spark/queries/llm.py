@@ -1096,6 +1096,126 @@ FROM qd
 """
 
 
+def ann_quantized_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over int8 codes, calibrated against exact cosine.
+    The quantized estimate expands the affine codes into INTEGER sufficient
+    statistics — sum(q), sum(q^2), sum(qa*qb) are exact in any engine and
+    any order — combined with the per-vector (vmin, scale) in mirrored
+    double arithmetic, so the whole approximate kernel is value-hash
+    checkable, per pair, next to its exact counterpart and absolute error.
+    Pairs are label-blocked with sampled anchors (vec_id % 50 = 0) — the
+    same no-cross-join shape as embedding_neardup."""
+    e = T(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    b = e.select(F.col("vec_id").cast("bigint").alias("vec_id"), F.col("label"), v.alias("v"))
+    vmin, vmax = F.array_min("v"), F.array_max("v")
+    b = (
+        b.withColumn("vmin", vmin)
+        .withColumn("scale", (vmax - vmin) / F.lit(255.0))
+        .where(F.col("scale") > 0)
+        .withColumn(
+            "q",
+            F.transform(
+                "v",
+                lambda x: F.least(
+                    F.lit(255).cast("bigint"), F.floor((x - F.col("vmin")) / F.col("scale"))
+                ),
+            ),
+        )
+        .withColumn("sq", F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x))
+        .withColumn("sq2", F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x * x))
+        .withColumn("n", F.size("v").cast("bigint"))
+    )
+    from ..llm.similarity import dot, l2_norm
+
+    a_side = b.where(F.col("vec_id") % 50 == 0).select(
+        *[F.col(c).alias(f"{c}_a") for c in ("vec_id", "label", "v", "vmin", "scale", "q", "sq", "sq2", "n")]
+    )
+    b_side = b.select(
+        *[F.col(c).alias(f"{c}_b") for c in ("vec_id", "label", "v", "vmin", "scale", "q", "sq", "sq2", "n")]
+    )
+    pairs = a_side.join(
+        b_side,
+        (F.col("label_a") == F.col("label_b")) & (F.col("vec_id_a") != F.col("vec_id_b")),
+    )
+    sqq = F.aggregate(
+        F.zip_with("q_a", "q_b", lambda x, y: x * y), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    nd = F.col("n_a").cast("double")
+    num = (
+        nd * F.col("vmin_a") * F.col("vmin_b")
+        + F.col("vmin_a") * F.col("scale_b") * F.col("sq_b").cast("double")
+        + F.col("vmin_b") * F.col("scale_a") * F.col("sq_a").cast("double")
+        + F.col("scale_a") * F.col("scale_b") * sqq.cast("double")
+    )
+    norm2_a = (
+        nd * F.col("vmin_a") * F.col("vmin_a")
+        + F.lit(2.0) * F.col("vmin_a") * F.col("scale_a") * F.col("sq_a").cast("double")
+        + F.col("scale_a") * F.col("scale_a") * F.col("sq2_a").cast("double")
+    )
+    norm2_b = (
+        nd * F.col("vmin_b") * F.col("vmin_b")
+        + F.lit(2.0) * F.col("vmin_b") * F.col("scale_b") * F.col("sq_b").cast("double")
+        + F.col("scale_b") * F.col("scale_b") * F.col("sq2_b").cast("double")
+    )
+    cos_q = num / F.sqrt(norm2_a * norm2_b)
+    cos_exact = dot(F.col("v_a"), F.col("v_b")) / (l2_norm(F.col("v_a")) * l2_norm(F.col("v_b")))
+    return pairs.select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        F.round(cos_exact, 6).alias("cos_exact"),
+        F.round(cos_q, 6).alias("cos_quantized"),
+        F.round(F.abs(cos_exact - cos_q), 6).alias("abs_err"),
+    )
+
+
+ANN_QUANT_SQL = """
+WITH b AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+         (list_max(CAST(embedding AS DOUBLE[])) - list_min(CAST(embedding AS DOUBLE[]))) / CAST(255 AS DOUBLE) AS scale
+  FROM embeddings),
+qd AS (
+  SELECT vec_id, label, v, vmin, scale,
+         list_transform(v, x -> least(CAST(255 AS BIGINT), CAST(floor((x - vmin) / scale) AS BIGINT))) AS q
+  FROM b WHERE scale > 0),
+st AS (
+  SELECT vec_id, label, v, vmin, scale, q,
+         CAST(list_sum(q) AS BIGINT) AS sq,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq2,
+         CAST(len(v) AS BIGINT) AS n
+  FROM qd),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         a.v AS v_a, b2.v AS v_b,
+         a.vmin AS vmin_a, b2.vmin AS vmin_b, a.scale AS scale_a, b2.scale AS scale_b,
+         a.sq AS sq_a, b2.sq AS sq_b, a.sq2 AS sq2_a, b2.sq2 AS sq2_b, a.n AS n,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b2.q[i])) AS BIGINT) AS sqq
+  FROM st a JOIN st b2 ON a.label = b2.label AND a.vec_id <> b2.vec_id
+  WHERE a.vec_id % 50 = 0),
+scored AS (
+  SELECT vec_a, vec_b,
+         list_dot_product(v_a, v_b) / (sqrt(list_dot_product(v_a, v_a)) * sqrt(list_dot_product(v_b, v_b))) AS cos_exact,
+         (CAST(n AS DOUBLE) * vmin_a * vmin_b
+          + vmin_a * scale_b * CAST(sq_b AS DOUBLE)
+          + vmin_b * scale_a * CAST(sq_a AS DOUBLE)
+          + scale_a * scale_b * CAST(sqq AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * vmin_a * vmin_a
+                 + CAST(2 AS DOUBLE) * vmin_a * scale_a * CAST(sq_a AS DOUBLE)
+                 + scale_a * scale_a * CAST(sq2_a AS DOUBLE))
+              * (CAST(n AS DOUBLE) * vmin_b * vmin_b
+                 + CAST(2 AS DOUBLE) * vmin_b * scale_b * CAST(sq_b AS DOUBLE)
+                 + scale_b * scale_b * CAST(sq2_b AS DOUBLE))) AS cos_q
+  FROM pairs)
+SELECT vec_a, vec_b,
+       ROUND(cos_exact, 6) AS cos_exact,
+       ROUND(cos_q, 6) AS cos_quantized,
+       ROUND(abs(cos_exact - cos_q), 6) AS abs_err
+FROM scored
+"""
+
+
 def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal retrieval end-to-end: REAL image decode (BMP/PPM byte
     parsing in mapInPandas) -> per-asset feature vector (dims + channel
@@ -1170,6 +1290,7 @@ QUERIES = {
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_feature_ann": multimodal_feature_ann,
     "embedding_quantization": embedding_quantization,
+    "ann_quantized_calibration": ann_quantized_calibration,
 }
 
 ORACLE = {
@@ -1201,6 +1322,7 @@ ORACLE = {
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "multimodal_feature_ann": MULTIMODAL_ANN_SQL,
     "embedding_quantization": EMBEDDING_QUANT_SQL,
+    "ann_quantized_calibration": ANN_QUANT_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
     "semantic_incremental_probe": SEMANTIC_INCREMENTAL_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
