@@ -839,6 +839,47 @@ FROM supplier a JOIN supplier b
 
 
 # ---------------------------------------------------------------------------
+# Window-function rest-suite: the offset/positional window primitives not
+# already exercised by other gated queries — lag/lead with non-null
+# defaults, first/last/nth_value over an explicit full-partition frame.
+# Money goes through exact cents so every output is integer-deterministic.
+
+
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(dec2("o_totalprice", 12) * 100).cast("bigint")
+    base = o.select("o_orderkey", "o_custkey", "o_orderdate", cents.alias("cents"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.lag("cents", 1, 0).over(w).alias("prev_cents"),
+        F.lead("cents", 1, -1).over(w).alias("next_cents"),
+        F.first("cents").over(wf).alias("first_cents"),
+        F.last("cents").over(wf).alias("last_cents"),
+        F.nth_value("cents", 2).over(wf).alias("second_cents"),
+    )
+
+
+WINDOW_SUITE_SQL = """
+SELECT o_orderkey, o_custkey, cents,
+       lag(cents, 1, 0) OVER w AS prev_cents,
+       lead(cents, 1, -1) OVER w AS next_cents,
+       first_value(cents) OVER wf AS first_cents,
+       last_value(cents) OVER wf AS last_cents,
+       nth_value(cents, 2) OVER wf AS second_cents
+FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM orders) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
 # re-expressed with existing primitives. For the 2-D case (minimize price,
@@ -925,6 +966,7 @@ QUERIES = {
     "recursive_order_chains": recursive_order_chains,
     "skyline_parts": skyline_parts,
     "entity_resolution_blocked": entity_resolution_blocked,
+    "window_function_suite": window_function_suite,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -958,6 +1000,7 @@ ORACLE = {
     "recursive_order_chains": _RECURSIVE_CHAIN_SQL,
     "skyline_parts": SKYLINE_SQL,
     "entity_resolution_blocked": ER_BLOCKED_SQL,
+    "window_function_suite": WINDOW_SUITE_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
