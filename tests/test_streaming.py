@@ -270,3 +270,68 @@ def test_stream_cdc_apply_matches_batch_collapse(spark, tmp_path):
         for r in cdc_collapse(log.drop("b"), ["id"]).select("id", "val").collect()
     )
     assert got == want == [(1, 11.0), (2, 22.0), (4, 41.0)]
+
+
+def test_stateful_sessionize_recovers_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a restart: drain the first arrival files with a
+    checkpoint, stop, add the remaining files, restart the SAME checkpoint.
+    Sessions emitted before the stop must not re-emit after it, and every
+    emitted session must match the batch sessionization."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from taico_data_integration_spark.catalog import normalize_event_ts
+    from taico_data_integration_spark.queries.sync import events_sessionize
+    from taico_data_integration_spark.streaming.stateful import sessionize_stream
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    staged = tmp_path / "staged"
+    df.withColumn("__b", F.ntile(5).over(Window.orderBy("ts"))).write.mode(
+        "overwrite"
+    ).partitionBy("__b").parquet(str(staged))
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    for b in (1, 2):
+        shutil.copytree(staged / f"__b={b}", arrivals / f"__b={b}")
+
+    schema = spark.read.parquet(str(staged)).schema
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(arrivals))
+            .drop("__b")
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    for b in (3, 4, 5):
+        shutil.copytree(staged / f"__b={b}", arrivals / f"__b={b}")
+    run_once()  # same checkpoint: resumes from recorded file offsets + state
+
+    emitted = spark.read.parquet(out_dir).collect()
+    assert len(emitted) > first > 0  # restart produced new sessions only
+    keys = [(r.user_id, r.session_start) for r in emitted]
+    assert len(keys) == len(set(keys))  # exactly-once: no re-emission
+    batch = {
+        (r.user_id, r.first_ts): (r.last_ts, r.n_events)
+        for r in events_sessionize(spark, SF_DIR).collect()
+    }
+    for r in emitted:
+        key = (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"))
+        assert key in batch
+        last_ts, n = batch[key]
+        assert r.n_events == n and r.session_end.strftime("%Y-%m-%d %H:%M:%S") == last_ts
