@@ -129,6 +129,44 @@ def run_checks(df: DataFrame, checks: list[Check]) -> list[dict]:
     return results
 
 
+def attach_observed_checks(df: DataFrame, checks: list[Check], name: str = "quality"):
+    """Validation as a FREE RIDER on the caller's own action: the same
+    compiled metrics run through Spark's Observation API, so a pipeline
+    that writes a 100 TB table gets its quality metrics from that one
+    write — no second scan (run_checks costs one extra pass; this costs
+    zero). Returns (observed_df, evaluate): run any action on observed_df,
+    then evaluate() yields the same per-check results run_checks would.
+
+    Limitation (Spark's, not ours): observed metrics must be accumulable
+    per-row, so `unique` (COUNT DISTINCT) checks are rejected here — keep
+    those on the run_checks pass."""
+    from pyspark.sql import Observation
+
+    for ch in checks:
+        if ch.kind == "unique":
+            raise ValueError(
+                "unique checks need COUNT DISTINCT, which Observation cannot "
+                "accumulate — run them via run_checks"
+            )
+    aggs, compiled = compile_metrics(df, checks)
+    obs = Observation(name)
+    observed = df.observe(obs, *aggs)
+
+    def evaluate() -> list[dict]:
+        row = obs.get
+        results = []
+        for i, ch in enumerate(compiled):
+            metric = row[f"__m{i}"]
+            if ch.kind == "min_rows":
+                ok = metric >= ch.params["n"]
+            else:
+                ok = metric == 0
+            results.append({"name": ch.name, "kind": ch.kind, "metric": metric, "ok": bool(ok)})
+        return results
+
+    return observed, evaluate
+
+
 def checks_dataframe(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Same metrics as run_checks but returned AS a DataFrame (one row per
     check) so the quality report itself is oracle-checkable."""

@@ -75,3 +75,35 @@ def test_unique_check_no_sentinel_or_separator_collisions(spark):
     df = spark.createDataFrame(rows)
     res = {r["name"]: r for r in run_checks(df, [Check("unique", "uq", {"columns": ["a", "b"]})])}
     assert res["uq"]["metric"] == 1
+
+
+def test_observed_checks_ride_along_with_action(spark, tmp_path):
+    """attach_observed_checks yields identical results to the dedicated
+    run_checks pass, but collected as a side effect of the caller's own
+    write action — zero extra scans; unique checks are rejected loudly."""
+    import pytest as _pytest
+
+    from taico_data_integration_spark.checks.engine import (
+        Check,
+        attach_observed_checks,
+        run_checks,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    suite = [
+        Check("not_null", "orderkey_not_null", {"column": "l_orderkey"}),
+        Check("min_rows", "enough_rows", {"n": 100}),
+        Check("non_negative", "qty_non_negative", {"column": "l_quantity"}),
+        Check("accepted_values", "returnflag_domain", {"column": "l_returnflag", "values": ["A", "N", "R"]}),
+        Check("in_range", "discount_range", {"column": "l_discount", "lo": 0.0, "hi": 0.2}),
+        Check("cross_column", "price_positive_when_qty", {"predicate": "l_extendedprice >= 0 OR l_quantity = 0"}),
+    ]
+    observed, evaluate = attach_observed_checks(df, suite)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the caller's action
+    got = evaluate()
+    expected = run_checks(df, suite)
+    assert got == expected
+    assert all(r["ok"] for r in got)
+
+    with _pytest.raises(ValueError, match="unique"):
+        attach_observed_checks(df, [Check("unique", "u", {"columns": ["l_orderkey"]})])
