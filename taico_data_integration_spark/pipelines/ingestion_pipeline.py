@@ -104,15 +104,28 @@ def ingest_batch(
     n_accepted = accepted.count()
     n_curation = deduped.count() - n_accepted
 
-    # 4. append survivors to corpus + band index (versioned writes)
+    # 4. append survivors to corpus + band index (versioned writes), with
+    # quality metrics riding the write itself (Observation — no extra scan)
+    quality: list[dict] = []
     if n_accepted > 0:
+        from ..checks.engine import Check, attach_observed_checks
+
         acc_docs = accepted.drop("split")  # corpus keeps the batch schema
+        acc_docs, evaluate = attach_observed_checks(
+            acc_docs,
+            [
+                Check("not_null", "doc_id_not_null", {"column": "doc_id"}),
+                Check("not_null", "text_not_null", {"column": "text"}),
+                Check("min_rows", "accepted_nonempty", {"n": 1}),
+            ],
+        )
         new_corpus = (
             store.read(CORPUS_TABLE).unionByName(acc_docs)
             if store.exists(CORPUS_TABLE)
             else acc_docs
         )
         store.write(CORPUS_TABLE, new_corpus)
+        quality = evaluate()
         acc_bands = minhash_band_keys_fast(accepted)
         new_bands_tab = (
             store.read(BANDS_TABLE).unionByName(acc_bands)
@@ -122,7 +135,8 @@ def ingest_batch(
         store.write(BANDS_TABLE, new_bands_tab)
 
     summary = {
-        "ok": True,
+        "ok": all(r["ok"] for r in quality),
+        "quality": quality,
         "n_in": n_in,
         "n_exact_dup": n_exact,
         "n_near_dup": n_near,

@@ -119,6 +119,12 @@ def test_ingestion_pipeline_end_to_end(spark, tmp_path):
     cb = PipelineCallbacks()
     s1 = ingest_batch(spark, store, b1, cb)
     assert s1["n_accepted"] == 2 and s1["corpus_rows"] == 2
+    # quality metrics rode the corpus write (Observation), no extra scan
+    assert {r["name"]: r["ok"] for r in s1["quality"]} == {
+        "doc_id_not_null": True,
+        "text_not_null": True,
+        "accepted_nonempty": True,
+    }
 
     b2 = spark.createDataFrame(
         [
