@@ -91,6 +91,43 @@ FROM j WHERE k2 IS NOT NULL AND (k1 IS NULL OR n1 <> n2 OR t1 <> t2)
 """
 
 # ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup: each fact row joined to the dimension VERSION
+# valid at its event time — the query SCD2 exists to serve. Equi-join on the
+# key plus a validity-interval predicate; each key has at most two versions
+# partitioning time, so every order matches at most one (orders before the
+# first version's start get NULLs — honest pre-history).
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = scd2_customer_orders(spark, sf_dir)
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cond = (
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= F.col("valid_from").cast("timestamp"))
+        & (F.col("valid_to").isNull() | (o["o_orderdate"] < F.col("valid_to").cast("timestamp")))
+    )
+    return o.join(dim, cond, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "n_orders",
+        "total_spent",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("version_from"),
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH dim AS ({SCD2_SQL})
+SELECT o.o_orderkey, o.o_custkey, d.n_orders, d.total_spent,
+       strftime(d.valid_from, '%Y-%m-%d') AS version_from
+FROM orders o
+LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= CAST(d.valid_from AS TIMESTAMP)
+ AND (d.valid_to IS NULL OR o.o_orderdate < CAST(d.valid_to AS TIMESTAMP))
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC: a deterministic changelog derived from orders (insert everything,
 # update keys ≡3 mod 7 with a 5% price bump, delete keys ≡5 mod 7), then
 # latest-op-wins collapse. All decimal arithmetic exact (scale-4 product,
@@ -268,6 +305,7 @@ WHERE rn = 1
 
 QUERIES = {
     "scd2_customer_orders": scd2_customer_orders,
+    "scd2_point_in_time_join": scd2_point_in_time_join,
     "golden_record_users": golden_record_users,
     "cdc_orders_final_state": cdc_orders_final_state,
     "resample_user_values": resample_user_values,
@@ -276,6 +314,7 @@ QUERIES = {
 
 ORACLE = {
     "scd2_customer_orders": SCD2_SQL,
+    "scd2_point_in_time_join": SCD2_PIT_SQL,
     "golden_record_users": GOLDEN_SQL,
     "cdc_orders_final_state": CDC_SQL,
     "resample_user_values": RESAMPLE_SQL,
