@@ -10,7 +10,7 @@ oracle-checked against DuckDB on the shared fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ops.cdc import cdc_collapse
@@ -124,6 +124,66 @@ LEFT JOIN dim d
   ON o.o_custkey = d.c_custkey
  AND o.o_orderdate >= CAST(d.valid_from AS TIMESTAMP)
  AND (d.valid_to IS NULL OR o.o_orderdate < CAST(d.valid_to AS TIMESTAMP))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder allocation: prorate a per-order rebate (2% of the order
+# total, floored to a cent) across its line items proportionally to their
+# extended price, with the remainder pennies assigned to the largest
+# fractional parts — so the per-order allocations sum EXACTLY to the rebate
+# (the invariant every billing system needs, and naive per-row rounding
+# violates). Pure integer arithmetic end-to-end: bit-identical across
+# engines, partitionings, and row orders.
+
+
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.round(dec2("l_extendedprice", 12) * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    l = l.withColumn("tot", F.sum("cents").over(w)).withColumn(
+        "rebate", F.expr("tot div 50")
+    )
+    l = l.withColumn("base", F.expr("(rebate * cents) div tot")).withColumn(
+        "frac", F.expr("(rebate * cents) % tot")
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(F.desc("frac"), "l_linenumber")
+    l = (
+        l.withColumn("short", F.col("rebate") - F.sum("base").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "alloc_cents", F.col("base") + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        )
+    )
+    return l.select("l_orderkey", "l_linenumber", "rebate", "alloc_cents")
+
+
+LARGEST_REMAINDER_SQL = """
+WITH b AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM lineitem),
+t AS (
+  SELECT l_orderkey, l_linenumber, cents,
+         SUM(cents) OVER (PARTITION BY l_orderkey) AS tot
+  FROM b),
+x AS (
+  SELECT l_orderkey, l_linenumber, cents, tot,
+         tot // 50 AS rebate,
+         ((tot // 50) * cents) // tot AS base,
+         ((tot // 50) * cents) % tot AS frac
+  FROM t),
+y AS (
+  SELECT l_orderkey, l_linenumber, rebate, base,
+         rebate - SUM(base) OVER (PARTITION BY l_orderkey) AS short,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY frac DESC, l_linenumber) AS rk
+  FROM x)
+SELECT l_orderkey, l_linenumber, CAST(rebate AS BIGINT) AS rebate,
+       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+FROM y
 """
 
 
@@ -306,6 +366,7 @@ WHERE rn = 1
 QUERIES = {
     "scd2_customer_orders": scd2_customer_orders,
     "scd2_point_in_time_join": scd2_point_in_time_join,
+    "largest_remainder_allocation": largest_remainder_allocation,
     "golden_record_users": golden_record_users,
     "cdc_orders_final_state": cdc_orders_final_state,
     "resample_user_values": resample_user_values,
@@ -315,6 +376,7 @@ QUERIES = {
 ORACLE = {
     "scd2_customer_orders": SCD2_SQL,
     "scd2_point_in_time_join": SCD2_PIT_SQL,
+    "largest_remainder_allocation": LARGEST_REMAINDER_SQL,
     "golden_record_users": GOLDEN_SQL,
     "cdc_orders_final_state": CDC_SQL,
     "resample_user_values": RESAMPLE_SQL,

@@ -222,3 +222,19 @@ class TestResampleFfill:
             (1, d(2024, 1, 4), True, 7.0),
             (2, d(2024, 1, 2), True, 5.0),
         ]
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    """The defining invariant: per-order allocations sum EXACTLY to the
+    rebate, and each line's allocation differs from exact proportionality
+    by less than one cent."""
+    from taico_data_integration_spark.queries.warehouse import largest_remainder_allocation
+
+    rows = largest_remainder_allocation(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    by_order: dict = {}
+    for r in rows:
+        tot, rebate = by_order.get(r.l_orderkey, (0, r.rebate))
+        by_order[r.l_orderkey] = (tot + r.alloc_cents, r.rebate)
+    for okey, (alloc_sum, rebate) in by_order.items():
+        assert alloc_sum == rebate, okey
