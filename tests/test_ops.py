@@ -303,9 +303,13 @@ def test_tablestore_zorder_tightens_both_dims(spark, tmp_path):
     # dims (a 1-D sort leaves every file spanning ~255 in the other dim).
     # Files straddling a high-order curve boundary are legitimately wide, so
     # assert on the median and the straddler count, not the max.
+    # repartitionByRange SAMPLES its boundaries, so spans vary run to run;
+    # thresholds must hold for any plausible sampling while still damning a
+    # 1-D sort (which leaves EVERY file spanning ~255 in the other dim:
+    # median 255, straddlers = all files).
     n = len(spans_x)
-    assert spans_x[n // 2] <= 96 and spans_y[n // 2] <= 96
-    assert sum(s > 128 for s in spans_x) <= 2 and sum(s > 128 for s in spans_y) <= 2
+    assert spans_x[n // 2] <= 128 and spans_y[n // 2] <= 128
+    assert sum(s > 128 for s in spans_x) <= 4 and sum(s > 128 for s in spans_y) <= 4
     assert store.read("t").exceptAll(df).count() == 0
 
 
