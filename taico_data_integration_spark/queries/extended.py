@@ -880,6 +880,43 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 
 
 # ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day order streaks per customer. The classic
+# date-minus-row_number trick — consecutive dates share (days_since_epoch -
+# rank), so islands fall out of one groupBy; no self-join, no iteration.
+# All integer arithmetic.
+
+
+def order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    d = o.select("o_custkey", F.col("o_orderdate").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    g = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.unix_date("d").cast("bigint") - F.col("rn")
+    )
+    streaks = g.groupBy("o_custkey", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+ORDER_STREAKS_SQL = """
+WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+g AS (
+  SELECT o_custkey, d,
+         CAST(d - DATE '1970-01-01' AS BIGINT)
+           - row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS grp
+  FROM d),
+s AS (SELECT o_custkey, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+SELECT o_custkey, COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM s GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
 # re-expressed with existing primitives. For the 2-D case (minimize price,
@@ -967,6 +1004,7 @@ QUERIES = {
     "skyline_parts": skyline_parts,
     "entity_resolution_blocked": entity_resolution_blocked,
     "window_function_suite": window_function_suite,
+    "order_streaks": order_streaks,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -1001,6 +1039,7 @@ ORACLE = {
     "skyline_parts": SKYLINE_SQL,
     "entity_resolution_blocked": ER_BLOCKED_SQL,
     "window_function_suite": WINDOW_SUITE_SQL,
+    "order_streaks": ORDER_STREAKS_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
