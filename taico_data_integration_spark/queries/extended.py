@@ -917,6 +917,46 @@ FROM s GROUP BY o_custkey
 
 
 # ---------------------------------------------------------------------------
+# Median absolute deviation — the robust dispersion statistic (outliers
+# move stddev, not MAD). Cross-engine exactness extends the quartile trick
+# one level: the group median over integer cents is integer or half-integer,
+# so DOUBLED deviations are exact integers, and the median of those hits
+# power-of-two interpolation fractions again — every engine's lerp agrees
+# bit-for-bit. Halve at the output edge.
+
+
+def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select("o_orderpriority", cents.alias("cents"))
+    med = base.groupBy("o_orderpriority").agg(F.percentile("cents", 0.5).alias("m"))
+    dev = base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("m"),
+        F.abs(F.col("cents") * 2 - (F.col("m") * 2).cast("bigint")).alias("dev2"),
+    )
+    return dev.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("m").alias("median_cents"),
+        (F.percentile("dev2", 0.5) / 2).alias("mad_cents"),
+    )
+
+
+MAD_SQL = """
+WITH b AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+m AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS m FROM b GROUP BY o_orderpriority),
+d AS (
+  SELECT b.o_orderpriority, m.m,
+         abs(b.cents * 2 - CAST(m.m * 2 AS BIGINT)) AS dev2
+  FROM b JOIN m ON b.o_orderpriority = m.o_orderpriority)
+SELECT o_orderpriority, COUNT(*) AS n_orders, MIN(m) AS median_cents,
+       quantile_cont(dev2, 0.5) / 2 AS mad_cents
+FROM d GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
 # re-expressed with existing primitives. For the 2-D case (minimize price,
@@ -1005,6 +1045,7 @@ QUERIES = {
     "entity_resolution_blocked": entity_resolution_blocked,
     "window_function_suite": window_function_suite,
     "order_streaks": order_streaks,
+    "mad_order_values": mad_order_values,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -1040,6 +1081,7 @@ ORACLE = {
     "entity_resolution_blocked": ER_BLOCKED_SQL,
     "window_function_suite": WINDOW_SUITE_SQL,
     "order_streaks": ORDER_STREAKS_SQL,
+    "mad_order_values": MAD_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
