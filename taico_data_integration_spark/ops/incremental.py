@@ -80,6 +80,43 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     return kept.unionByName(updates.select(*target.columns))
 
 
+def maintain_additive_rollup(
+    store: "TableStore",
+    table: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, Column],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a DELTA of fact
+    rows into a stored additive rollup without recomputing history. The
+    delta is aggregated first (fact-sized work touches only the new rows),
+    then combined with the stored aggregate by one more groupBy over
+    (stored ∪ delta-aggregate) — both aggregate-sized frames. At 100 TB the
+    history is never rescanned; per-batch cost is O(delta + |aggregate|).
+    Only works for ADDITIVE measures (sum/count); avg/min-over-deletions
+    need their own sufficient statistics or full recompute.
+
+    `sum_cols` maps output column name -> aggregation Column over the raw
+    delta (e.g. {"revenue": F.sum(dec2("o_totalprice"))}). Returns the new
+    rollup after persisting it."""
+    aggs = [expr.alias(name) for name, expr in sum_cols.items()]
+    agg_delta = delta.groupBy(*keys).agg(*aggs)
+    if store.exists(table):
+        prior = store.read(table)
+        # re-summing widens decimal precision each generation; pin the
+        # schema to the delta aggregate's types so versions stay union-able
+        types = dict(agg_delta.dtypes)
+        combined = (
+            prior.unionByName(agg_delta)
+            .groupBy(*keys)
+            .agg(*[F.sum(name).cast(types[name]).alias(name) for name in sum_cols])
+        )
+    else:
+        combined = agg_delta
+    store.write(table, combined)
+    return store.read(table)
+
+
 def promote_tenant(prod: DataFrame, staging: DataFrame, scope: Column) -> DataFrame:
     """M4: delete prod rows in scope, insert staging rows in scope.
 
