@@ -957,6 +957,45 @@ FROM d GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# Aggregate-breadth suite: the conditional/selective aggregates not already
+# gated elsewhere — count_if, bool_and/bool_or, and max_by/min_by (argmax).
+# max_by ties are engine-nondeterministic, so the ordering key folds the
+# unique supplier key into exact integer cents: bit-identical selections.
+
+
+def aggregate_breadth_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = T(spark, sf_dir, "supplier")
+    key = (F.round(dec2("s_acctbal", 12) * 100).cast("bigint") * 10000000
+           + F.col("s_suppkey").cast("bigint"))
+    base = s2.select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", key.alias("k"))
+    return base.groupBy(F.col("s_nationkey").cast("bigint").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("s_acctbal") > 0).alias("n_positive"),
+        F.bool_and(F.col("s_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("s_acctbal") > 9000).alias("any_rich"),
+        F.max_by("s_name", "k").alias("richest_name"),
+        F.min_by("s_name", "k").alias("poorest_name"),
+    )
+
+
+AGG_BREADTH_SQL = """
+WITH b AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, s_name, s_acctbal,
+         CAST(round(CAST(s_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) * 10000000
+           + CAST(s_suppkey AS BIGINT) AS k
+  FROM supplier)
+SELECT s_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN s_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       bool_and(s_acctbal > -1000) AS all_above_floor,
+       bool_or(s_acctbal > 9000) AS any_rich,
+       arg_max(s_name, k) AS richest_name,
+       arg_min(s_name, k) AS poorest_name
+FROM b GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
 # re-expressed with existing primitives. For the 2-D case (minimize price,
@@ -1046,6 +1085,7 @@ QUERIES = {
     "window_function_suite": window_function_suite,
     "order_streaks": order_streaks,
     "mad_order_values": mad_order_values,
+    "aggregate_breadth_suite": aggregate_breadth_suite,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -1082,6 +1122,7 @@ ORACLE = {
     "window_function_suite": WINDOW_SUITE_SQL,
     "order_streaks": ORDER_STREAKS_SQL,
     "mad_order_values": MAD_SQL,
+    "aggregate_breadth_suite": AGG_BREADTH_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
