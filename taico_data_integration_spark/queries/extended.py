@@ -996,6 +996,36 @@ FROM b GROUP BY s_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought together in the same
+# order, with support counts. The self-join is keyed on the ORDER (shuffle
+# on l_orderkey; per-order pair fan-out is bounded by basket size, ~7 lines
+# here), never all-pairs over parts — the same inverted-index shape as the
+# n-gram dedup join, applied to affinity analysis.
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+
+
+BASKET_SQL = """
+WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
 # re-expressed with existing primitives. For the 2-D case (minimize price,
@@ -1086,6 +1116,7 @@ QUERIES = {
     "order_streaks": order_streaks,
     "mad_order_values": mad_order_values,
     "aggregate_breadth_suite": aggregate_breadth_suite,
+    "basket_part_pairs": basket_part_pairs,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -1123,6 +1154,7 @@ ORACLE = {
     "order_streaks": ORDER_STREAKS_SQL,
     "mad_order_values": MAD_SQL,
     "aggregate_breadth_suite": AGG_BREADTH_SQL,
+    "basket_part_pairs": BASKET_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,
