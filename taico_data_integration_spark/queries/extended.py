@@ -1025,6 +1025,65 @@ HAVING COUNT(*) >= 3
 """
 
 
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the co-occurrence pairs: confidence =
+    support/count(A), lift = support * n_orders / (count(A) * count(B)).
+    Per-part counts broadcast-join back; the order total is a 1-row
+    broadcast (the allowlisted scalar BNLJ shape). All ratios are integer
+    divisions in double, rounded at the edge — engine-deterministic."""
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    counts = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = l.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    ca = counts.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = counts.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("cnt_a").cast("double"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                (F.col("support").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_RULES_SQL = """
+WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM l a JOIN l b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+counts AS (SELECT l_partkey, COUNT(*) AS cnt FROM l GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM l)
+SELECT p.part_a, p.part_b, p.support,
+       ROUND(CAST(p.support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) AS confidence_a_to_b,
+       ROUND((CAST(p.support AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+FROM pairs p
+JOIN counts ca ON ca.l_partkey = p.part_a
+JOIN counts cb ON cb.l_partkey = p.part_b
+CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto-optimal set) — "Integration of Skyline Queries into Spark
 # SQL" (EDBT 2023) motivates native skyline support; this is the operator
@@ -1117,6 +1176,7 @@ QUERIES = {
     "mad_order_values": mad_order_values,
     "aggregate_breadth_suite": aggregate_breadth_suite,
     "basket_part_pairs": basket_part_pairs,
+    "basket_association_rules": basket_association_rules,
     "band_join_balance_peers": band_join_balance_peers,
     "rollup_revenue": rollup_revenue,
     "q11_important_suppliers": q11_important_suppliers,
@@ -1155,6 +1215,7 @@ ORACLE = {
     "mad_order_values": MAD_SQL,
     "aggregate_breadth_suite": AGG_BREADTH_SQL,
     "basket_part_pairs": BASKET_SQL,
+    "basket_association_rules": BASKET_RULES_SQL,
     "band_join_balance_peers": BAND_JOIN_SQL,
     "q11_important_suppliers": Q11_SQL,
     "ntile_balance_quartiles": NTILE_SQL,

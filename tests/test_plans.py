@@ -70,6 +70,7 @@ def test_no_join_antipatterns_across_all_queries(spark):
         "ann_topk": "broadcast query set (documented brute-force baseline)",
         "multimodal_feature_ann": "broadcast query set (same brute-force baseline over decoded features)",
         "text_top_terms": "broadcast 1-row corpus-size aggregate",
+        "basket_association_rules": "broadcast 1-row order-total aggregate",
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
