@@ -127,6 +127,33 @@ def mint_ids_distributed(
     )
 
 
+def guarded_dimension_frame(
+    df: DataFrame,
+    max_rows: int | None = 1_000_000,
+    label: str = "global-window input",
+) -> DataFrame:
+    """Size-guard contract for every unpartitioned ``Window.orderBy`` in the
+    gated set (established by :func:`mint_ids`): raise before Spark silently
+    funnels an oversized frame through one partition.
+
+    The frame is materialized with ``localCheckpoint`` FIRST, so the guard
+    count never recomputes upstream shuffles (the round-2
+    ``media_relations_rebuild`` regression was an eager guard count re-running
+    a distinct ×4) and the subsequent window reads the materialized rows.
+    ``max_rows=None`` opts out for call sites bounded by construction."""
+    if max_rows is None:
+        return df
+    out = df.localCheckpoint()
+    n = out.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{label}: {n} rows > max_rows={max_rows}; an unpartitioned window "
+            "would single-partition this frame — use a partitioned formulation "
+            "(e.g. mint_ids_distributed) or pass max_rows=None if intended"
+        )
+    return out
+
+
 def mirror_sync(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
     """M2: full mirror — keep existing rows still present (ids stable),
     insert new keys, drop keys absent from incoming. No update branch: the

@@ -107,9 +107,18 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     media_cluster = F.when(
         F.col("optimization_goal").isin(*KNOWN_CLUSTERS), F.col("optimization_goal")
     ).otherwise("Other")
+    from .dims import guarded_dimension_frame
+
+    # reference parity: the dbt model mints ids with an UNPARTITIONED
+    # row_number (fb_meta_ads_transformed.sql) — a daily ads batch, not a
+    # fact table. The guard enforces that assumption at runtime.
     w = Window.orderBy("ad_id")
+    joined = guarded_dimension_frame(
+        cleaned.join(F.broadcast(camp), "campaign_id", "left"),
+        label="fb_ads_transform ads batch",
+    )
     return (
-        cleaned.join(F.broadcast(camp), "campaign_id", "left")
+        joined
         .withColumn("id", F.row_number().over(w).cast("bigint"))
         .select(
             "id",

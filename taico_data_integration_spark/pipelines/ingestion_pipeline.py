@@ -4,8 +4,14 @@ Flow per arriving batch (the batch twin of the stream-static path in
 streaming.joins.stream_lsh_dedup_against_index):
 
 1. exact dedup WITHIN the batch (md5 fingerprint, keep min doc_id);
-2. incremental LSH probe against the STORED corpus band index
-   (queries.llm.dedup_incremental_lsh shape) — near-dups quarantined;
+2. near-dup LSH pass, two-sided: (a) incremental probe against the STORED
+   corpus band index (queries.llm.dedup_incremental_lsh shape) and (b) a
+   within-batch band self-join so two near-duplicates arriving in the SAME
+   batch (including the corpus-seeding first batch) cannot both enter the
+   corpus. Within-batch survivorship is pairwise min-id: a doc is dropped
+   iff it verifies against a smaller-id doc of the same batch (the full
+   connected-components canonical resolution is the batch path,
+   queries.llm.dedup_canonical_keepers);
 3. one-pass curation gate (llm.curation.curation_flags);
 4. deterministic split assignment for the survivors;
 5. append survivors to the corpus table and their band keys to the band
@@ -61,6 +67,32 @@ def _verified_near_dups(new_bands: DataFrame, corpus_bands: DataFrame,
     )
 
 
+def _within_batch_near_dups(new_bands: DataFrame, new_shingled: DataFrame) -> DataFrame:
+    """(doc_id) of batch docs dropped by within-batch survivorship: any doc
+    whose LSH candidates verify at >= the jaccard threshold against a
+    SMALLER-id doc of the same batch. Band equi-join (doc_a < doc_b keeps
+    each unordered pair once), verify on the candidates only."""
+    a = new_bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = new_bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cands = (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = new_shingled.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
+    sb = new_shingled.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common).cast("double")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _MIN_JACCARD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
 def ingest_batch(
     spark: SparkSession,
     store: TableStore,
@@ -83,18 +115,17 @@ def ingest_batch(
     batch_exact = batch_exact.drop("__fp").localCheckpoint()
     n_exact = n_in - batch_exact.count()
 
-    # 2. incremental LSH probe vs the stored band index
+    # 2. near-dup LSH pass: within-batch self-probe + incremental probe vs
+    # the stored band index (the seeding batch gets the self-probe too)
     new_shingled = materialized_shingles(batch_exact, "text", "doc_id", 3)
     new_bands = minhash_band_keys_fast(batch_exact, shingled=new_shingled)
+    drop = _within_batch_near_dups(new_bands, new_shingled)
     if store.exists(BANDS_TABLE):
         corpus_bands = store.read(BANDS_TABLE)
         corpus_shingled = materialized_shingles(store.read(CORPUS_TABLE), "text", "doc_id", 3)
         near = _verified_near_dups(new_bands, corpus_bands, new_shingled, corpus_shingled)
-        deduped = batch_exact.join(
-            near.withColumnRenamed("new_doc_id", "doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint()
-    else:
-        deduped = batch_exact
+        drop = drop.unionByName(near.withColumnRenamed("new_doc_id", "doc_id")).distinct()
+    deduped = batch_exact.join(drop, "doc_id", "left_anti").localCheckpoint()
     n_near = batch_exact.count() - deduped.count()
 
     # 3. curation gate

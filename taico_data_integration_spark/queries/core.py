@@ -386,8 +386,14 @@ SELECT 'lineitem_price_non_negative', 'cross_column',
 
 
 def row_number_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.dims import guarded_dimension_frame
+
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return T(spark, sf_dir, "customer").select(
+    c = guarded_dimension_frame(
+        T(spark, sf_dir, "customer").select("c_acctbal", "c_custkey", "c_name"),
+        label="row_number_ids",
+    )
+    return c.select(
         F.row_number().over(w).cast("bigint").alias("row_id"), "c_custkey", "c_name"
     )
 

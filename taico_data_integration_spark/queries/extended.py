@@ -289,7 +289,7 @@ def quantiles_and_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile is engine-specific, so it contributes a hash-checked
     within-tolerance boolean (same pattern as the HLL sketch queries)."""
     o = T(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.round(dec2("o_totalprice", 12) * 100).cast("bigint")
     base = o.select("o_orderpriority", cents.alias("cents"))
     agg = base.groupBy("o_orderpriority").agg(
         F.percentile("cents", 0.25).alias("q25_cents"),
@@ -314,9 +314,9 @@ def quantiles_and_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILES_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25) AS q25_cents,
-       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
-       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75) AS q75_cents,
+       quantile_cont(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT), 0.25) AS q25_cents,
+       quantile_cont(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT), 0.5) AS median_cents,
+       quantile_cont(CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT), 0.75) AS q75_cents,
        TRUE AS approx_median_within_tol
 FROM orders
 GROUP BY o_orderpriority
@@ -692,7 +692,12 @@ WHERE supp_cents * n_supp * 10 > total_cents * 11
 
 
 def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer")
+    from ..ops.dims import guarded_dimension_frame
+
+    c = guarded_dimension_frame(
+        T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        label="ntile_balance_quartiles",
+    )
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return c.select(
         "c_custkey",
@@ -755,11 +760,17 @@ FROM scored WHERE rn = 1
 # ---------------------------------------------------------------------------
 # Blocked entity resolution — the fact-scale version of fuzzy_name_match.
 # The all-pairs variant above is the intentionally-broadcast dim-sized
-# baseline; real ER at scale blocks on corruption-invariant keys so the
-# candidate step is an EQUI-join (shuffle on block key), then verifies
-# edit distance within blocks only. Here the invariant is the stable name
-# prefix (the synthetic corruption deletes one character past position 10),
-# exactly how production blocking picks keys the noise model cannot touch.
+# baseline; real ER at scale makes the candidate step an EQUI-join. Prefix/
+# suffix blocks degenerate here (every TPC-H supplier name is 'Supplier#' +
+# zero-padded digits, so any fixed substring is near-constant — one hot
+# block = a hidden cross join). Instead we use deletion-neighborhood
+# blocking (FastSS / SymSpell): the canonical side explodes into all
+# single-character-deletion variants (×~len rows, bounded by name length)
+# and candidates are an equi-join of corrupt_name against the variant
+# string itself. For the 1-deletion noise model this has full recall by
+# construction, block keys are full strings whose distinct count grows
+# O(rows·len), and the max block size is the deletion-collision count — a
+# small constant — so the shuffle has no hot key at any scale.
 
 
 def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,18 +782,31 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("s_name", 1, 30).substr(F.lit(1), pos - 1),
             F.col("s_name").substr(pos + 1, F.lit(30)),
         ).alias("corrupt_name"),
-    ).withColumn("block", F.substring("corrupt_name", 1, 9))
-    canon = s.select(F.col("s_name").alias("canonical")).withColumn(
-        "block", F.substring("canonical", 1, 9)
     )
+    variants = er_deletion_variants(s.select(F.col("s_name").alias("canonical")), "canonical")
     w = Window.partitionBy("s_suppkey").orderBy("dist", "canonical")
     return (
-        corrupted.join(canon, "block")
+        corrupted.join(variants, corrupted.corrupt_name == variants.del_variant)
         .withColumn("dist", F.levenshtein("corrupt_name", "canonical").cast("bigint"))
-        .where(F.col("dist") <= 2)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("s_suppkey", "corrupt_name", F.col("canonical").alias("best_match"), "dist")
+    )
+
+
+def er_deletion_variants(df: DataFrame, col: str, max_len: int = 64) -> DataFrame:
+    """All single-character-deletion variants of `col` (FastSS k=1 index):
+    (col, del_variant) with one row per deletion position, deduplicated."""
+    return (
+        df.select(col, F.explode(F.sequence(F.lit(1), F.least(F.length(col), F.lit(max_len)))).alias("__i"))
+        .select(
+            col,
+            F.concat(
+                F.expr(f"substring({col}, 1, __i - 1)"),
+                F.expr(f"substring({col}, __i + 1, length({col}))"),
+            ).alias("del_variant"),
+        )
+        .dropDuplicates([col, "del_variant"])
     )
 
 
@@ -792,14 +816,18 @@ WITH corrupted AS (
          substr(s_name, 1, CAST(s_suppkey % 8 + 10 AS INT) - 1)
            || substr(s_name, CAST(s_suppkey % 8 + 10 AS INT) + 1, 30) AS corrupt_name
   FROM supplier),
+variants AS (
+  SELECT DISTINCT s_name AS canonical,
+         substr(s_name, 1, CAST(i AS INT) - 1)
+           || substr(s_name, CAST(i AS INT) + 1, length(s_name)) AS del_variant
+  FROM supplier CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= length(s_name)),
 scored AS (
-  SELECT c.s_suppkey, c.corrupt_name, s.s_name AS canonical,
-         CAST(levenshtein(c.corrupt_name, s.s_name) AS BIGINT) AS dist,
+  SELECT c.s_suppkey, c.corrupt_name, v.canonical,
+         CAST(levenshtein(c.corrupt_name, v.canonical) AS BIGINT) AS dist,
          row_number() OVER (PARTITION BY c.s_suppkey
-                            ORDER BY levenshtein(c.corrupt_name, s.s_name), s.s_name) AS rn
-  FROM corrupted c
-  JOIN supplier s ON substr(c.corrupt_name, 1, 9) = substr(s.s_name, 1, 9)
-  WHERE levenshtein(c.corrupt_name, s.s_name) <= 2)
+                            ORDER BY levenshtein(c.corrupt_name, v.canonical), v.canonical) AS rn
+  FROM corrupted c JOIN variants v ON c.corrupt_name = v.del_variant)
 SELECT s_suppkey, corrupt_name, canonical AS best_match, dist
 FROM scored WHERE rn = 1
 """
@@ -927,7 +955,7 @@ FROM s GROUP BY o_custkey
 
 def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.round(dec2("o_totalprice", 12) * 100).cast("bigint")
     base = o.select("o_orderpriority", cents.alias("cents"))
     med = base.groupBy("o_orderpriority").agg(F.percentile("cents", 0.5).alias("m"))
     dev = base.join(F.broadcast(med), "o_orderpriority").select(
@@ -944,7 +972,9 @@ def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAD_SQL = """
 WITH b AS (
-  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+  SELECT o_orderpriority,
+         CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+  FROM orders),
 m AS (SELECT o_orderpriority, quantile_cont(cents, 0.5) AS m FROM b GROUP BY o_orderpriority),
 d AS (
   SELECT b.o_orderpriority, m.m,
@@ -1106,9 +1136,14 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    per_price = base.groupBy("price_cents").agg(F.max("size").alias("max_size"))
+    from ..ops.dims import guarded_dimension_frame
+
+    per_price = guarded_dimension_frame(
+        base.groupBy("price_cents").agg(F.max("size").alias("max_size")),
+        label="skyline_parts distinct-price frame",
+    )
     # global window over DISTINCT prices only — a compressed, dimension-sized
-    # frame (same size contract as the daily-series windows), not the fact rows
+    # frame (guard-materialized above), not the fact rows
     w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
     sky_prices = (
         per_price.withColumn("max_cheaper", F.max("max_size").over(w))

@@ -65,6 +65,11 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
     ).agg(F.sum(dec2("o_totalprice")).alias("rev"))
     daily = daily.withColumn("day_num", F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")))
+    from ..ops.dims import guarded_dimension_frame
+
+    # the guard also materializes the day series, so the unpartitioned window
+    # reads the post-aggregate frame instead of re-running the groupBy
+    daily = guarded_dimension_frame(daily, label="moving_avg_daily_revenue day series")
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
     return daily.select(
         "day",

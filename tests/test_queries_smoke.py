@@ -24,6 +24,60 @@ def test_oracles_subset_of_queries():
     assert set(all_oracles()) <= set(_QUERIES)
 
 
+def test_registry_rotation_least_graded_first(tmp_path, monkeypatch):
+    """The driver grades a fixed-size prefix of all_queries(); the registry
+    orders least-driver-graded queries first so the prefix rotates through
+    the full surface across rounds (VERDICT r2, 'Next round' #1)."""
+    import json
+
+    import taico_data_integration_spark.queries as q
+
+    # Synthesize two rounds of driver grading in a fake repo root.
+    reg_names = list(q._registry())
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in reg_names[:5]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in reg_names[:5] + reg_names[5:8]})
+    )
+
+    real_counts = q._grade_counts
+
+    def fake_counts():
+        counts: dict[str, int] = {}
+        for p in sorted(tmp_path.glob("CORRECTNESS_r*.json")):
+            for n in json.loads(p.read_text()):
+                counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    monkeypatch.setattr(q, "_grade_counts", fake_counts)
+    try:
+        ordered = list(q.all_queries())
+    finally:
+        monkeypatch.setattr(q, "_grade_counts", real_counts)
+
+    # Never-graded queries first (in registry order), then once-graded
+    # (names 5..7), then twice-graded (names 0..4) — full coverage rotation.
+    assert ordered[: len(reg_names) - 8] == reg_names[8:]
+    assert ordered[-8:-5] == reg_names[5:8]
+    assert ordered[-5:] == reg_names[:5]
+    assert set(ordered) == set(reg_names)
+
+
+def test_registry_rotation_prefix_is_ungraded():
+    """With the real CORRECTNESS files present, the driver's 50-query prefix
+    must consist entirely of queries it has graded the fewest times."""
+    from taico_data_integration_spark.queries import _grade_counts
+
+    counts = _grade_counts()
+    if not counts:
+        pytest.skip("no driver CORRECTNESS files in repo root")
+    names = list(_QUERIES)
+    prefix_max = max(counts.get(n, 0) for n in names[:50])
+    rest_min = min(counts.get(n, 0) for n in names[50:])
+    assert prefix_max <= rest_min
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
@@ -54,6 +108,30 @@ def test_sketch_rollup_union_is_lossless(spark):
     d = {r.event_type: r.est for r in direct.collect()}
     r = {r.event_type: r.est for r in rolled.collect()}
     assert d == r and len(d) > 0
+
+
+def test_er_blocking_cardinality_scales_with_rows(spark):
+    """ADVICE r2: the old substr(name,1,9) block was the constant 'Supplier#'
+    for every TPC-H supplier — an all-pairs cross join hashed to one key.
+    The deletion-neighborhood keys must instead grow with the input and have
+    no hot block: distinct keys >= rows, max block size a small collision
+    constant."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.catalog import load_table
+    from taico_data_integration_spark.queries.extended import er_deletion_variants
+
+    s = load_table(spark, "/root/testdata/sf0.01", "supplier")
+    n_rows = s.count()
+    v = er_deletion_variants(s.select(F.col("s_name").alias("canonical")), "canonical")
+    stats = v.groupBy("del_variant").count().agg(
+        F.count(F.lit(1)).alias("n_blocks"), F.max("count").alias("max_block")
+    ).collect()[0]
+    assert stats.n_blocks >= n_rows  # O(rows·len) distinct keys, not O(1)
+    # max block = #canonicals one insertion away from a variant string,
+    # bounded by len·|alphabet| regardless of corpus size (observed 19 on
+    # the zero-padded digit names) — never O(rows)
+    assert stats.max_block <= 64 and stats.max_block < n_rows / 2
 
 
 def test_skyline_planted_dominance(spark):
