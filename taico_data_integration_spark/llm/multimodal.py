@@ -167,43 +167,77 @@ def encode_bmp(arr) -> bytes:
     return header + info + pixels
 
 
-def decode_image_bytes(b: bytes):
-    """(h, w, 3) uint8 array + format tag from BMP or PPM bytes."""
+def _decode_bmp(b: bytes):
     import struct
 
     import numpy as np
 
-    if b[:2] == b"BM":
-        w, h = struct.unpack_from("<ii", b, 18)
-        bpp, comp = struct.unpack_from("<HI", b, 28)
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
-        (offset,) = struct.unpack_from("<I", b, 10)
-        stride = (w * 3 + 3) // 4 * 4
-        rows = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset)
-        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
-        return np.ascontiguousarray(img), "bmp"
-    if b[:2] == b"P6":
-        # header: magic, width, height, maxval — whitespace/comment tolerant
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(b) and b[pos : pos + 1].isspace():
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, comp = struct.unpack_from("<HI", b, 28)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
+    (offset,) = struct.unpack_from("<I", b, 10)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return np.ascontiguousarray(img)
+
+
+def _decode_ppm(b: bytes):
+    import numpy as np
+
+    # header: magic, width, height, maxval — whitespace/comment tolerant
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while b[pos : pos + 1] not in (b"\n", b""):
                 pos += 1
-            if b[pos : pos + 1] == b"#":
-                while b[pos : pos + 1] not in (b"\n", b""):
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(b) and not b[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(b[start:pos]))
-        pos += 1  # single whitespace after maxval
-        w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"unsupported PPM maxval: {maxval}")
-        img = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
-        return img.copy(), "ppm"
-    raise ValueError("unsupported image format (expected BMP or P6 PPM)")
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval: {maxval}")
+    img = np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+    return img.copy()
+
+
+# Codec-kernel registry: the seam a real deployment uses to plug in
+# compressed codecs (JPEG via PIL/libjpeg, H.264 via ffmpeg) WITHOUT
+# touching any Spark plumbing — the mapInPandas batching, output schema and
+# content-hash partitioning are codec-agnostic. `sniff(bytes) -> bool`
+# selects the codec (insertion order, first match wins); `decode(bytes) ->
+# (h, w, 3) uint8 array` is the kernel. decode_image/resize_image snapshot
+# the registry at plan-build time so runtime registrations reach executors
+# through the serialized closure (module state on a fresh Python worker
+# only has the built-ins).
+_IMAGE_CODECS: dict[str, tuple] = {}
+
+
+def register_image_codec(name: str, sniff, decode) -> None:
+    _IMAGE_CODECS[name] = (sniff, decode)
+
+
+def unregister_image_codec(name: str) -> None:
+    _IMAGE_CODECS.pop(name, None)
+
+
+register_image_codec("bmp", lambda b: b[:2] == b"BM", _decode_bmp)
+register_image_codec("ppm", lambda b: b[:2] == b"P6", _decode_ppm)
+
+
+def decode_image_bytes(b: bytes, codecs: dict | None = None):
+    """(h, w, 3) uint8 array + format tag, dispatched via the codec
+    registry (built-ins: 24-bit BMP, binary PPM)."""
+    for name, (sniff, dec) in (codecs or _IMAGE_CODECS).items():
+        if sniff(b):
+            return dec(b), name
+    raise ValueError("no registered image codec matched the payload")
 
 
 DECODED_SCHEMA = StructType(
@@ -220,13 +254,15 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _decode_stats_batches(batches: Iterator[pd.DataFrame], resize_to=None) -> Iterator[pd.DataFrame]:
+def _decode_stats_batches(
+    batches: Iterator[pd.DataFrame], resize_to=None, codecs: dict | None = None
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
         out = {k: [] for k in ("asset_id", "format", "width", "height", "n_channels", "mean_r", "mean_g", "mean_b")}
         for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-            img, fmt = decode_image_bytes(bytes(payload))
+            img, fmt = decode_image_bytes(bytes(payload), codecs)
             if resize_to is not None:
                 tw, th = resize_to
                 ys = (np.arange(th) * img.shape[0]) // th
@@ -245,17 +281,22 @@ def _decode_stats_batches(batches: Iterator[pd.DataFrame], resize_to=None) -> It
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real decode stage: Arrow batches of BMP/PPM payloads -> per-asset
-    dimensions and channel means. Same mapInPandas contract a PIL/CLIP
-    deployment would use; only the kernel differs."""
-    return media.mapInPandas(lambda it: _decode_stats_batches(it), schema=DECODED_SCHEMA)
+    """Real decode stage: Arrow batches of registered-codec payloads ->
+    per-asset dimensions and channel means. Same mapInPandas contract a
+    PIL/CLIP deployment would use; only the registered kernel differs."""
+    codecs = dict(_IMAGE_CODECS)  # snapshot ships in the closure
+    return media.mapInPandas(
+        lambda it: _decode_stats_batches(it, codecs=codecs), schema=DECODED_SCHEMA
+    )
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     """Decode + nearest-neighbor resize (pure numpy indexing), emitting the
     post-resize stats. Payloads never leave executors."""
+    codecs = dict(_IMAGE_CODECS)
     return media.mapInPandas(
-        lambda it: _decode_stats_batches(it, resize_to=(width, height)), schema=DECODED_SCHEMA
+        lambda it: _decode_stats_batches(it, resize_to=(width, height), codecs=codecs),
+        schema=DECODED_SCHEMA,
     )
 
 

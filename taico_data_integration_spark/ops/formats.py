@@ -1,0 +1,223 @@
+"""Storage-format seam for the warehouse lifecycle (M2-M6).
+
+The promotion/rollback/merge PROTOCOL — backup -> write -> validate ->
+rollback-on-failure (ref dags/taico/meta/taico_facebook_data_etl_dag.py:
+136-222), tenant-scoped swap (ref include/scripts/sync_data.py:281-309),
+incremental merge (ref include/dbt/models/taico/meta/main_taico_staging.sql:
+3-6) — is independent of HOW a table version is stored. ``TableFormat``
+captures the minimal primitives a format must provide:
+
+- ``write(table, df)``      -> new immutable version, becomes current
+- ``read(table, version)``  -> DataFrame of current (or a pinned) version
+- ``rollback(table, to)``   -> O(1) current-pointer swap, files untouched
+- ``history(table)``        -> versions newest-first, current flagged
+
+and implements the protocol once on top of them (``exists``,
+``promote_with_validation``, ``diff``). Implementations in this container:
+
+- :class:`~taico_data_integration_spark.ops.incremental.TableStore` —
+  versioned parquet directories + JSON pointer (the default engine store);
+- :class:`SqlWarehouseFormat` — Spark-catalog tables written with
+  ``INSERT OVERWRITE``-style saves; the current pointer is a catalog VIEW
+  repointed with ``CREATE OR REPLACE VIEW`` (a metadata-only swap).
+
+A Delta/Iceberg adapter plugs into the same seam: write -> table
+overwrite/append, rollback -> ``RESTORE TABLE ... VERSION AS OF``,
+history -> ``DESCRIBE HISTORY`` — none of the protocol methods change.
+tests/test_ops.py runs the same lifecycle conformance suite against both
+in-container implementations to keep the seam honest.
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableFormat(ABC):
+    """Minimal versioned-table contract the M2-M6 lifecycle runs against."""
+
+    @abstractmethod
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Persist ``df`` as a NEW immutable version and make it current.
+        Returns the version number (0-based, monotonically increasing)."""
+
+    @abstractmethod
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Current version (default) or a pinned historical version."""
+
+    @abstractmethod
+    def rollback(self, table: str, to_version: int | None = None) -> int:
+        """Repoint current to the previous (or given) version — metadata
+        only; the failed version's data stays for forensics."""
+
+    @abstractmethod
+    def history(self, table: str) -> list[dict]:
+        """Versions newest-first; each entry has at least ``v`` and
+        ``is_current``."""
+
+    # -- protocol implemented once over the primitives ----------------------
+
+    def exists(self, table: str) -> bool:
+        return bool(self.history(table))
+
+    def promote_with_validation(
+        self, table: str, staged: DataFrame, validate: Callable[[DataFrame], bool]
+    ) -> bool:
+        """M6 protocol: backup (implicit — the old version stays) -> write
+        new -> validate -> rollback on failure."""
+        self.write(table, staged)
+        if validate(self.read(table)):
+            return True
+        self.rollback(table)
+        return False
+
+    def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
+        """Row-level version diff (audit / CDF-lite), multiset semantics
+        (exceptAll) so duplicate-count changes show up. Keyless fallback —
+        prefer key-based CDC logs when a key exists."""
+        old, new = self.read(table, v_old), self.read(table, v_new)
+        added = new.exceptAll(old).withColumn("__change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
+        return added.unionByName(removed)
+
+
+class SqlWarehouseFormat(TableFormat):
+    """Catalog-managed implementation: each version is a real Spark SQL
+    table ``<ns>_<table>_v<NNN>`` (written with a saveAsTable overwrite —
+    the DataFrame form of ``INSERT OVERWRITE``), and the current pointer is
+    the catalog view ``<ns>_<table>``, repointed with ``CREATE OR REPLACE
+    VIEW``: an O(1) metadata swap, like TableStore's JSON repoint and
+    Delta's log commit. Version bookkeeping lives in a tiny ``<ns>__meta``
+    table (rows: table, version, created-at, is_current).
+
+    ``location`` roots the table files (external-table paths) so tests can
+    point at a tmp dir; ``namespace`` isolates concurrent instances in the
+    shared session catalog."""
+
+    def __init__(self, spark: SparkSession, namespace: str, location: str | None = None):
+        if not namespace.isidentifier():
+            raise ValueError(f"namespace must be a SQL identifier: {namespace!r}")
+        self.spark = spark
+        self.ns = namespace
+        self.location = location
+
+    # -- naming / meta ------------------------------------------------------
+
+    def _view(self, table: str) -> str:
+        return f"{self.ns}_{table}"
+
+    def _vt(self, table: str, version: int) -> str:
+        return f"{self.ns}_{table}_v{version:04d}"
+
+    def _meta_table(self) -> str:
+        return f"{self.ns}__meta"
+
+    def _read_meta(self) -> dict[str, dict]:
+        if not self.spark.catalog.tableExists(self._meta_table()):
+            return {}
+        meta: dict[str, dict] = {}
+        for r in self.spark.table(self._meta_table()).collect():
+            entry = meta.setdefault(r.tbl, {"current": None, "versions": []})
+            entry["versions"].append({"v": r.v, "ts": r.ts})
+            if r.is_current:
+                entry["current"] = r.v
+        for entry in meta.values():
+            entry["versions"].sort(key=lambda e: e["v"])
+        return meta
+
+    def _write_meta(self, meta: dict[str, dict]) -> None:
+        rows = [
+            (tbl, e["v"], e["ts"], e["v"] == entry["current"])
+            for tbl, entry in meta.items()
+            for e in entry["versions"]
+        ]
+        df = self.spark.createDataFrame(
+            rows or [("", -1, 0.0, False)], "tbl string, v int, ts double, is_current boolean"
+        )
+        if not rows:
+            df = df.where(F.lit(False))
+        writer = df.write.mode("overwrite")
+        if self.location:
+            writer = writer.option("path", f"{self.location}/{self._meta_table()}")
+        writer.format("parquet").saveAsTable(self._meta_table())
+
+    # -- primitives ---------------------------------------------------------
+
+    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        meta = self._read_meta()
+        entry = meta.setdefault(table, {"current": None, "versions": []})
+        version = entry["versions"][-1]["v"] + 1 if entry["versions"] else 0
+        vt = self._vt(table, version)
+        writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if self.location:
+            writer = writer.option("path", f"{self.location}/{vt}")
+        writer.saveAsTable(vt)
+        self.spark.sql(f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}")
+        entry["versions"].append({"v": version, "ts": time.time()})
+        entry["current"] = version
+        self._write_meta(meta)
+        return version
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        if version is None:
+            return self.spark.table(self._view(table))
+        return self.spark.table(self._vt(table, version))
+
+    def rollback(self, table: str, to_version: int | None = None) -> int:
+        meta = self._read_meta()
+        entry = meta[table]
+        if to_version is None:
+            older = [e["v"] for e in entry["versions"] if e["v"] < entry["current"]]
+            if not older:
+                raise ValueError(f"no version to roll back to for {table}")
+            to_version = older[-1]
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {self._view(table)} AS "
+            f"SELECT * FROM {self._vt(table, to_version)}"
+        )
+        entry["current"] = to_version
+        self._write_meta(meta)
+        return to_version
+
+    def history(self, table: str) -> list[dict]:
+        entry = self._read_meta().get(table)
+        if entry is None:
+            return []
+        return [
+            {**e, "is_current": e["v"] == entry["current"]}
+            for e in reversed(entry["versions"])
+        ]
+
+    def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_latest`` version tables (plus the
+        current one) from the catalog."""
+        meta = self._read_meta()
+        entry = meta[table]
+        keep = {e["v"] for e in entry["versions"][-keep_latest:]}
+        keep.add(entry["current"])
+        removed, remaining = [], []
+        for e in entry["versions"]:
+            if e["v"] in keep:
+                remaining.append(e)
+            else:
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(table, e['v'])}")
+                removed.append(e["v"])
+        entry["versions"] = remaining
+        self._write_meta(meta)
+        return removed
+
+    def drop_namespace(self) -> None:
+        """Remove every catalog object this instance created (test cleanup)."""
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith(f"{self.ns}_"):
+                if t.tableType == "VIEW":
+                    self.spark.sql(f"DROP VIEW IF EXISTS {t.name}")
+                else:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")

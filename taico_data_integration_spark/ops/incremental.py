@@ -27,6 +27,8 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .formats import TableFormat
+
 
 def zorder_key(cols: dict[str, tuple[Column, float, float]], bits: int = 8) -> Column:
     """Bit-interleaved Z-curve value from quantized columns.
@@ -153,8 +155,11 @@ class PartitionedTable:
         return self.spark.read.parquet(self.path)
 
 
-class TableStore:
-    """Versioned parquet table store: the promotion/rollback substrate (M6).
+class TableStore(TableFormat):
+    """Versioned parquet table store: the promotion/rollback substrate (M6),
+    one implementation of the :class:`~.formats.TableFormat` seam (the
+    protocol methods — promote_with_validation, diff, exists — are inherited
+    from the seam and shared with SqlWarehouseFormat).
 
     Layout: root/<table>/v<NNN>/ parquet + root/<table>/_meta.json pointing
     at the current version. write() creates a new version; rollback()
@@ -194,6 +199,7 @@ class TableStore:
         return version
 
     def exists(self, table: str) -> bool:
+        # cheaper than the seam's history() default: one JSON read, no list
         return self._read_meta(table)["current"] is not None
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
@@ -326,24 +332,5 @@ class TableStore:
             for e in reversed(meta["versions"])
         ]
 
-    def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
-        """Row-level version diff (audit / CDF-lite): rows added by v_new
-        and rows removed since v_old, tagged with a `__change` column.
-        Multiset semantics (exceptAll) so duplicate-count changes show up.
-        At 100 TB both sides hash-shuffle once; prefer key-based cdc logs
-        when a key exists — this is the keyless fallback."""
-        old, new = self.read(table, v_old), self.read(table, v_new)
-        added = new.exceptAll(old).withColumn("__change", F.lit("added"))
-        removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
-        return added.unionByName(removed)
-
-    def promote_with_validation(self, table: str, staged: DataFrame, validate) -> bool:
-        """M6 protocol: backup(implicit: old version stays) -> write new ->
-        validate -> rollback on failure. `validate` takes the new DataFrame
-        and returns True/False."""
-        self.write(table, staged)
-        new_df = self.read(table)
-        if validate(new_df):
-            return True
-        self.rollback(table)
-        return False
+    # promote_with_validation and diff are inherited from TableFormat —
+    # the protocol is format-independent by construction.

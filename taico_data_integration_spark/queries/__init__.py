@@ -28,6 +28,7 @@ from . import (
     insights,
     llm,
     retail,
+    streaming_gate,
     sync,
     tpch_deep,
     tpch_extra,
@@ -46,6 +47,7 @@ _MODULES = (
     curation,
     warehouse,
     insights,
+    streaming_gate,
 )
 
 

@@ -256,6 +256,63 @@ def test_decode_and_resize_stages(spark):
         assert r.mean_b == float((d * 83) % 256)
 
 
+def test_third_party_codec_registers_without_plumbing_changes(spark):
+    """The codec-kernel seam (VERDICT r2 'Next round' #5): a third-party
+    decoder — here a toy RLE image format — registers with one call and
+    flows through decode_image's mapInPandas plumbing end-to-end, alongside
+    the built-in codecs, with zero changes to the Spark side."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        encode_bmp,
+        register_image_codec,
+        unregister_image_codec,
+    )
+
+    # toy format: b"RLE1" + h + w + (count, r, g, b)* runs, row-major
+    def encode_rle(arr) -> bytes:
+        a = np.asarray(arr, dtype=np.uint8).reshape(-1, 3)
+        out = [b"RLE1", bytes([arr.shape[0], arr.shape[1]])]
+        i = 0
+        while i < len(a):
+            j = i
+            while j < len(a) and j - i < 255 and (a[j] == a[i]).all():
+                j += 1
+            out.append(bytes([j - i]) + a[i].tobytes())
+            i = j
+        return b"".join(out)
+
+    def decode_rle(b: bytes):
+        h, w = b[4], b[5]
+        px = []
+        for i in range(6, len(b), 4):
+            px.extend([list(b[i + 1 : i + 4])] * b[i])
+        return np.array(px, dtype=np.uint8).reshape(h, w, 3)
+
+    register_image_codec("rle1", lambda b: b[:4] == b"RLE1", decode_rle)
+    try:
+        img_a = np.full((4, 6, 3), (10, 20, 30), dtype=np.uint8)
+        img_b = np.full((8, 5, 3), (200, 100, 50), dtype=np.uint8)
+        media = spark.createDataFrame(
+            [
+                Row(asset_id=1, payload=bytearray(encode_rle(img_a))),
+                Row(asset_id=2, payload=bytearray(encode_bmp(img_b))),  # built-in
+            ]
+        )
+        got = {r.asset_id: r for r in decode_image(media).collect()}
+    finally:
+        unregister_image_codec("rle1")
+
+    assert got[1].format == "rle1" and (got[1].width, got[1].height) == (6, 4)
+    assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (10.0, 20.0, 30.0)
+    assert got[2].format == "bmp" and (got[2].width, got[2].height) == (5, 8)
+    # after unregister, new plans no longer decode the foreign format
+    import pytest
+
+    with pytest.raises(Exception, match="no registered image codec"):
+        media.where("asset_id = 1").transform(decode_image).collect()
+
+
 def test_y4m_codec_roundtrip_exact():
     """encode->decode is lossless for C444 and C420 y4m streams; frame
     order, plane order, and the framerate tag survive the container walk."""

@@ -3,6 +3,7 @@ small in-memory frames (reference semantics per SURVEY.md §2.3/§2.9)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -181,6 +182,67 @@ def test_tablestore_promote_and_rollback(spark, tmp_path):
     ok = store.promote_with_validation("t", good.union(good), validate=lambda df: df.count() >= 5)
     assert ok
     assert store.read("t").count() == 10
+
+
+@pytest.fixture(params=["versioned_parquet", "sql_warehouse"])
+def table_format(request, spark, tmp_path):
+    """Both TableFormat implementations behind the lakehouse seam
+    (VERDICT r2 'Next round' #3): the lifecycle conformance suite below must
+    pass identically against each."""
+    if request.param == "versioned_parquet":
+        yield TableStore(spark, str(tmp_path / "store"))
+    else:
+        from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+        fmt = SqlWarehouseFormat(
+            spark, f"conf_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "wh")
+        )
+        yield fmt
+        fmt.drop_namespace()
+
+
+def test_format_lifecycle_conformance(spark, table_format):
+    """M2-M6 lifecycle against the TableFormat seam: versioned write/read,
+    merge, failed-promotion rollback, history, version diff, vacuum —
+    format-portable by construction."""
+    fmt = table_format
+    good = spark.createDataFrame([Row(id=i, s=chr(97 + i)) for i in range(5)])
+    bad = spark.createDataFrame([Row(id=-1, s="x")])
+
+    assert not fmt.exists("t")
+    v0 = fmt.write("t", good)
+    assert v0 == 0 and fmt.exists("t") and fmt.read("t").count() == 5
+
+    # M5 merge written back as a new version
+    updates = spark.createDataFrame([Row(id=4, s="Z"), Row(id=9, s="new")])
+    merged = merge_upsert(fmt.read("t"), updates, ["id"])
+    v1 = fmt.write("t", merged)
+    assert v1 == 1
+    assert {(r.id, r.s) for r in fmt.read("t").collect()} == {
+        (0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "Z"), (9, "new"),
+    }
+
+    # M6: failed validation rolls back; the pinned old version stays readable
+    ok = fmt.promote_with_validation(
+        "t", bad, validate=lambda df: df.where("id < 0").count() == 0
+    )
+    assert not ok and fmt.read("t").count() == 6
+    assert fmt.read("t", version=0).count() == 5
+
+    # history: v2 (the failed write) exists but v1 is current
+    hist = fmt.history("t")
+    assert [h["v"] for h in hist] == [2, 1, 0]
+    assert [h["is_current"] for h in hist] == [False, True, False]
+
+    # version diff between v0 and v1
+    d = {(r["id"], r["s"], r["__change"]) for r in fmt.diff("t", 0, 1).collect()}
+    assert d == {(4, "Z", "added"), (9, "new", "added"), (4, "e", "removed")}
+
+    # successful promotion then vacuum old versions
+    ok = fmt.promote_with_validation("t", good, validate=lambda df: df.count() == 5)
+    assert ok and fmt.read("t").count() == 5
+    removed = fmt.vacuum("t", keep_latest=1)
+    assert removed and fmt.read("t").count() == 5
 
 
 def test_tablestore_compact(spark, tmp_path):

@@ -6,7 +6,7 @@ Spark 4 defaults — ANSI ON is the big one — so a query that only works
 under the engine session would pass locally and fail the gate.
 test_vanilla_session covers a sample; this rehearses everything.
 
-Usage: python tools/driver_rehearsal.py [sf_dir]
+Usage: python tools/driver_rehearsal.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -40,6 +41,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
