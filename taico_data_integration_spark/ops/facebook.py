@@ -115,6 +115,10 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     w = Window.orderBy("ad_id")
     joined = guarded_dimension_frame(
         cleaned.join(F.broadcast(camp), "campaign_id", "left"),
+        # the reference's daily ads pull tops out in the low millions; a
+        # 10M single-partition sort is the documented ceiling of this
+        # parity shape — beyond it, switch to mint_ids_distributed
+        max_rows=10_000_000,
         label="fb_ads_transform ads batch",
     )
     return (

@@ -3,7 +3,9 @@ oracle is timed on BOTH engines over the same parquet at the same SF —
 DuckDB runs the oracle SQL (all threads), Spark runs the DataFrame plan to
 a noop sink. Writes BENCH_VS_DUCKDB.md.
 
-Usage: python tools/bench_vs_duckdb.py [sf_dir]
+Usage: python tools/bench_vs_duckdb.py [sf_dir] [section_label]
+With a section_label, results are APPENDED as a "## <label>" section
+(e.g. the sf1 run) instead of rewriting the whole file.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ TABLES = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    label = sys.argv[2] if len(sys.argv) > 2 else None
 
     import duckdb
 
@@ -38,7 +41,8 @@ def main() -> None:
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
 
     def t_spark(fn) -> float:
         ts = []
@@ -67,19 +71,23 @@ def main() -> None:
 
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
-    with open("/root/repo/BENCH_VS_DUCKDB.md", "w") as f:
-        f.write(
-            "# Spark vs DuckDB single-node throughput\n\n"
-            f"Same parquet, same SF ({sf_dir}), same machine (32 threads both), "
-            "median of 3 after warmup. DuckDB executes the oracle SQL and "
-            "materializes results; Spark executes the DataFrame plan to a noop "
-            "sink (no driver transfer on either path's hot loop).\n\n"
-            "Spark carries fixed per-job overhead (~0.2-0.5s scheduling/codegen) "
-            "that DuckDB doesn't — at this toy SF that overhead dominates the "
-            "small queries; it amortizes to noise at cluster scale, which is "
-            "what the engine is designed for (SCALE.md).\n\n"
-            "| query | spark s | duckdb s | ratio (spark/duck) |\n|---|---|---|---|\n"
-        )
+    mode = "a" if label else "w"
+    with open("/root/repo/BENCH_VS_DUCKDB.md", mode) as f:
+        if label:
+            f.write(f"\n## {label} ({sf_dir})\n\n")
+        else:
+            f.write(
+                "# Spark vs DuckDB single-node throughput\n\n"
+                f"Same parquet, same SF ({sf_dir}), same machine (32 threads both), "
+                "median of 3 after warmup. DuckDB executes the oracle SQL and "
+                "materializes results; Spark executes the DataFrame plan to a noop "
+                "sink (no driver transfer on either path's hot loop).\n\n"
+                "Spark carries fixed per-job overhead (~0.2-0.5s scheduling/codegen) "
+                "that DuckDB doesn't — at this toy SF that overhead dominates the "
+                "small queries; it amortizes to noise at cluster scale, which is "
+                "what the engine is designed for (SCALE.md).\n\n"
+            )
+        f.write("| query | spark s | duckdb s | ratio (spark/duck) |\n|---|---|---|---|\n")
         for name, s, d in rows:
             f.write(f"| {name} | {s:.2f} | {d:.2f} | {s / max(d, 1e-9):.1f}x |\n")
         f.write(

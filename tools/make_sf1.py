@@ -1,0 +1,73 @@
+"""Generate an sf1-equivalent fixture set from the sf0.1 testdata by key-
+offset replication (10 replicas, every key column shifted by a fixed
+stride so FK relationships hold per replica). Region/nation stay fixed
+(TPC-H dims don't scale); documents get a per-replica text tag so the
+corpus is near-dup-dense rather than exact-copy-degenerate.
+
+Output: /tmp/taico_sf1/<table>.parquet (directory-parquet). Used by
+tools/bench_vs_duckdb.py for the sf1 amortization run (VERDICT r2 #7) —
+not part of the driver gate (testdata is read-only; sf1 is derived).
+
+Usage: python tools/make_sf1.py [src_sf_dir] [out_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+STRIDE = 10_000_000  # larger than any sf0.1 key value
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/taico_sf1"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.session import get_spark
+
+    spark = get_spark("make-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    # key columns shifted by replica * STRIDE, per table
+    key_cols = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+
+    rep = spark.range(replicas).select(F.col("id").alias("__r"))
+    for table in ("region", "nation"):
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        print(f"{table}: {df.count()} rows (copied)")
+    for table, keys in key_cols.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet").crossJoin(rep)
+        for kc in keys:
+            df = df.withColumn(kc, F.col(kc) + F.col("__r") * STRIDE)
+        if table == "documents":
+            # per-replica tag keeps replicas near-dups, not exact copies
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" rep"), F.col("__r").cast("string"))
+            )
+        df = df.drop("__r")
+        # the crossJoin inherits the (single-file) source's partitioning —
+        # rebalance so the sf1 layout has realistic scan parallelism
+        df.repartition(32).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+        print(f"{table}: {df.count()} rows")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
