@@ -22,6 +22,11 @@ def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = No
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs everything in one JVM whose default 1g heap OOMs
+        # on fact-scale shuffles (observed: sf1 lineitem self-join); size it
+        # for the machine. Only effective at JVM launch — a pre-existing
+        # session keeps its own setting (e.g. the driver gate's).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # AQE: runtime coalescing, skew-join splitting, dynamic broadcast.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
