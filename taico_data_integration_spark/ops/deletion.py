@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .incremental import TableStore
+from .formats import TableFormat
 
 
 def delete_keys(df: DataFrame, keys: DataFrame, key_cols: dict[str, str]) -> DataFrame:
@@ -28,7 +28,7 @@ def delete_keys(df: DataFrame, keys: DataFrame, key_cols: dict[str, str]) -> Dat
 
 
 def erase_subjects(
-    store: TableStore,
+    store: TableFormat,
     subject_keys: DataFrame,
     table_key_cols: dict[str, dict[str, str]],
 ) -> dict[str, dict]:

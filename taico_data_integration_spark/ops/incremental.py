@@ -83,7 +83,7 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
 
 
 def maintain_additive_rollup(
-    store: "TableStore",
+    store: TableFormat,
     table: str,
     delta: DataFrame,
     keys: list[str],

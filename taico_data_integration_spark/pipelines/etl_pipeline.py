@@ -18,12 +18,13 @@ from pyspark.sql import functions as F
 from ..checks.engine import run_checks
 from ..checks.suites import dimension_suite
 from ..ops.dims import distinct_extract, mint_ids, mirror_sync, validate_sync
+from ..ops.formats import TableFormat
 from ..ops.incremental import TableStore
 from ..ops.relations import rebuild_relations
 
 
 def sync_dimension(
-    store: TableStore,
+    store: TableFormat,
     table: str,
     incoming_names: DataFrame,
     company_id: int,

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..llm.curation import curation_flags, dataset_split
 from ..llm.dedup import materialized_shingles, minhash_band_keys_fast, normalized_text
-from ..ops.incremental import TableStore
+from ..ops.formats import TableFormat
 from .callbacks import PipelineCallbacks
 
 CORPUS_TABLE = "corpus_docs"
@@ -95,7 +95,7 @@ def _within_batch_near_dups(new_bands: DataFrame, new_shingled: DataFrame) -> Da
 
 def ingest_batch(
     spark: SparkSession,
-    store: TableStore,
+    store: TableFormat,
     batch: DataFrame,
     callbacks: PipelineCallbacks | None = None,
 ) -> dict:

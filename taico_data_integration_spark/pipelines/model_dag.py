@@ -23,7 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from ..checks.engine import Check, run_checks
-from ..ops.incremental import TableStore
+from ..ops.formats import TableFormat
 
 
 @dataclass
@@ -56,7 +56,7 @@ class ModelDAG:
     def run(
         self,
         sources: dict[str, DataFrame],
-        store: TableStore | None = None,
+        store: TableFormat | None = None,
         fail_fast: bool = True,
     ) -> dict:
         """Execute all models; returns {model: {'ok', 'checks'}} plus the

@@ -20,12 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..ops.cdc import cdc_collapse
-from ..ops.incremental import TableStore
+from ..ops.formats import TableFormat
 
 
 def stream_cdc_apply(
     changelog: DataFrame,
-    store: TableStore,
+    store: TableFormat,
     table: str,
     keys: list[str],
     checkpoint_dir: str,

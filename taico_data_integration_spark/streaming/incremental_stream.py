@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_runtime_confs
-from ..ops.incremental import TableStore, merge_upsert
+from ..ops.formats import TableFormat
+from ..ops.incremental import merge_upsert
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,7 +111,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
 
 def stream_merge_into(
     events: DataFrame,
-    store: TableStore,
+    store: TableFormat,
     table: str,
     keys: list[str],
     checkpoint_dir: str,

@@ -163,6 +163,34 @@ def test_ingestion_pipeline_end_to_end(spark, tmp_path):
     assert [p for p, kind in cb.fired] == ["ingestion"] * 3
 
 
+def test_ingestion_pipeline_is_format_portable(spark, tmp_path):
+    """The ingestion pipeline takes any TableFormat: the same two-batch flow
+    (seed, then idempotent re-ingest) runs against SqlWarehouseFormat —
+    catalog tables + view repoint — with no pipeline changes."""
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+    from taico_data_integration_spark.pipelines.ingestion_pipeline import ingest_batch
+
+    fmt = SqlWarehouseFormat(
+        spark, f"ing_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "wh")
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green hills where many other animals live together happily "
+        "and the seasons pass with sun and rain and the fields grow tall "
+    )
+    b1 = spark.createDataFrame(
+        [(1, base * 2, "en", "unit", len(base * 2))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    try:
+        s1 = ingest_batch(spark, fmt, b1)
+        assert s1["n_accepted"] == 1 and s1["corpus_rows"] == 1
+        s2 = ingest_batch(spark, fmt, b1)  # exact re-ingest accepts nothing
+        assert s2["n_accepted"] == 0 and s2["corpus_rows"] == 1
+    finally:
+        fmt.drop_namespace()
+
+
 def test_ingestion_within_batch_near_dups(spark, tmp_path):
     """Two near-duplicates arriving in the SAME batch must not both enter
     the corpus — including in the corpus-seeding first batch, where there is
