@@ -268,3 +268,35 @@ def test_wav_codec_roundtrip_property(n, ch, rate, seed):
     a = np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch), dtype=np.int16)
     got, r = decode_wav_bytes(encode_wav(a, sample_rate=rate))
     assert r == rate and np.array_equal(got, a)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcXYZ019#", min_size=2, max_size=20), min_size=1, max_size=12, unique=True
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_er_deletion_variants_recall_property(sc, names, seed):
+    """FastSS k=1 recall guarantee: for ANY string set and ANY single-char
+    deletion, the corrupted string is a del_variant of its source — the
+    blocked candidate join can never miss a 1-deletion corruption."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.queries.extended import er_deletion_variants
+
+    rng = random.Random(seed)
+    corrupted = []
+    for n in names:
+        p = rng.randrange(len(n))
+        corrupted.append((n, n[:p] + n[p + 1 :]))
+
+    df = sc.createDataFrame([(n,) for n in names], ["canonical"])
+    variants = {
+        (r.canonical, r.del_variant)
+        for r in er_deletion_variants(df, "canonical").collect()
+    }
+    for canon, corrupt in corrupted:
+        assert (canon, corrupt) in variants
