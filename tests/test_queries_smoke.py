@@ -32,32 +32,38 @@ def test_registry_rotation_least_graded_first(tmp_path, monkeypatch):
 
     import taico_data_integration_spark.queries as q
 
-    # Synthesize two rounds of driver grading in a fake repo root.
+    # Synthesize two rounds of driver grading in a fake repo root. Names
+    # 0..4 green twice, 5..7 green once, name 8 graded but RED (must keep
+    # never-graded priority), rest never graded.
     reg_names = list(q._registry())
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({n: {} for n in reg_names[:5]})
+        json.dumps({n: green for n in reg_names[:5]})
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps({n: {} for n in reg_names[:5] + reg_names[5:8]})
+        json.dumps(
+            {**{n: green for n in reg_names[:8]}, reg_names[8]: red}
+        )
     )
-
-    real_counts = q._grade_counts
 
     def fake_counts():
         counts: dict[str, int] = {}
         for p in sorted(tmp_path.glob("CORRECTNESS_r*.json")):
-            for n in json.loads(p.read_text()):
-                counts[n] = counts.get(n, 0) + 1
+            for n, row in json.loads(p.read_text()).items():
+                if row.get("rows_match") and row.get("schema_match") and row.get("hash_match") and row.get("err") is None:
+                    counts[n] = counts.get(n, 0) + 1
         return counts
 
+    real_counts = q._grade_counts
     monkeypatch.setattr(q, "_grade_counts", fake_counts)
     try:
         ordered = list(q.all_queries())
     finally:
         monkeypatch.setattr(q, "_grade_counts", real_counts)
 
-    # Never-graded queries first (in registry order), then once-graded
-    # (names 5..7), then twice-graded (names 0..4) — full coverage rotation.
+    # Red/never-graded queries first (registry order, incl. the red name 8),
+    # then once-green (5..7), then twice-green (0..4).
     assert ordered[: len(reg_names) - 8] == reg_names[8:]
     assert ordered[-8:-5] == reg_names[5:8]
     assert ordered[-5:] == reg_names[:5]
