@@ -227,8 +227,17 @@ def unregister_image_codec(name: str) -> None:
     _IMAGE_CODECS.pop(name, None)
 
 
+def _decode_jpeg_kernel(b: bytes):
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(b)
+
+
 register_image_codec("bmp", lambda b: b[:2] == b"BM", _decode_bmp)
 register_image_codec("ppm", lambda b: b[:2] == b"P6", _decode_ppm)
+# real compressed codec (pure-numpy baseline JPEG, llm/jpeg.py) — the
+# round-2 "compressed media" gap, closed through the same registry seam
+register_image_codec("jpeg", lambda b: b[:2] == b"\xff\xd8", _decode_jpeg_kernel)
 
 
 def decode_image_bytes(b: bytes, codecs: dict | None = None):

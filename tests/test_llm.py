@@ -313,6 +313,85 @@ def test_third_party_codec_registers_without_plumbing_changes(spark):
         media.where("asset_id = 1").transform(decode_image).collect()
 
 
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_jpeg_codec_roundtrip_quality():
+    """Real compressed codec: baseline JPEG encode->decode reconstruction
+    quality on a smooth gradient (both 4:2:0 and 4:4:4, odd dimensions
+    exercising MCU padding), exactness on uniform gray, graceful rejection
+    of non-baseline streams."""
+    import numpy as np
+    import pytest
+
+    from taico_data_integration_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 41, 59  # deliberately not multiples of 8/16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))]
+    ).astype(np.uint8)
+    for sub, floor in ((True, 35.0), (False, 40.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert _psnr(img, out) >= floor
+    # quality monotonicity: higher quality -> at least as faithful
+    p50 = _psnr(img, decode_jpeg(encode_jpeg(img, quality=50, subsample=False)))
+    p95 = _psnr(img, decode_jpeg(encode_jpeg(img, quality=95, subsample=False)))
+    assert p95 >= p50
+    # uniform gray survives exactly (DC-only blocks, quant of 0 AC is 0)
+    gray = np.full((24, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(gray, quality=95)), gray)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"nope")
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: restart intervals byte-align the stream and reset DC
+    predictors; reconstruction must be identical to the no-restart encode."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 48, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), (xx * yy * 255 / (h * w))]
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, restart_interval=0))
+    for ri in (1, 3, 7):
+        out = decode_jpeg(encode_jpeg(img, quality=85, restart_interval=ri))
+        assert np.array_equal(out, base)
+
+
+def test_jpeg_flows_through_decode_image_plumbing(spark):
+    """JPEG payloads decode through the registered codec inside the same
+    mapInPandas stage as the uncompressed formats — mixed batch, per-asset
+    format tags and stats."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.jpeg import encode_jpeg
+    from taico_data_integration_spark.llm.multimodal import encode_bmp
+
+    img = np.full((16, 24, 3), (64, 128, 192), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_jpeg(img, quality=95))),
+            Row(asset_id=2, payload=bytearray(encode_bmp(img))),
+        ]
+    )
+    got = {r.asset_id: r for r in decode_image(media).collect()}
+    assert got[1].format == "jpeg" and got[2].format == "bmp"
+    assert (got[1].width, got[1].height) == (24, 16)
+    # constant fill: JPEG means stay within ~1 level of the BMP truth
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        assert abs(getattr(got[1], ch) - getattr(got[2], ch)) <= 1.5
+
+
 def test_y4m_codec_roundtrip_exact():
     """encode->decode is lossless for C444 and C420 y4m streams; frame
     order, plane order, and the framerate tag survive the container walk."""
