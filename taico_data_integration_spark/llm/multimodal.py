@@ -379,6 +379,103 @@ def decode_y4m_bytes(b: bytes):
     return frames, fps
 
 
+# -- Motion-JPEG AVI: the compressed-video path. Each frame is a baseline
+# JPEG (llm/jpeg.py) inside a minimal RIFF AVI container (hdrl with
+# avih/strh/strf, movi with 00dc chunks) — the classic camera/webcam
+# format. The decoder walks the RIFF tree, JPEG-decodes each 00dc/00db
+# chunk and converts to (y, u, v) planes so the frame-sampling stage is
+# codec-agnostic (decode_video_bytes dispatches y4m vs AVI by magic).
+
+
+def encode_mjpeg_avi(frames_rgb, fps: int = 5, quality: int = 85) -> bytes:
+    """RIFF AVI bytes with one baseline-JPEG '00dc' chunk per (h, w, 3)
+    uint8 RGB frame."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    frames_rgb = [np.asarray(f, dtype=np.uint8) for f in frames_rgb]
+    h, w, _ = frames_rgb[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames_rgb]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(payloads), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(payloads), 0, 0, -1)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi_bytes(b: bytes):
+    """Parse RIFF AVI M-JPEG bytes -> (frames, fps) with frames as
+    (y, u, v) uint8 plane tuples (BT.601 from the decoded RGB) and fps a
+    (num, den) tuple — the same contract as decode_y4m_bytes."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    fps = (25, 1)
+    payloads: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", b, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + sz)
+            elif cid == b"strh" and b[body_start : body_start + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", b, body_start + 20)
+                if scale and rate:
+                    fps = (rate, scale)
+            elif cid[2:] in (b"dc", b"db"):
+                payloads.append(b[body_start : body_start + sz])
+            pos = body_start + sz + (sz & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", b, 4)[0])
+    frames = []
+    for p in payloads:
+        rgb = decode_jpeg(p).astype(np.float64)
+        r, g, bl = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = np.clip(0.299 * r + 0.587 * g + 0.114 * bl, 0, 255).round().astype(np.uint8)
+        u = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * bl + 128, 0, 255).round().astype(np.uint8)
+        v = np.clip(0.5 * r - 0.418688 * g - 0.081312 * bl + 128, 0, 255).round().astype(np.uint8)
+        frames.append((y, u, v))
+    return frames, fps
+
+
+def decode_video_bytes(b: bytes):
+    """Codec dispatch for video payloads: YUV4MPEG2 (uncompressed) or
+    RIFF/AVI M-JPEG (compressed) -> (frames as (y, u, v) tuples, fps)."""
+    if b.startswith(b"YUV4MPEG2"):
+        return decode_y4m_bytes(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_mjpeg_avi_bytes(b)
+    raise ValueError("unsupported video container (expected y4m or AVI)")
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -405,7 +502,7 @@ def sample_video_frames(media: DataFrame, every_n_seconds: float) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("asset_id", "frame_idx", "ts_ms", "width", "height", "mean_y", "mean_u", "mean_v")}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                frames, (num, den) = decode_y4m_bytes(bytes(payload))
+                frames, (num, den) = decode_video_bytes(bytes(payload))
                 stride = max(1, int(round(every_n_seconds * num / den)))
                 for idx in range(0, len(frames), stride):
                     y, u, v = frames[idx]
@@ -445,9 +542,12 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav_bytes(b: bytes):
-    """Parse RIFF/WAVE PCM bytes -> ((n, channels) int16 array, sample_rate).
+    """Parse RIFF/WAVE bytes -> ((n, channels) int16 array, sample_rate).
     Walks the chunk list (chunks are word-aligned; unknown ones skipped), so
-    files with LIST/INFO or cue chunks parse correctly."""
+    files with LIST/INFO or cue chunks parse correctly. Handles PCM
+    (format 1, 16-bit) and mono IMA ADPCM (format 0x11, 4-bit compressed —
+    decoded via the shared step-prediction kernel; the fact chunk trims the
+    final partial block to the true length)."""
     import struct
 
     import numpy as np
@@ -455,20 +555,140 @@ def decode_wav_bytes(b: bytes):
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, rate, channels, bits, data = 12, None, None, None, None
+    audio_fmt, block_align, fact_samples = None, None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", b, pos + 4)
         if cid == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
-            if audio_fmt != 1 or bits != 16:
+            audio_fmt, channels, rate, _, block_align, bits = struct.unpack_from(
+                "<HHIIHH", b, pos + 8
+            )
+            if audio_fmt == 1 and bits == 16:
+                pass
+            elif audio_fmt == 0x11 and channels == 1:
+                pass
+            else:
                 raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+        elif cid == b"fact":
+            (fact_samples,) = struct.unpack_from("<I", b, pos + 8)
         elif cid == b"data":
             data = b[pos + 8 : pos + 8 + sz]
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt /data chunk")
+    if audio_fmt == 0x11:
+        return _decode_adpcm_data(data, block_align, fact_samples), rate
     a = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
     return a, rate
+
+
+# -- IMA/DVI ADPCM (WAV format tag 0x11): the standard 4:1 compressed-audio
+# codec, pure python — step-size prediction with a 4-bit code per sample.
+# encode_adpcm_wav produces blocked mono streams (4-byte block header:
+# predictor seed + step index); decode_wav_bytes dispatches on the fmt tag
+# so compressed WAVs flow through extract_audio_features unchanged.
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_reconstruct(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """Shared decode-side update (the encoder uses it too, so both sides
+    track the identical predictor): returns (new_predictor, new_index)."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return predictor, index
+
+
+def encode_adpcm_wav(samples, sample_rate: int = 8000, block_align: int = 256) -> bytes:
+    """Mono IMA-ADPCM WAV (format 0x11) from an int16 array — 4:1
+    compression. Includes the fact chunk (true sample count) so partial
+    final blocks decode to the exact original length."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    n = len(a)
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    predictor, index = (int(a[0]) if n else 0), 0
+    blocks = bytearray()
+    pos = 0
+    while pos < n:
+        chunk = a[pos : pos + spb]
+        predictor = int(chunk[0])
+        blocks += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _ADPCM_STEPS[index]
+            diff = int(s) - predictor
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            nibbles.append(nib)
+            predictor, index = _adpcm_reconstruct(predictor, index, nib)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))  # low nibble first
+        pos += spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate,
+        sample_rate * block_align // spb if spb else sample_rate,
+        block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm_data(data: bytes, block_align: int, n_samples: int | None):
+    import struct
+
+    import numpy as np
+
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            break
+        predictor, index, _ = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(predictor)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):  # low nibble first
+                predictor, index = _adpcm_reconstruct(predictor, index, nib)
+                out.append(predictor)
+    if n_samples is not None:
+        out = out[:n_samples]
+    return np.asarray(out, dtype=np.int16).reshape(-1, 1)
 
 
 AUDIO_FEATURE_SCHEMA = StructType(

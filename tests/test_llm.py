@@ -392,6 +392,101 @@ def test_jpeg_flows_through_decode_image_plumbing(spark):
         assert abs(getattr(got[1], ch) - getattr(got[2], ch)) <= 1.5
 
 
+def test_adpcm_wav_roundtrip_and_dispatch():
+    """Compressed audio: mono IMA-ADPCM (WAV fmt 0x11) roundtrips within
+    the codec's design SNR on a tone, silence survives exactly, the fact
+    chunk trims partial final blocks, and PCM files still decode."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        decode_wav_bytes,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    n, rate = 4000, 8000
+    sig = (10000 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)).astype(np.int16)
+    dec, r = decode_wav_bytes(encode_adpcm_wav(sig, rate))
+    assert r == rate and dec.shape == (n, 1)
+    err = sig.astype(float) - dec[:, 0].astype(float)
+    snr = 10 * np.log10(np.sum(sig.astype(float) ** 2) / np.sum(err**2))
+    assert snr >= 20.0  # IMA ADPCM ~25 dB on tones
+    # ~4:1 compression vs PCM
+    assert len(encode_wav(sig, rate)) / len(encode_adpcm_wav(sig, rate)) > 3.0
+    sil = np.zeros(1000, dtype=np.int16)
+    assert np.array_equal(decode_wav_bytes(encode_adpcm_wav(sil))[0][:, 0], sil)
+    odd = (3000 * np.sin(np.arange(777) / 5)).astype(np.int16)
+    assert decode_wav_bytes(encode_adpcm_wav(odd))[0].shape == (777, 1)
+
+
+def test_adpcm_flows_through_audio_feature_stage(spark):
+    """A compressed (ADPCM) payload flows through extract_audio_features'
+    mapInPandas stage next to a PCM payload — same stats contract."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        encode_adpcm_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    sig = (8000 * np.sin(2 * np.pi * 220 * np.arange(1600) / 8000)).astype(np.int16)
+    media = spark.createDataFrame(
+        [
+            Row(asset_id=1, payload=bytearray(encode_adpcm_wav(sig, 8000))),
+            Row(asset_id=2, payload=bytearray(encode_wav(sig, 8000))),
+        ]
+    )
+    got = {r.asset_id: r for r in extract_audio_features(media).collect()}
+    for aid in (1, 2):
+        assert got[aid].sample_rate == 8000 and got[aid].n_samples == 1600
+        assert got[aid].duration_ms == 200
+    # lossy-but-close: ADPCM mean amplitude within 5% of the PCM truth
+    assert abs(got[1].mean_abs - got[2].mean_abs) / got[2].mean_abs < 0.05
+
+
+def test_mjpeg_avi_roundtrip_and_frame_sampling(spark):
+    """Compressed video: M-JPEG AVI (per-frame baseline JPEGs in a RIFF
+    container) decodes to the same (y, u, v) contract as y4m, and the
+    frame-sampling mapInPandas stage handles BOTH containers in one batch
+    via decode_video_bytes dispatch."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        decode_mjpeg_avi_bytes,
+        encode_mjpeg_avi,
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    frames = [np.full((24, 32, 3), (i * 40, 100, 200 - i * 30), np.uint8) for i in range(4)]
+    avi = encode_mjpeg_avi(frames, fps=10, quality=95)
+    got, fps = decode_mjpeg_avi_bytes(avi)
+    assert len(got) == 4 and fps == (10, 1)
+    for i, (y, u, v) in enumerate(got):
+        rgb = np.array([i * 40, 100, 200 - i * 30], float)
+        exp_y = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+        assert y.shape == (24, 32) and abs(float(y.mean()) - exp_y) < 3.0
+
+    y4m = encode_y4m(
+        [tuple(np.full((16, 16), 60 + 10 * i, np.uint8) for _ in range(3)) for i in range(6)],
+        fps=(5, 1),
+        colorspace="C444",
+    )
+    media = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(avi)), Row(asset_id=2, payload=bytearray(y4m))]
+    )
+    rows = sample_video_frames(media, every_n_seconds=0.2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # avi at 10 fps sampled every 0.2s -> stride 2 -> frames 0 and 2
+    assert sorted(r.frame_idx for r in by_asset[1]) == [0, 2]
+    # y4m at 5 fps sampled every 0.2s -> stride 1 -> all 6 frames
+    assert sorted(r.frame_idx for r in by_asset[2]) == list(range(6))
+    assert all(r.width == 32 and r.height == 24 for r in by_asset[1])
+
+
 def test_y4m_codec_roundtrip_exact():
     """encode->decode is lossless for C444 and C420 y4m streams; frame
     order, plane order, and the framerate tag survive the container walk."""
