@@ -335,7 +335,7 @@ def test_jpeg_codec_roundtrip_quality():
     img = np.dstack(
         [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))]
     ).astype(np.uint8)
-    for sub, floor in ((True, 35.0), (False, 40.0)):
+    for sub, floor in (("420", 35.0), ("422", 38.0), ("444", 40.0)):
         out = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
         assert out.shape == img.shape and out.dtype == np.uint8
         assert _psnr(img, out) >= floor
