@@ -54,7 +54,9 @@ def main():
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        p = f"{sf_dir}/{t}.parquet"
+        glob = f"{p}/*.parquet" if __import__("os").path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
