@@ -300,3 +300,63 @@ def test_er_deletion_variants_recall_property(sc, names, seed):
     }
     for canon, corrupt in corrupted:
         assert (canon, corrupt) in variants
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.sampled_from([50, 75, 90]),
+    sub=st.sampled_from(["420", "422", "444"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, quality, sub, seed):
+    """Shape/dtype identity and a PSNR floor for ANY image size (incl. 1x1
+    and sub-block sizes exercising MCU pad + crop), any subsampling mode.
+    Smooth images so the PSNR bound is meaningful at every quality."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, 3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        base[None, None, :] + (xx[..., None] * 2 + yy[..., None] * 3) % 40 - 20,
+        0, 255,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsample=sub))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    diff = out.astype(float) - img.astype(float)
+    mse = float(np.mean(diff**2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+    assert psnr >= 25.0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(1, 3000),
+    freq=st.integers(50, 2000),
+    amp=st.integers(100, 20000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adpcm_roundtrip_property(n, freq, amp, seed):
+    """ADPCM decode(encode(x)) preserves length exactly for any clip length
+    (partial blocks) and tracks the waveform within the codec's step-size
+    envelope (bounded max error relative to amplitude for smooth tones)."""
+    import numpy as np
+
+    from taico_data_integration_spark.llm.multimodal import (
+        decode_wav_bytes,
+        encode_adpcm_wav,
+    )
+
+    rate = 8000
+    t = np.arange(n)
+    phase = (seed % 628) / 100.0
+    sig = (amp * np.sin(2 * np.pi * freq * t / rate + phase)).astype(np.int16)
+    dec, r = decode_wav_bytes(encode_adpcm_wav(sig, rate))
+    assert r == rate and dec.shape == (n, 1)
+    if n >= 32:  # allow the predictor a few samples of attack
+        err = np.abs(sig[16:].astype(int) - dec[16:, 0].astype(int))
+        assert float(np.mean(err)) <= max(200.0, 0.15 * amp)
