@@ -16,7 +16,7 @@ from the events table so the whole chain is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -107,23 +107,21 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     media_cluster = F.when(
         F.col("optimization_goal").isin(*KNOWN_CLUSTERS), F.col("optimization_goal")
     ).otherwise("Other")
-    from .dims import guarded_dimension_frame
+    from .dims import mint_ids_distributed
 
-    # reference parity: the dbt model mints ids with an UNPARTITIONED
-    # row_number (fb_meta_ads_transformed.sql) — a daily ads batch, not a
-    # fact table. The guard enforces that assumption at runtime.
-    w = Window.orderBy("ad_id")
-    joined = guarded_dimension_frame(
+    # The dbt model mints ids with an UNPARTITIONED row_number ordered by
+    # ad_id (fb_meta_ads_transformed.sql). mint_ids_distributed produces the
+    # SAME dense deterministic ids (ad_id is a unique key, string-ordered on
+    # both engines) via range partitioning + per-partition numbering — no
+    # single-partition sort anywhere in the plan, so the transform scales
+    # past the reference's daily-batch assumption to arbitrary fact size.
+    joined = mint_ids_distributed(
         cleaned.join(F.broadcast(camp), "campaign_id", "left"),
-        # the reference's daily ads pull tops out in the low millions; a
-        # 10M single-partition sort is the documented ceiling of this
-        # parity shape — beyond it, switch to mint_ids_distributed
-        max_rows=10_000_000,
-        label="fb_ads_transform ads batch",
+        order_cols=["ad_id"],
+        id_col="id",
     )
     return (
         joined
-        .withColumn("id", F.row_number().over(w).cast("bigint"))
         .select(
             "id",
             "date",
