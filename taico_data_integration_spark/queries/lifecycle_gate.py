@@ -1,0 +1,228 @@
+"""Driver-gated lifecycle/sink entries (VERDICT r3 'Next round' #3).
+
+The sink/DDL/lifecycle surface (S4/S5/S9-S11, M3/M6) was pytest-verified
+only: a row-hash oracle cannot see a side effect. These entries close that
+evidence gap by the write-then-read-back pattern — each one executes the
+REAL side-effectful path (TableStore versioned-parquet promote/rollback,
+SqlWarehouseFormat catalog DDL promote/rollback, CSV and JSON sinks,
+dynamic partition overwrite), then returns the final READ-BACK table for
+the driver to hash against an ANSI-SQL oracle expressing the intended end
+state. Protocol invariants that the hash cannot express (version counts,
+current-pointer position, rollback actually happened) are hard RuntimeError
+checks inside the entry, so a red row — not a silent pass — results if the
+lifecycle misbehaves.
+
+Reference surface covered (SURVEY.md §2.1/§2.9):
+- M6 backup -> write -> validate -> rollback-on-failure:
+  dags/taico/meta/taico_facebook_data_etl_dag.py:136-222
+- M3 staging rebuild + S4/S5/S9 warehouse DDL sink:
+  include/scripts/sync_data.py:281-309
+- S10/S11 CSV scan/sink; JSON twin.
+- M4/M8 partition-scoped swap at storage level (dynamic overwrite):
+  include/scripts/sync_data.py:281-309 (tenant-scoped delete+insert).
+
+Every entry works in a throwaway temp dir and cleans up in ``finally``
+(result is localCheckpoint-materialized first, so the returned DataFrame
+survives the cleanup); the SqlWarehouseFormat entry additionally drops its
+uuid-suffixed catalog namespace.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops.formats import SqlWarehouseFormat
+from ..ops.incremental import PartitionedTable, TableStore
+from ..sources import read_csv, read_json, write_csv, write_json
+from ._util import T
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Pin the result into executor storage so it outlives the temp-dir
+    cleanup in the caller's ``finally`` (localCheckpoint is eager)."""
+    return df.localCheckpoint()
+
+
+def _enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "n_regionkey", F.col("r_name").alias("region_name"))
+
+
+def lifecycle_tablestore_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+M6 on the versioned-parquet TableStore: baseline write, a FAILING
+    promotion (half the rows dropped — validation rejects, store rolls back),
+    then a passing promotion of the enriched rebuild. Returns the final
+    read-back; history/pointer invariants are hard-checked."""
+    nation = T(spark, sf_dir, "nation")
+    n_base = nation.count()
+    work = tempfile.mkdtemp(prefix="taico_lcg_store_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("dim_nation", nation)  # v0: M3 staging rebuild baseline
+        bad = nation.where(F.col("n_nationkey") < 5)  # truncated staged batch
+        if store.promote_with_validation(
+            "dim_nation", bad, lambda df: df.count() >= n_base
+        ):
+            raise RuntimeError("lifecycle_tablestore_promote: bad batch was accepted")
+        if store.read("dim_nation").count() != n_base:
+            raise RuntimeError("lifecycle_tablestore_promote: rollback did not restore v0")
+        good = _enriched_nation(spark, sf_dir)
+        if not store.promote_with_validation(
+            "dim_nation", good, lambda df: df.count() >= n_base
+        ):
+            raise RuntimeError("lifecycle_tablestore_promote: good batch was rejected")
+        hist = store.history("dim_nation")
+        if len(hist) != 3 or not hist[0]["is_current"] or hist[0]["v"] != 2:
+            raise RuntimeError(f"lifecycle_tablestore_promote: bad history {hist}")
+        return _materialize(store.read("dim_nation"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def lifecycle_sqlwarehouse_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same M6 protocol through the catalog-DDL format (S5/S9: saveAsTable
+    version tables + CREATE OR REPLACE VIEW pointer swaps): baseline write,
+    rejected empty staged batch (rolled back), accepted enriched supplier
+    rebuild. Namespace is uuid-suffixed and dropped in ``finally`` so gated
+    runs never collide in the shared session catalog."""
+    supplier = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    n_base = supplier.count()
+    work = tempfile.mkdtemp(prefix="taico_lcg_wh_")
+    ns = f"lcg_{uuid.uuid4().hex[:10]}"
+    fmt = SqlWarehouseFormat(spark, ns, location=work)
+    try:
+        fmt.write("dim_supplier", supplier)  # v0 baseline
+        bad = supplier.where(F.lit(False))  # empty staged batch
+        if fmt.promote_with_validation(
+            "dim_supplier", bad, lambda df: df.count() >= n_base
+        ):
+            raise RuntimeError("lifecycle_sqlwarehouse_promote: empty batch accepted")
+        good = supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"), "s_acctbal")
+        if not fmt.promote_with_validation(
+            "dim_supplier", good, lambda df: df.count() >= n_base
+        ):
+            raise RuntimeError("lifecycle_sqlwarehouse_promote: good batch rejected")
+        hist = fmt.history("dim_supplier")
+        if len(hist) != 3 or not hist[0]["is_current"] or hist[0]["v"] != 2:
+            raise RuntimeError(f"lifecycle_sqlwarehouse_promote: bad history {hist}")
+        return _materialize(fmt.read("dim_supplier"))
+    finally:
+        fmt.drop_namespace()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11: distributed CSV sink then explicit-schema scan of the same
+    files — the full write path (headers, type rendering) and read path
+    (schema-pinned parse) under the hash gate."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_date"),
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_csv_")
+    try:
+        path = os.path.join(work, "orders_csv")
+        write_csv(orders, path)
+        return _materialize(read_csv(spark, path, schema=orders.schema))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink/scan twin of sink_csv_roundtrip (line-delimited JSON,
+    explicit schema on read)."""
+    customer = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_json_")
+    try:
+        path = os.path.join(work, "customer_json")
+        write_json(customer, path)
+        return _materialize(read_json(spark, path, schema=customer.schema))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def lifecycle_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M8 at the storage layer: full partitioned write, then a dynamic
+    partition overwrite that rewrites ONLY the BUILDING segment (balances
+    doubled) — the replaceWhere-style scoped swap. Read-back must show the
+    doubled segment and the untouched rest."""
+    customer = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    n_base = customer.count()
+    work = tempfile.mkdtemp(prefix="taico_lcg_part_")
+    try:
+        table = PartitionedTable(spark, os.path.join(work, "customer"), ["c_mktsegment"])
+        table.write_full(customer)
+        patched = customer.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") * F.lit(2.0)
+        )
+        table.overwrite_partitions(patched)
+        out = table.read().select("c_custkey", "c_acctbal", "c_mktsegment")
+        if out.count() != n_base:
+            raise RuntimeError(
+                "lifecycle_partitioned_overwrite: dynamic overwrite changed row count"
+            )
+        return _materialize(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+TABLESTORE_PROMOTE_SQL = """
+SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+SQLWAREHOUSE_PROMOTE_SQL = """
+SELECT s_suppkey, s_name, n_name AS nation_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+CSV_ROUNDTRIP_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+FROM orders
+"""
+
+JSON_ROUNDTRIP_SQL = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+"""
+
+PARTITIONED_OVERWRITE_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment = 'BUILDING'
+            THEN c_acctbal * CAST(2.0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+QUERIES = {
+    "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
+    "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
+    "sink_csv_roundtrip": sink_csv_roundtrip,
+    "sink_json_roundtrip": sink_json_roundtrip,
+    "lifecycle_partitioned_overwrite": lifecycle_partitioned_overwrite,
+}
+
+ORACLE = {
+    "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
+    "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
+    "sink_csv_roundtrip": CSV_ROUNDTRIP_SQL,
+    "sink_json_roundtrip": JSON_ROUNDTRIP_SQL,
+    "lifecycle_partitioned_overwrite": PARTITIONED_OVERWRITE_SQL,
+}

@@ -1,4 +1,4 @@
-"""Driver-gated streaming entries (VERDICT r2 'Next round' #6).
+"""Driver-gated streaming entries (VERDICT r2 #6, extended per VERDICT r3 #6).
 
 The streaming operators were pytest-verified against batch twins but absent
 from the oracle gate (DuckDB cannot run a stream). These entries close that
@@ -6,9 +6,10 @@ gap: each one executes a REAL Structured Streaming job (availableNow
 trigger, bounded replay of the fixture) through the exact code paths in
 ``taico_data_integration_spark.streaming`` and returns the materialized
 result, which the driver hash-compares against the same ANSI-SQL oracle as
-the batch twin. The streaming plan, watermarking, memory/foreachBatch sinks
-and checkpoint handling all run under the correctness gate — not just in
-unit tests.
+the batch twin. The streaming plan, watermarking, memory/parquet/
+foreachBatch sinks, checkpoint handling and the stateful
+applyInPandasWithState operator all run under the correctness gate — not
+just in unit tests.
 
 Determinism notes:
 - ``stream_tumbling_events`` runs in complete mode over one bounded replay,
@@ -23,11 +24,28 @@ Determinism notes:
 - ``stream_dedup_events`` projects only the dedup keys: WHICH physical row
   survives a streaming dropDuplicates depends on arrival order, but the
   surviving key set does not.
+- ``stream_sessionize_events`` drives the applyInPandasWithState session
+  operator with an event-time timeout: sessions only emit when the
+  WATERMARK passes their close, so the replay appends two far-future
+  sentinel batches (one excluded user) across three availableNow runs of
+  one checkpoint — run 2 advances the watermark past most sessions, run 3
+  past all of them — and the emitted session set then equals the batch
+  window-function twin exactly.
+- ``stream_interval_join_events`` is a watermarked stream-stream self-join
+  (purchases matched to same-user clicks within the preceding hour). Inner
+  joins emit matches eagerly (the watermark only bounds state), so a single
+  bounded replay yields the full join.
+
+Hygiene: every entry materializes its result with ``localCheckpoint`` and
+then removes its temp working dir / memory-sink table in ``finally`` — gated
+runs leave nothing behind in /tmp or the session catalog.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -47,13 +65,34 @@ def _mem_name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:10]}"
 
 
+def _drain_memory_table(spark: SparkSession, name: str, cols: list[str] | None = None) -> DataFrame:
+    """Materialize a memory-sink table and drop it from the session catalog
+    so gated runs don't accumulate uuid-named tables."""
+    df = spark.table(name)
+    if cols:
+        df = df.select(*cols)
+    out = df.localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def _deliver(work: str, arrivals: str, df: DataFrame, label: str) -> None:
+    """Land df's parquet files FLAT in the arrivals dir (the file stream
+    source does not recurse into non-partition subdirectories)."""
+    staging = os.path.join(work, f"stage_{label}")
+    df.write.parquet(staging)
+    for i, f_ in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+        shutil.move(f_, os.path.join(arrivals, f"{label}_{i:04d}.parquet"))
+    shutil.rmtree(staging)
+
+
 def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of queries.core.tumbling_events, executed as a real
     watermarked streaming aggregation (incremental_stream.tumbling_counts)
     into a memory sink."""
     name = _mem_name("stream_tumbling")
     run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), name, output_mode="complete")
-    return spark.table(name)
+    return _drain_memory_table(spark, name)
 
 
 def stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,41 +112,32 @@ def stream_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="taico_stream_merge_")
-    arrivals = os.path.join(work, "arrivals")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(arrivals)
-    store = TableStore(spark, os.path.join(work, "store"))
+    try:
+        arrivals = os.path.join(work, "arrivals")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(arrivals)
+        store = TableStore(spark, os.path.join(work, "store"))
 
-    def _deliver(df: DataFrame, label: str) -> None:
-        """Land df's parquet files FLAT in the arrivals dir (the file stream
-        source does not recurse into non-partition subdirectories)."""
-        import glob
-        import shutil
+        def _run_pass() -> None:
+            stream = (
+                spark.readStream.schema(base.schema).format("parquet").load(arrivals)
+            )
+            stream_merge_into(stream, store, "orders_merged", ["o_orderkey"], ckpt)
 
-        staging = os.path.join(work, f"stage_{label}")
-        df.write.parquet(staging)
-        for i, f in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
-            shutil.move(f, os.path.join(arrivals, f"{label}_{i:04d}.parquet"))
-        shutil.rmtree(staging)
-
-    def _run_pass() -> None:
-        stream = (
-            spark.readStream.schema(base.schema).format("parquet").load(arrivals)
-        )
-        stream_merge_into(stream, store, "orders_merged", ["o_orderkey"], ckpt)
-
-    _deliver(base, "batch0")
-    _run_pass()
-    _deliver(updates, "batch1")
-    _run_pass()
-    # two micro-batches -> two versions in the store (base load + merge);
-    # a hard check (not assert) so -O runs still validate the replay shape
-    n_versions = len(store.history("orders_merged"))
-    if n_versions != 2:
-        raise RuntimeError(
-            f"stream_merge_orders: expected 2 micro-batch versions, got {n_versions}"
-        )
-    return store.read("orders_merged")
+        _deliver(work, arrivals, base, "batch0")
+        _run_pass()
+        _deliver(work, arrivals, updates, "batch1")
+        _run_pass()
+        # two micro-batches -> two versions in the store (base load + merge);
+        # a hard check (not assert) so -O runs still validate the replay shape
+        n_versions = len(store.history("orders_merged"))
+        if n_versions != 2:
+            raise RuntimeError(
+                f"stream_merge_orders: expected 2 micro-batch versions, got {n_versions}"
+            )
+        return store.read("orders_merged").localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +149,101 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = _mem_name("stream_dedup")
     out = stream_dedup(stream_events(spark, sf_dir), ["user_id", "event_type"])
     run_to_memory(out, name, output_mode="append")
-    return spark.table(name).select("user_id", "event_type")
+    return _drain_memory_table(spark, name, ["user_id", "event_type"])
+
+
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the gate: session windows
+    via applyInPandasWithState (streaming.stateful.sessionize_stream,
+    30-minute gap, 2-hour watermark) replayed bounded into a parquet sink.
+
+    Event-time-timeout mechanics force a multi-run replay: a session emits
+    only in a micro-batch that starts AFTER the watermark passed its
+    close + gap. Run 1 processes all real events (watermark still 0, state
+    built). Runs 2 and 3 each deliver one sentinel event for user -1 at
+    +10/+20 days, on the same checkpoint: run 2 starts with the watermark
+    at max(real ts) - 2h (flushes all but the trailing sessions), run 3
+    starts with it at +10d - 2h (flushes the rest). The sentinel user keeps
+    its own session open forever and is filtered out of the result."""
+    from ..streaming.stateful import sessionize_stream
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="taico_stream_sess_")
+    try:
+        arrivals = os.path.join(work, "arrivals")
+        ckpt = os.path.join(work, "ckpt")
+        outdir = os.path.join(work, "out")
+        os.makedirs(arrivals)
+
+        def _run_pass() -> None:
+            stream = spark.readStream.schema(ev.schema).format("parquet").load(arrivals)
+            q = (
+                sessionize_stream(stream, gap_seconds=1800, watermark="2 hours")
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _deliver(work, arrivals, ev, "batch0")
+        _run_pass()
+        for days, label in ((10, "flush1"), (20, "flush2")):
+            sentinel = ev.agg(
+                (F.max("ts") + F.expr(f"INTERVAL {days} DAYS")).alias("ts")
+            ).select(F.lit(-1).cast("bigint").alias("user_id"), "ts")
+            _deliver(work, arrivals, sentinel, label)
+            _run_pass()
+
+        out = (
+            spark.read.parquet(outdir)
+            .where(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "n_events",
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under the gate
+    (streaming.joins.interval_join): purchases joined to same-user clicks
+    in the preceding hour, both sides filtered off one bounded file-stream
+    replay. Inner-join matches emit eagerly, so one availableNow pass
+    yields the complete pair set; timestamps are formatted to seconds for
+    hash stability."""
+    from ..streaming.joins import interval_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    work = tempfile.mkdtemp(prefix="taico_stream_ivj_")
+    name = _mem_name("stream_ivj")
+    try:
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        _deliver(work, arrivals, ev, "batch0")
+        stream = spark.readStream.schema(ev.schema).format("parquet").load(arrivals)
+        purchases = stream.where(F.col("event_type") == "purchase")
+        clicks = stream.where(F.col("event_type") == "click")
+        out = interval_join(purchases, clicks, "user_id", interval="1 hour", watermark="2 hours")
+        run_to_memory(out, name, output_mode="append")
+        res = spark.table(name).select(
+            "user_id",
+            "left_event_id",
+            F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
+            "right_event_id",
+            F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
+        ).localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 STREAM_TUMBLING_SQL = """
@@ -143,14 +267,49 @@ STREAM_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+STREAM_SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM x
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, session_id
+"""
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT l.user_id AS user_id, l.event_id AS left_event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
+       r.event_id AS right_event_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS right_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+"""
+
 QUERIES = {
     "stream_tumbling_events": stream_tumbling_events,
     "stream_merge_orders": stream_merge_orders,
     "stream_dedup_events": stream_dedup_events,
+    "stream_sessionize_events": stream_sessionize_events,
+    "stream_interval_join_events": stream_interval_join_events,
 }
 
 ORACLE = {
     "stream_tumbling_events": STREAM_TUMBLING_SQL,
     "stream_merge_orders": STREAM_MERGE_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
+    "stream_sessionize_events": STREAM_SESSIONIZE_SQL,
+    "stream_interval_join_events": STREAM_INTERVAL_JOIN_SQL,
 }

@@ -24,63 +24,50 @@ def test_oracles_subset_of_queries():
     assert set(all_oracles()) <= set(_QUERIES)
 
 
-def test_registry_rotation_least_graded_first(tmp_path, monkeypatch):
-    """The driver grades a fixed-size prefix of all_queries(); the registry
-    orders least-driver-graded queries first so the prefix rotates through
-    the full surface across rounds (VERDICT r2, 'Next round' #1)."""
-    import json
-
+def test_registry_manifest_complete_and_drives_order():
+    """The committed grade_order.json manifest (ADVICE r3: ordering must be
+    reproducible from a fresh clone, not recomputed from untracked files)
+    must cover the registry EXACTLY — adding a query without regenerating
+    the manifest fails here — and all_queries() must iterate in its order."""
     import taico_data_integration_spark.queries as q
 
-    # Synthesize two rounds of driver grading in a fake repo root. Names
-    # 0..4 green twice, 5..7 green once, name 8 graded but RED (must keep
-    # never-graded priority), rest never graded.
+    manifest = list(q._manifest_order())
+    assert manifest, "queries/grade_order.json missing or empty"
+    reg = set(q._registry())
+    assert set(manifest) == reg, (
+        "manifest and registry diverge — run tools/update_grade_order.py: "
+        f"manifest-only={sorted(set(manifest) - reg)} "
+        f"registry-only={sorted(reg - set(manifest))}"
+    )
+    assert list(q.all_queries()) == manifest
+
+
+def test_registry_order_respects_manifest(monkeypatch):
+    """Names listed in the manifest come first in its order; registered
+    names missing from the manifest append in declaration order; manifest
+    names no longer registered are ignored."""
+    import taico_data_integration_spark.queries as q
+
     reg_names = list(q._registry())
-    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
-    red = {"rows_match": False, "schema_match": True, "hash_match": False, "err": None}
-    (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({n: green for n in reg_names[:5]})
-    )
-    (tmp_path / "CORRECTNESS_r02.json").write_text(
-        json.dumps(
-            {**{n: green for n in reg_names[:8]}, reg_names[8]: red}
-        )
-    )
-
-    def fake_counts():
-        counts: dict[str, int] = {}
-        for p in sorted(tmp_path.glob("CORRECTNESS_r*.json")):
-            for n, row in json.loads(p.read_text()).items():
-                if row.get("rows_match") and row.get("schema_match") and row.get("hash_match") and row.get("err") is None:
-                    counts[n] = counts.get(n, 0) + 1
-        return counts
-
-    real_counts = q._grade_counts
-    monkeypatch.setattr(q, "_grade_counts", fake_counts)
-    try:
-        ordered = list(q.all_queries())
-    finally:
-        monkeypatch.setattr(q, "_grade_counts", real_counts)
-
-    # Red/never-graded queries first (registry order, incl. the red name 8),
-    # then once-green (5..7), then twice-green (0..4).
-    assert ordered[: len(reg_names) - 8] == reg_names[8:]
-    assert ordered[-8:-5] == reg_names[5:8]
-    assert ordered[-5:] == reg_names[:5]
-    assert set(ordered) == set(reg_names)
+    fake = ("__ghost_query__", reg_names[3], reg_names[1])
+    monkeypatch.setattr(q, "_manifest_order", lambda: fake)
+    ordered = list(q.all_queries())
+    rest = [n for n in reg_names if n not in {reg_names[3], reg_names[1]}]
+    assert ordered == [reg_names[3], reg_names[1], *rest]
 
 
-def test_registry_rotation_prefix_is_ungraded():
+def test_manifest_prefix_is_least_graded():
     """With the real CORRECTNESS files present, the driver's 50-query prefix
-    must consist entirely of queries it has graded the fewest times."""
-    from taico_data_integration_spark.queries import _grade_counts
+    of the committed manifest must consist of queries with the fewest green
+    driver rows (the rotation contract, VERDICT r2 #1 / r3 #1)."""
+    from tools.update_grade_order import grade_history
 
-    counts = _grade_counts()
-    if not counts:
+    hist = grade_history()
+    if not hist:
         pytest.skip("no driver CORRECTNESS files in repo root")
     names = list(_QUERIES)
-    prefix_max = max(counts.get(n, 0) for n in names[:50])
-    rest_min = min(counts.get(n, 0) for n in names[50:])
+    prefix_max = max(hist.get(n, (0, 0))[0] for n in names[:50])
+    rest_min = min(hist.get(n, (0, 0))[0] for n in names[50:])
     assert prefix_max <= rest_min
 
 
