@@ -19,8 +19,13 @@ shuffle volume is O(distinct values), not O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _order_exprs(order_cols: list) -> list[Column]:
+    """Accept column names or Column sort expressions (e.g. desc())."""
+    return [c if isinstance(c, Column) else F.col(c) for c in order_cols]
 
 
 def distinct_extract(df: DataFrame, column: str, out_name: str = "name") -> DataFrame:
@@ -73,7 +78,14 @@ def mint_ids(
     (distinct name sets). The ``max_rows`` contract enforces that: inputs
     above it raise instead of silently single-partitioning a fact table
     (use :func:`mint_ids_distributed` for those; ``max_rows=None`` opts out
-    when the caller has already bounded the input)."""
+    when the caller has already bounded the input).
+
+    Behavior notes (ADVICE r3): with ``max_rows`` set, the guard runs a
+    ``count()`` job EAGERLY at plan-construction time, and an over-cap
+    input raises ``ValueError`` instead of computing — the cap is a scale
+    CONTRACT, not a soft limit. The default 1M cap covers every dimension
+    input in this engine at any SF (distinct names/segments); callers whose
+    input grows with the fact tables must use mint_ids_distributed."""
     if max_rows is not None:
         n = df.count()
         if n > max_rows:
@@ -101,12 +113,16 @@ def mint_ids_distributed(
     partition, so no global sort barrier), then shift by per-partition
     offsets computed from partition counts (one tiny collect: one row per
     partition, never row data). Contract shared with mint_ids: ``order_cols``
-    must be a unique key for the ids to be reproducible."""
+    must be a unique key for the ids to be reproducible. Entries may be
+    column names or Column sort expressions (``F.col(x).desc()``)."""
+    if id_col in ("__pid", "__rn", "__off"):
+        raise ValueError(f"id_col {id_col!r} collides with an internal column")
+    exprs = _order_exprs(order_cols)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+    parts = df.repartitionByRange(n, *exprs).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("__pid").orderBy(*exprs)
     # localCheckpoint: the frame feeds two jobs (offset computation + final
     # assignment), and repartitionByRange picks its boundaries by SAMPLING —
     # recomputed lineage may sample different boundaries, making the offsets
@@ -140,7 +156,17 @@ def guarded_dimension_frame(
     count never recomputes upstream shuffles (the round-2
     ``media_relations_rebuild`` regression was an eager guard count re-running
     a distinct ×4) and the subsequent window reads the materialized rows.
-    ``max_rows=None`` opts out for call sites bounded by construction."""
+    ``max_rows=None`` opts out for call sites bounded by construction.
+
+    Behavior notes (ADVICE r3): merely BUILDING a wrapped plan triggers the
+    checkpoint+count jobs (eager by design — the guard must decide before
+    the window executes), and an over-cap input raises ``ValueError``
+    instead of computing. Remaining guarded call sites are all bounded by
+    construction, not by SF: ``skyline_parts`` windows over distinct price
+    cents (≤ the price domain, ~100k) and ``moving_avg_daily_revenue`` over
+    distinct days (~2.5k for the 7-year fixture; 1M ≈ 2700 years). Queries
+    whose input scales with a base table (row_number_ids, ntile, fb ads)
+    route through mint_ids_distributed instead of this guard."""
     if max_rows is None:
         return df
     out = df.localCheckpoint()

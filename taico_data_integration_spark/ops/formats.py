@@ -38,6 +38,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _sql_identifier(name: str, kind: str) -> str:
+    """Reject anything that would break or inject into the interpolated DDL
+    statements (CREATE OR REPLACE VIEW / DROP TABLE) — both the namespace
+    AND every table name pass through here before reaching SQL text."""
+    if not name.isidentifier():
+        raise ValueError(f"{kind} must be a SQL identifier: {name!r}")
+    return name
+
+
 class TableFormat(ABC):
     """Minimal versioned-table contract the M2-M6 lifecycle runs against."""
 
@@ -100,19 +109,17 @@ class SqlWarehouseFormat(TableFormat):
     shared session catalog."""
 
     def __init__(self, spark: SparkSession, namespace: str, location: str | None = None):
-        if not namespace.isidentifier():
-            raise ValueError(f"namespace must be a SQL identifier: {namespace!r}")
         self.spark = spark
-        self.ns = namespace
+        self.ns = _sql_identifier(namespace, "namespace")
         self.location = location
 
     # -- naming / meta ------------------------------------------------------
 
     def _view(self, table: str) -> str:
-        return f"{self.ns}_{table}"
+        return f"{self.ns}_{_sql_identifier(table, 'table')}"
 
     def _vt(self, table: str, version: int) -> str:
-        return f"{self.ns}_{table}_v{version:04d}"
+        return f"{self.ns}_{_sql_identifier(table, 'table')}_v{version:04d}"
 
     def _meta_table(self) -> str:
         return f"{self.ns}__meta"
@@ -214,10 +221,13 @@ class SqlWarehouseFormat(TableFormat):
         return removed
 
     def drop_namespace(self) -> None:
-        """Remove every catalog object this instance created (test cleanup)."""
-        for t in self.spark.catalog.listTables():
-            if t.name.startswith(f"{self.ns}_"):
-                if t.tableType == "VIEW":
-                    self.spark.sql(f"DROP VIEW IF EXISTS {t.name}")
-                else:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        """Remove every catalog object this instance created (test cleanup).
+
+        Objects are resolved by EXACT name from the meta table, never by
+        name-prefix matching — a sibling namespace that shares a prefix
+        (ns ``conf`` vs ``conf_1``) is untouched."""
+        for tbl, entry in self._read_meta().items():
+            self.spark.sql(f"DROP VIEW IF EXISTS {self._view(tbl)}")
+            for e in entry["versions"]:
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(tbl, e['v'])}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._meta_table()}")

@@ -386,16 +386,20 @@ SELECT 'lineitem_price_non_negative', 'cross_column',
 
 
 def row_number_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.dims import guarded_dimension_frame
+    """Global row_number ids WITHOUT a global window: mint_ids_distributed
+    (range partition + per-partition numbering + offsets) assigns the same
+    dense ids as ``row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)``
+    — the key is unique, so the ids are identical by contract — and the
+    plan has no single-partition stage at any input size (was a guarded
+    1M-cap global window until round 4; ADVICE r3 flagged the cap as an
+    sf10 hard-fail)."""
+    from ..ops.dims import mint_ids_distributed
 
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    c = guarded_dimension_frame(
-        T(spark, sf_dir, "customer").select("c_acctbal", "c_custkey", "c_name"),
-        label="row_number_ids",
+    c = T(spark, sf_dir, "customer").select("c_acctbal", "c_custkey", "c_name")
+    minted = mint_ids_distributed(
+        c, [F.col("c_acctbal").desc(), F.col("c_custkey")], id_col="row_id"
     )
-    return c.select(
-        F.row_number().over(w).cast("bigint").alias("row_id"), "c_custkey", "c_name"
-    )
+    return minted.select("row_id", "c_custkey", "c_name")
 
 
 ROW_NUMBER_SQL = """

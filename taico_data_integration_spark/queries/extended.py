@@ -692,17 +692,32 @@ WHERE supp_cents * n_supp * 10 > total_cents * 11
 
 
 def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ops.dims import guarded_dimension_frame
+    from ..ops.dims import mint_ids_distributed
 
-    c = guarded_dimension_frame(
-        T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
-        label="ntile_balance_quartiles",
+    # NTILE without a global window (was a guarded 1M-cap single-partition
+    # sort until round 4): global rank from mint_ids_distributed, then the
+    # exact NTILE bucketing arithmetic — with n = q*4 + r, the first r
+    # buckets take q+1 rows, the rest q. Identical output to ntile(4) OVER
+    # (ORDER BY c_acctbal, c_custkey) since the order key is unique; no
+    # stage exceeds one range partition at any input size.
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = mint_ids_distributed(
+        c, [F.col("c_acctbal"), F.col("c_custkey")], id_col="rnk"
     )
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return c.select(
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.crossJoin(F.broadcast(total))
+    q = F.floor(F.col("__n") / 4)
+    r = F.col("__n") % 4
+    big = q + F.lit(1)
+    quartile = F.when(
+        F.col("rnk") <= r * big, F.floor((F.col("rnk") - 1) / big) + 1
+    ).otherwise(
+        r + F.floor((F.col("rnk") - 1 - r * big) / F.greatest(q, F.lit(1))) + 1
+    )
+    return j.select(
         "c_custkey",
         dec2("c_acctbal", 12).cast("double").alias("acctbal"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        quartile.cast("bigint").alias("quartile"),
     )
 
 

@@ -672,3 +672,48 @@ def test_cosine_topk_ivf_kmeans_refined_finds_planted_duplicate(spark):
     )
     top = sorted(res.collect(), key=lambda r: r.rank)
     assert top[0].neighbor_id == 100 and abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_jpeg_decoder_robustness():
+    """ADVICE r3 decoder hardening: 0xFF fill bytes before markers are
+    legal (T.81 B.1.1.2) and must be skipped; non-dividing sampling factors
+    are rejected up front; corrupt entropy data raises a clear ValueError
+    (AC run past the block end), never an uncaught IndexError."""
+    import numpy as np
+    import pytest
+
+    from taico_data_integration_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx * yy) * 255 / (h * w))]
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, quality=85, subsample="444")
+
+    # legal 0xFF fill bytes before a marker decode identically
+    i = enc.index(b"\xff\xdb")
+    filled = enc[:i] + b"\xff\xff" + enc[i:]
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(enc))
+
+    # sampling factors that don't divide the maxima are rejected, not
+    # silently floor-divided in the chroma upsample (3 vs 2 -> repeat x1)
+    sof = enc.index(b"\xff\xc0")
+    ba = bytearray(enc)
+    ba[sof + 11] = 0x31  # luma h=3, v=1
+    ba[sof + 14] = 0x21  # cb  h=2 (2 does not divide 3)
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(ba))
+
+    # corrupt entropy-coded data: every outcome is decode-or-ValueError;
+    # IndexError (zz[i] with i>=64) and friends must never escape
+    scan = enc.index(b"\xff\xda")
+    span = len(enc) - scan - 20
+    for k in range(40):
+        ba = bytearray(enc)
+        ba[scan + 14 + (k * 131) % max(1, span)] ^= 0xFF
+        try:
+            out = decode_jpeg(bytes(ba))
+            assert out.shape == img.shape
+        except ValueError:
+            pass

@@ -543,3 +543,48 @@ def test_maintain_additive_rollup_equals_direct(spark, tmp_path):
     assert got == want
     # three maintenance generations were persisted (versioned writes)
     assert len(store.history("rollup")) == 3
+
+
+def test_sqlwarehouse_identifier_validation(spark, tmp_path):
+    """Namespace AND table names must be SQL identifiers — anything else
+    would break or inject into the interpolated DDL (ADVICE r3)."""
+    import uuid
+
+    import pytest as _pytest
+
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    with _pytest.raises(ValueError, match="identifier"):
+        SqlWarehouseFormat(spark, "bad ns")
+    fmt = SqlWarehouseFormat(spark, f"idv{uuid.uuid4().hex[:8]}", str(tmp_path / "wh"))
+    try:
+        with _pytest.raises(ValueError, match="identifier"):
+            fmt.write("bad table; drop", spark.range(3).toDF("n"))
+        with _pytest.raises(ValueError, match="identifier"):
+            fmt.read('x"; DROP TABLE y; --')
+    finally:
+        fmt.drop_namespace()
+
+
+def test_sqlwarehouse_drop_namespace_is_exact(spark, tmp_path):
+    """drop_namespace resolves objects from the meta table by exact name;
+    a sibling namespace sharing a name prefix survives (ADVICE r3: the old
+    startswith match would have dropped it)."""
+    import uuid
+
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    base = f"nsx{uuid.uuid4().hex[:8]}"
+    a = SqlWarehouseFormat(spark, base, str(tmp_path / "a"))
+    b = SqlWarehouseFormat(spark, f"{base}_1", str(tmp_path / "b"))
+    try:
+        a.write("t", spark.range(2).toDF("n"))
+        b.write("t", spark.range(3).toDF("n"))
+        a.drop_namespace()
+        # sibling (prefix-sharing) namespace untouched, own objects gone
+        assert b.read("t").count() == 3
+        assert not spark.catalog.tableExists(f"{base}_t")
+        assert not spark.catalog.tableExists(f"{base}_t_v0000")
+    finally:
+        b.drop_namespace()
+    assert not spark.catalog.tableExists(f"{base}_1_t")
