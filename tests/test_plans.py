@@ -81,3 +81,54 @@ def test_no_join_antipatterns_across_all_queries(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, f"join anti-patterns: {offenders}"
+
+
+def test_aqe_splits_planted_skew(spark):
+    """SCALE.md claims AQE handles residual key skew; pin it (VERDICT r3
+    #5): a planted hot key (3/4 of all left rows) forced through a
+    sort-merge join must come out of adaptive execution with the skewed
+    partition actually split — 'skew=true' on the join in the FINAL
+    (post-execution) adaptive plan — with the skew thresholds lowered to
+    test scale. This is the runtime half of the skew story; the manual
+    salting half is pinned by salted_priority_join/salted_event_counts."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 4 != F.lit(0), F.lit(0).cast("bigint"))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k").select("k", "v", "payload")
+        # Execute j ITSELF (collect, not count) so ITS adaptive plan is the
+        # finalized one. k=0: 90_000 hot rows (id%4!=0) + id=0 itself; plus
+        # ids 4..996 step 4 (249 rows) matching their own key < 1000.
+        assert len(j.collect()) == 90_001 + 249
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
