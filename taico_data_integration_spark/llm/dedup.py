@@ -304,21 +304,31 @@ def connected_components(
     except the scalar convergence count. Near-dup graphs are
     diameter-bounded (dup clusters are cliques or short chains from LSH
     banding), so the loop converges in a handful of iterations; each
-    iteration is localCheckpointed to cut lineage (at cluster scale, a
-    staging write). The label-propagation fixpoint equals the exact
-    transitive closure, which the DuckDB oracle computes with a recursive
-    CTE — parity holds only at convergence, hence the assertion."""
-    edges = (
+    iteration's frame is checkpointed to cut lineage. Checkpoint mode is a
+    DEPLOYMENT choice, not a code edit: when the session has a reliable
+    checkpoint dir configured (``sc.setCheckpointDir`` on durable storage),
+    iterations use fault-tolerant ``checkpoint()`` — executor loss cannot
+    force a from-scratch recompute of the whole iteration chain at 100 TB —
+    otherwise they fall back to executor-local ``localCheckpoint()`` (the
+    single-node/test default). The label-propagation fixpoint equals the
+    exact transitive closure, which the DuckDB oracle computes with a
+    recursive CTE — parity holds only at convergence, hence the assertion."""
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    edges = ckpt(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("u").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -326,13 +336,12 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
             .select(
                 "vertex",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

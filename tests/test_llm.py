@@ -717,3 +717,39 @@ def test_jpeg_decoder_robustness():
             assert out.shape == img.shape
         except ValueError:
             pass
+
+
+def test_connected_components_uses_reliable_checkpoints_when_configured(spark, tmp_path):
+    """The SCALE.md cluster swap is a configuration, not a code edit: with
+    sc.setCheckpointDir on durable storage, every CC iteration checkpoints
+    reliably (files land under the dir, results unchanged); without it the
+    localCheckpoint fallback applies. Pin both paths."""
+    import os
+
+    from taico_data_integration_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    expected = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # default: localCheckpoint path
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == expected
+
+    d = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(d)
+    try:
+        got2 = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+        assert got2 == expected
+        assert sum(len(fs) for _, _, fs in os.walk(d)) > 0, "no reliable checkpoint files written"
+    finally:
+        # reset the scala-side Option so the rest of the suite keeps the
+        # localCheckpoint default (tmp_path is deleted after this test)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None
