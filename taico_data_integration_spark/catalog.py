@@ -39,6 +39,11 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # WITH RECURSIVE safety valve: Spark 4 aborts recursive CTEs at 1M total
+    # rows by default — an order-chain closure over sf1's 1.5M orders trips
+    # it (caught by the sf1 sweep, round 4). The level limit (100) stays as
+    # the runaway guard; the row limit scales with data, not with bugs.
+    "spark.sql.cteRecursionRowLimit": "1000000000",
 }
 
 

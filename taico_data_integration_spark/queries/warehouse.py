@@ -150,7 +150,14 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = l.withColumn("base", F.expr("(rebate * cents) div tot")).withColumn(
         "frac", F.expr("(rebate * cents) % tot")
     )
-    wr = Window.partitionBy("l_orderkey").orderBy(F.desc("frac"), "l_linenumber")
+    # total-order tie-break: the fixture's (l_orderkey, l_linenumber) is NOT
+    # unique, and equal fracs on the same linenumber with different cents
+    # made the +1 row engine-dependent (caught by the sf1 sweep, round 4) —
+    # cents completes the key; rows tying on all three are interchangeable
+    # (same base -> same alloc), so the output multiset is deterministic.
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("frac"), "l_linenumber", "cents"
+    )
     l = (
         l.withColumn("short", F.col("rebate") - F.sum("base").over(w))
         .withColumn("rk", F.row_number().over(wr))
@@ -179,7 +186,8 @@ x AS (
 y AS (
   SELECT l_orderkey, l_linenumber, rebate, base,
          rebate - SUM(base) OVER (PARTITION BY l_orderkey) AS short,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY frac DESC, l_linenumber) AS rk
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY frac DESC, l_linenumber, cents) AS rk
   FROM x)
 SELECT l_orderkey, l_linenumber, CAST(rebate AS BIGINT) AS rebate,
        CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents

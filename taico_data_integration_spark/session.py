@@ -46,6 +46,9 @@ def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = No
         # vectorized reader rejects; read as epoch-nanos longs and convert in
         # the catalog (truncating to micros, matching DuckDB's ns->us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # recursive-CTE row budget scales with data (sf1 closure > the 1M
+        # default); the 100-level limit remains the runaway guard
+        .config("spark.sql.cteRecursionRowLimit", "1000000000")
     )
     return builder.getOrCreate()
 

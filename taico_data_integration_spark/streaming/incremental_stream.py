@@ -23,22 +23,46 @@ from ..ops.formats import TableFormat
 from ..ops.incremental import merge_upsert
 
 
+def _symlink_arrival_dir(sf_dir: str, table: str, tag: str) -> str:
+    """Expose a read-only fixture (single parquet file OR directory-parquet)
+    as a flat arrival directory of symlinks — the file stream source needs
+    a directory and does not recurse into non-partition subdirectories, so
+    a directory fixture must be linked file-by-file (the sf1 derived
+    fixture is directory-parquet; a bare symlink to the directory read as
+    ZERO rows — caught by the sf1 sweep, round 4). The link set is
+    reconciled on every call: stale links from a previous fixture layout
+    are removed so re-generated fixtures never double-count."""
+    import glob
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    link_dir = os.path.join(
+        tempfile.gettempdir(), tag, hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        parts = [src]
+    expected = {f"{table}_{i:05d}.parquet": p for i, p in enumerate(parts)}
+    for name in os.listdir(link_dir):
+        if name not in expected:
+            os.unlink(os.path.join(link_dir, name))
+    for name, target in expected.items():
+        link = os.path.join(link_dir, name)
+        if os.path.islink(link) and os.readlink(link) != target:
+            os.unlink(link)
+        if not os.path.exists(link):
+            os.symlink(target, link)
+    return link_dir
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture. The parquet carries
     TIMESTAMP(NANOS) (read as long, converted to micros like the batch
     catalog), so batch and stream plans share dtypes."""
     ensure_runtime_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The file stream source requires a directory; expose the read-only
-    # fixture file through a symlink directory (a stand-in for the
-    # arrival directory / Kafka topic a deployment would stream from).
-    link_dir = os.path.join(
-        tempfile.gettempdir(), "taico_stream", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    link_dir = _symlink_arrival_dir(sf_dir, "events", "taico_stream")
     stream = spark.readStream.schema(static.schema).format("parquet").load(link_dir)
     from ..catalog import normalize_event_ts
 
@@ -51,13 +75,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion pipeline."""
     ensure_runtime_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    link_dir = os.path.join(
-        tempfile.gettempdir(), "taico_stream_docs", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    link = os.path.join(link_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
+    link_dir = _symlink_arrival_dir(sf_dir, "documents", "taico_stream_docs")
     return spark.readStream.schema(static.schema).format("parquet").load(link_dir)
 
 
