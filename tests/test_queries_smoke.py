@@ -155,3 +155,33 @@ def test_skyline_planted_dominance(spark):
     finally:
         ext.T = orig_t
     assert got == {1, 2, 3, 6}
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The round-4 NTILE formulation (bucket arithmetic over the
+    distributed rank) must equal F.ntile(4) over a global window for every
+    awkward size: n < k, n == k, n % k != 0, larger n."""
+    import taico_data_integration_spark.queries.extended as ext
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orig_t = ext.T
+    try:
+        for n in (1, 2, 3, 4, 5, 7, 8, 101, 1000):
+            rows = [(i, float((i * 37) % 50)) for i in range(n)]
+            df = spark.createDataFrame(rows, ["c_custkey", "c_acctbal"])
+            ext.T = lambda _s, _d, _n: df
+            got = {
+                (r.c_custkey, r.quartile)
+                for r in ext.ntile_balance_quartiles(spark, "unused").collect()
+            }
+            w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+            want = {
+                (r.c_custkey, r.q)
+                for r in df.select(
+                    "c_custkey", F.ntile(4).over(w).cast("bigint").alias("q")
+                ).collect()
+            }
+            assert got == want, f"n={n}"
+    finally:
+        ext.T = orig_t
