@@ -315,6 +315,12 @@ def connected_components(
     recursive CTE — parity holds only at convergence, hence the assertion."""
 
     def ckpt(df: DataFrame) -> DataFrame:
+        # Reliable-path storage growth: each iteration writes one (narrow)
+        # labels copy to the checkpoint dir. The engine session enables
+        # spark.cleaner.referenceTracking.cleanCheckpoints so superseded
+        # iteration checkpoints are removed when their RDDs are GC'd; a
+        # deployment that brings its own session should set the same conf
+        # (static — must be set at context start) or vacuum the dir.
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)

@@ -166,10 +166,17 @@ class SqlWarehouseFormat(TableFormat):
         if self.location:
             writer = writer.option("path", f"{self.location}/{vt}")
         writer.saveAsTable(vt)
-        self.spark.sql(f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}")
-        entry["versions"].append({"v": version, "ts": time.time()})
-        entry["current"] = version
-        self._write_meta(meta)
+        try:
+            self.spark.sql(f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}")
+            entry["versions"].append({"v": version, "ts": time.time()})
+            entry["current"] = version
+            self._write_meta(meta)
+        except BaseException:
+            # compensate: a version table unknown to the meta table would be
+            # unreachable by drop_namespace (which resolves exact names from
+            # meta) and leak in the shared catalog forever
+            self.spark.sql(f"DROP TABLE IF EXISTS {vt}")
+            raise
         return version
 
     def read(self, table: str, version: int | None = None) -> DataFrame:

@@ -119,7 +119,12 @@ def lifecycle_sqlwarehouse_promote(spark: SparkSession, sf_dir: str) -> DataFram
             raise RuntimeError(f"lifecycle_sqlwarehouse_promote: bad history {hist}")
         return _materialize(fmt.read("dim_supplier"))
     finally:
-        fmt.drop_namespace()
+        # cleanup must never mask a protocol failure from the body, and the
+        # temp dir must go even if the catalog cleanup throws
+        try:
+            fmt.drop_namespace()
+        except Exception:
+            pass
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -233,16 +233,19 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks = stream.where(F.col("event_type") == "click")
         out = interval_join(purchases, clicks, "user_id", interval="1 hour", watermark="2 hours")
         run_to_memory(out, name, output_mode="append")
-        res = spark.table(name).select(
+        return spark.table(name).select(
             "user_id",
             "left_event_id",
             F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
             "right_event_id",
             F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts"),
         ).localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return res
     finally:
+        # drop the uuid memory-sink view on EVERY exit path, not just success
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
         shutil.rmtree(work, ignore_errors=True)
 
 

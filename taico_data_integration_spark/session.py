@@ -49,6 +49,9 @@ def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = No
         # recursive-CTE row budget scales with data (sf1 closure > the 1M
         # default); the 100-level limit remains the runaway guard
         .config("spark.sql.cteRecursionRowLimit", "1000000000")
+        # reclaim superseded reliable checkpoints (iterative ops write one
+        # per iteration) once their RDDs are garbage-collected
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()
 

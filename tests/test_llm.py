@@ -696,6 +696,14 @@ def test_jpeg_decoder_robustness():
     filled = enc[:i] + b"\xff\xff" + enc[i:]
     assert np.array_equal(decode_jpeg(filled), decode_jpeg(enc))
 
+    # truncation anywhere in the header walk is a clear ValueError, never
+    # an IndexError/struct.error (incl. EOF inside trailing fill bytes)
+    with pytest.raises(ValueError, match="truncated|marker|SOI|scan"):
+        decode_jpeg(b"\xff\xd8\xff\xff")
+    for cut in (2, 3, 4, 5, 9, 15, i + 1, i + 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+
     # sampling factors that don't divide the maxima are rejected, not
     # silently floor-divided in the chroma upsample (3 vs 2 -> repeat x1)
     sof = enc.index(b"\xff\xc0")

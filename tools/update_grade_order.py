@@ -62,10 +62,16 @@ def grade_history() -> dict[str, tuple[int, int]]:
 
 
 def main() -> None:
-    promote: list[str] = []
-    args = sys.argv[1:]
-    if args and args[0] == "--promote":
-        promote = [n for n in args[1].split(",") if n]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--promote",
+        default="",
+        metavar="NAME[,NAME...]",
+        help="pin these queries to the front of the grading order",
+    )
+    promote = [n for n in ap.parse_args().promote.split(",") if n]
 
     from taico_data_integration_spark import queries as q
 
