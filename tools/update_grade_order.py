@@ -95,6 +95,7 @@ def main() -> None:
         "order": order,
     }
     MANIFEST.write_text(json.dumps(payload, indent=1) + "\n")
+    q._manifest_order.cache_clear()  # same-process readers see the new order
     never = [n for n in order if n not in hist]
     print(f"wrote {MANIFEST} ({len(order)} queries, {len(never)} never-graded)")
     print("prefix-50:", order[:50])
