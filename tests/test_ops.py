@@ -588,3 +588,41 @@ def test_sqlwarehouse_drop_namespace_is_exact(spark, tmp_path):
     finally:
         b.drop_namespace()
     assert not spark.catalog.tableExists(f"{base}_1_t")
+
+
+def test_lifecycle_gate_entries_leave_nothing_behind(spark):
+    """The gate-hygiene promise from queries/lifecycle_gate.py and
+    queries/streaming_gate.py: after a gated invocation, no taico_* temp
+    work dirs remain in /tmp and no gate-created tables/views remain in
+    the session catalog — while the returned (localCheckpoint'ed) result
+    is still fully collectable."""
+    import glob
+    import tempfile
+
+    from taico_data_integration_spark.queries.lifecycle_gate import (
+        lifecycle_sqlwarehouse_promote,
+        lifecycle_tablestore_promote,
+    )
+    from taico_data_integration_spark.queries.streaming_gate import (
+        stream_interval_join_events,
+    )
+
+    tmp = tempfile.gettempdir()
+
+    def leftovers():
+        pats = ("taico_lcg_*", "taico_stream_ivj_*")
+        return [p for pat in pats for p in glob.glob(f"{tmp}/{pat}")]
+
+    before = set(leftovers())
+    dfs = [
+        lifecycle_tablestore_promote(spark, "/root/testdata/sf0.001"),
+        lifecycle_sqlwarehouse_promote(spark, "/root/testdata/sf0.001"),
+        stream_interval_join_events(spark, "/root/testdata/sf0.001"),
+    ]
+    assert set(leftovers()) == before, "gate entries leaked temp dirs"
+    for t in spark.catalog.listTables():
+        assert not t.name.startswith("lcg_"), f"leaked catalog object {t.name}"
+        assert not t.name.startswith("stream_ivj_"), f"leaked view {t.name}"
+    # results survive the cleanup (materialized before rmtree)
+    for df in dfs:
+        assert df.count() > 0
