@@ -100,11 +100,12 @@ def mint_ids(
 
 def mint_ids_distributed(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list,
     start_at: int = 1,
     id_col: str = "id",
     num_partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Scale-safe ``mint_ids``: same dense, deterministically-ordered ids
     without ever collapsing to one partition.
 
@@ -114,7 +115,12 @@ def mint_ids_distributed(
     offsets computed from partition counts (one tiny collect: one row per
     partition, never row data). Contract shared with mint_ids: ``order_cols``
     must be a unique key for the ids to be reproducible. Entries may be
-    column names or Column sort expressions (``F.col(x).desc()``)."""
+    column names or Column sort expressions (``F.col(x).desc()``).
+
+    ``with_total=True`` returns ``(frame, total_rows)`` — the row count is
+    the sum of the per-partition counts this function collects anyway, so
+    callers that need n (e.g. NTILE bucket arithmetic) avoid a second
+    full-pass count job."""
     if id_col in ("__pid", "__rn", "__off"):
         raise ValueError(f"id_col {id_col!r} collides with an internal column")
     exprs = _order_exprs(order_cols)
@@ -136,11 +142,14 @@ def mint_ids_distributed(
         offsets.append((r["__pid"], acc))
         acc += r["__cnt"]
     off_df = df.sparkSession.createDataFrame(offsets or [(0, start_at - 1)], "__pid int, __off long")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(id_col, (F.col("__rn") + F.col("__off")).cast("long"))
         .drop("__pid", "__rn", "__off")
     )
+    if with_total:
+        return out, acc - (start_at - 1)
+    return out
 
 
 def guarded_dimension_frame(

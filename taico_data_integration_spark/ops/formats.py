@@ -165,6 +165,7 @@ class SqlWarehouseFormat(TableFormat):
             writer = writer.partitionBy(*partition_by)
         if self.location:
             writer = writer.option("path", f"{self.location}/{vt}")
+        prev_current = entry["current"]
         writer.saveAsTable(vt)
         try:
             self.spark.sql(f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}")
@@ -172,10 +173,21 @@ class SqlWarehouseFormat(TableFormat):
             entry["current"] = version
             self._write_meta(meta)
         except BaseException:
-            # compensate: a version table unknown to the meta table would be
-            # unreachable by drop_namespace (which resolves exact names from
-            # meta) and leak in the shared catalog forever
-            self.spark.sql(f"DROP TABLE IF EXISTS {vt}")
+            # compensate fully: (a) repoint or remove the view FIRST so it
+            # never dangles on the about-to-be-dropped table — reads of the
+            # previous version must keep working; (b) then drop the version
+            # table, which would otherwise be unreachable by drop_namespace
+            # (exact names from meta) and leak in the shared catalog forever
+            try:
+                if prev_current is not None:
+                    self.spark.sql(
+                        f"CREATE OR REPLACE VIEW {self._view(table)} AS "
+                        f"SELECT * FROM {self._vt(table, prev_current)}"
+                    )
+                else:
+                    self.spark.sql(f"DROP VIEW IF EXISTS {self._view(table)}")
+            finally:
+                self.spark.sql(f"DROP TABLE IF EXISTS {vt}")
             raise
         return version
 

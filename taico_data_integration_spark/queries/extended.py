@@ -701,20 +701,19 @@ def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ORDER BY c_acctbal, c_custkey) since the order key is unique; no
     # stage exceeds one range partition at any input size.
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranked = mint_ids_distributed(
-        c, [F.col("c_acctbal"), F.col("c_custkey")], id_col="rnk"
+    ranked, n = mint_ids_distributed(
+        c, [F.col("c_acctbal"), F.col("c_custkey")], id_col="rnk", with_total=True
     )
-    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
-    j = ranked.crossJoin(F.broadcast(total))
-    q = F.floor(F.col("__n") / 4)
-    r = F.col("__n") % 4
-    big = q + F.lit(1)
+    # n comes from the minter's per-partition counts — no second count job,
+    # and the bucket arithmetic is pure literals (no scalar broadcast join)
+    q, r = n // 4, n % 4
+    big = q + 1
     quartile = F.when(
-        F.col("rnk") <= r * big, F.floor((F.col("rnk") - 1) / big) + 1
+        F.col("rnk") <= F.lit(r * big), F.floor((F.col("rnk") - 1) / F.lit(big)) + 1
     ).otherwise(
-        r + F.floor((F.col("rnk") - 1 - r * big) / F.greatest(q, F.lit(1))) + 1
+        F.lit(r) + F.floor((F.col("rnk") - 1 - r * big) / F.lit(max(q, 1))) + 1
     )
-    return j.select(
+    return ranked.select(
         "c_custkey",
         dec2("c_acctbal", 12).cast("double").alias("acctbal"),
         quartile.cast("bigint").alias("quartile"),

@@ -49,9 +49,12 @@ def _symlink_arrival_dir(sf_dir: str, table: str, tag: str) -> str:
             os.unlink(os.path.join(link_dir, name))
     for name, target in expected.items():
         link = os.path.join(link_dir, name)
+        # lexists/readlink, never exists(): a DANGLING link (fixture file
+        # deleted after linking) must be replaced, not re-created on top of
+        # itself (os.path.exists follows the link -> FileExistsError)
         if os.path.islink(link) and os.readlink(link) != target:
             os.unlink(link)
-        if not os.path.exists(link):
+        if not os.path.lexists(link):
             os.symlink(target, link)
     return link_dir
 

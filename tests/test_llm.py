@@ -697,10 +697,12 @@ def test_jpeg_decoder_robustness():
     assert np.array_equal(decode_jpeg(filled), decode_jpeg(enc))
 
     # truncation anywhere in the header walk is a clear ValueError, never
-    # an IndexError/struct.error (incl. EOF inside trailing fill bytes)
+    # an IndexError/struct.error (incl. EOF inside trailing fill bytes,
+    # mid-payload cuts inside DQT/SOF segments, and every prefix length)
     with pytest.raises(ValueError, match="truncated|marker|SOI|scan"):
         decode_jpeg(b"\xff\xd8\xff\xff")
-    for cut in (2, 3, 4, 5, 9, 15, i + 1, i + 3):
+    sof = enc.index(b"\xff\xc0")
+    for cut in (2, 3, 4, 5, 9, 15, i + 1, i + 3, i + 10, sof + 6, sof + 2):
         with pytest.raises(ValueError):
             decode_jpeg(enc[:cut])
 

@@ -71,7 +71,6 @@ def test_no_join_antipatterns_across_all_queries(spark):
         "multimodal_feature_ann": "broadcast query set (same brute-force baseline over decoded features)",
         "text_top_terms": "broadcast 1-row corpus-size aggregate",
         "basket_association_rules": "broadcast 1-row order-total aggregate",
-        "ntile_balance_quartiles": "broadcast 1-row total-count aggregate (distributed NTILE arithmetic)",
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
