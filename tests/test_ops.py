@@ -626,3 +626,22 @@ def test_lifecycle_gate_entries_leave_nothing_behind(spark):
     # results survive the cleanup (materialized before rmtree)
     for df in dfs:
         assert df.count() > 0
+
+
+def test_lifecycle_gate_concurrent_invocations_isolated(spark):
+    """The driver may execute gate entries concurrently in one session;
+    the uuid-namespaced catalog objects and per-invocation temp dirs must
+    keep parallel lifecycle promotions fully isolated (identical results,
+    no cross-talk, nothing left behind)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from taico_data_integration_spark.queries.lifecycle_gate import (
+        lifecycle_sqlwarehouse_promote,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        dfs = list(ex.map(lambda _: lifecycle_sqlwarehouse_promote(spark, sf), range(3)))
+    rows = [frozenset(tuple(r) for r in df.collect()) for df in dfs]
+    assert rows[0] == rows[1] == rows[2] and len(rows[0]) > 0
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("lcg_")]
