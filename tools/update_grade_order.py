@@ -8,11 +8,24 @@ COMMITTED — the registry reads only the manifest at runtime, so iteration
 order is identical on a fresh clone and a graded checkout, and each
 round's rotation is an explicit reviewable diff.
 
-Ordering rule: (green_count ASC, last_green_round ASC, declaration index)
-— never-graded queries first (each gets a driver row as fast as possible),
-then least-RECENTLY-graded first, so once the whole registry has been
-graded at least once the prefix rotates back over the oldest evidence and
-previously-green queries regain driver regression coverage.
+Prefix composition (ADVICE r4: previously-green queries must re-enter
+driver scope continuously, not only after full-registry coverage):
+
+- up to ``PREFIX - RESERVED`` slots: least-graded first, i.e. sorted by
+  (green_count ASC, last_green_round ASC, declaration index) — so
+  never-graded queries get a driver row as fast as possible;
+- the remaining ``RESERVED`` slots (10): the OLDEST previously-green
+  queries (last_green_round ASC), regardless of how many green rows they
+  have — a rotating regression sample so a regression in a long-green
+  query is visible to the driver even while new queries still queue.
+
+When fewer than ``PREFIX - RESERVED`` queries are under-graded the two
+pools coincide and the prefix is simply the least-recently-graded 50.
+
+The manifest records its exact inputs (``generated_from`` file list and
+``promote`` pins); tests recompute the order from those recorded inputs —
+never from a live glob — so a new CORRECTNESS file landing in the tree
+cannot retroactively invalidate the committed manifest (VERDICT r4 #1).
 
 ``--promote a,b,c`` pins the named queries to the very front (in the given
 order) regardless of history — used when a round must land driver rows for
@@ -32,11 +45,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 ROOT = Path(__file__).resolve().parents[1]
 MANIFEST = ROOT / "taico_data_integration_spark" / "queries" / "grade_order.json"
 
+PREFIX = 50  # driver-graded prefix size (observed)
+RESERVED = 10  # prefix slots reserved for the oldest-green regression sample
 
-def grade_history() -> dict[str, tuple[int, int]]:
-    """name -> (green_count, last_green_round) across CORRECTNESS_r*.json."""
+
+def grade_history(files: list[Path] | None = None) -> dict[str, tuple[int, int]]:
+    """name -> (green_count, last_green_round) across the given
+    CORRECTNESS_r*.json files (default: all present in the repo root)."""
+    if files is None:
+        files = sorted(ROOT.glob("CORRECTNESS_r*.json"))
     hist: dict[str, tuple[int, int]] = {}
-    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+    for path in sorted(files):
         try:
             rnd = int(path.stem.split("_r")[-1])
         except ValueError:
@@ -61,6 +80,35 @@ def grade_history() -> dict[str, tuple[int, int]]:
     return hist
 
 
+def compute_order(
+    registry: list[str],
+    hist: dict[str, tuple[int, int]],
+    promote: list[str] | None = None,
+) -> list[str]:
+    """Deterministic grading order from a registry + grade history.
+
+    Pure function of its arguments so tests can recompute the committed
+    manifest from its recorded ``generated_from`` inputs byte-for-byte.
+    """
+    promote = list(promote or [])
+    decl = {name: i for i, name in enumerate(registry)}
+    pinned = set(promote)
+    tail = [n for n in registry if n not in pinned]
+    # least-graded ordering: fewest green rows, then stalest, then decl.
+    least = sorted(tail, key=lambda n: (*hist.get(n, (0, 0)), decl[n]))
+
+    head_slots = max(0, PREFIX - len(promote))
+    head = least[: max(0, head_slots - RESERVED)]
+    taken = pinned | set(head)
+    # reserved slots: oldest previously-green, by last green round only.
+    green = [n for n in least if n not in taken and hist.get(n, (0, 0))[0] > 0]
+    green.sort(key=lambda n: (hist[n][1], hist[n][0], decl[n]))
+    resv = green[: head_slots - len(head)]
+    taken |= set(resv)
+    rest = [n for n in least if n not in taken]
+    return [*promote, *head, *resv, *rest]
+
+
 def main() -> None:
     import argparse
 
@@ -79,19 +127,20 @@ def main() -> None:
     unknown = [n for n in promote if n not in reg]
     if unknown:
         raise SystemExit(f"--promote names not in registry: {unknown}")
-    hist = grade_history()
-    decl = {name: i for i, name in enumerate(reg)}
-    tail = [n for n in reg if n not in set(promote)]
-    tail.sort(key=lambda n: (*hist.get(n, (0, 0)), decl[n]))
-    order = [*promote, *tail]
+    files = sorted(ROOT.glob("CORRECTNESS_r*.json"))
+    hist = grade_history(files)
+    order = compute_order(reg, hist, promote)
 
     payload = {
         "comment": (
             "Committed driver-grading order; regenerate with "
             "tools/update_grade_order.py (never hand-edit). The driver "
-            "grades a fixed prefix of this order each round."
+            "grades a fixed prefix of this order each round; tests "
+            "recompute the order from the generated_from/promote inputs "
+            "recorded here."
         ),
-        "generated_from": sorted(p.name for p in ROOT.glob("CORRECTNESS_r*.json")),
+        "generated_from": [p.name for p in files],
+        "promote": promote,
         "order": order,
     }
     MANIFEST.write_text(json.dumps(payload, indent=1) + "\n")
