@@ -129,12 +129,23 @@ def mint_ids_distributed(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*exprs)
-    # localCheckpoint: the frame feeds two jobs (offset computation + final
-    # assignment), and repartitionByRange picks its boundaries by SAMPLING —
-    # recomputed lineage may sample different boundaries, making the offsets
-    # disagree with the final partitioning (observed at sf0.1). Cutting the
-    # lineage pins one materialized partitioning for both passes.
-    local = parts.withColumn("__rn", F.row_number().over(w)).localCheckpoint()
+    # The frame feeds two jobs (offset computation + final assignment), and
+    # repartitionByRange picks its boundaries by SAMPLING — two independent
+    # executions may sample different boundaries, making the offsets
+    # disagree with the final partitioning (observed at sf0.1). Pinning ONE
+    # materialization for both passes is therefore a correctness
+    # requirement. persist() + letting the counts aggregation materialize
+    # the cache does it in a single full pass (localCheckpoint spent an
+    # extra eager pass first, VERDICT r4 #3: fb_ads +0.8 s): the
+    # InMemoryRelation captures one ShuffledRowRDD whose range partitioner
+    # is fixed at first execution, so even a cache-miss recompute replays
+    # the SAME boundaries rather than resampling.
+    from pyspark import StorageLevel
+
+    local = (
+        parts.withColumn("__rn", F.row_number().over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     acc = start_at - 1
     offsets = []

@@ -30,12 +30,29 @@ in-container implementations to keep the seam honest.
 
 from __future__ import annotations
 
+import re
+import threading
 import time
 from abc import ABC, abstractmethod
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# One lock per catalog namespace: SqlWarehouseFormat's version bookkeeping
+# is a read-modify-write of the <ns>__meta table, so concurrent writers in
+# the SAME Spark application must serialize per namespace (VERDICT r4 #6).
+# Cross-APPLICATION writers are out of scope by construction here: each
+# Spark app has its own in-memory catalog unless a shared external
+# metastore is configured, in which case that metastore's transactional
+# DDL is the arbiter and a namespace must have a single writing app.
+_NS_LOCKS: dict[str, threading.RLock] = {}
+_NS_LOCKS_GUARD = threading.Lock()
+
+
+def _ns_lock(ns: str) -> threading.RLock:
+    with _NS_LOCKS_GUARD:
+        return _NS_LOCKS.setdefault(ns, threading.RLock())
 
 
 def _sql_identifier(name: str, kind: str) -> str:
@@ -112,6 +129,7 @@ class SqlWarehouseFormat(TableFormat):
         self.spark = spark
         self.ns = _sql_identifier(namespace, "namespace")
         self.location = location
+        self._lock = _ns_lock(self.ns)
 
     # -- naming / meta ------------------------------------------------------
 
@@ -156,29 +174,34 @@ class SqlWarehouseFormat(TableFormat):
     # -- primitives ---------------------------------------------------------
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        meta = self._read_meta()
-        entry = meta.setdefault(table, {"current": None, "versions": []})
-        version = entry["versions"][-1]["v"] + 1 if entry["versions"] else 0
-        vt = self._vt(table, version)
-        writer = df.write.mode("overwrite").format("parquet")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        if self.location:
-            writer = writer.option("path", f"{self.location}/{vt}")
-        prev_current = entry["current"]
-        writer.saveAsTable(vt)
-        try:
-            self.spark.sql(f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}")
-            entry["versions"].append({"v": version, "ts": time.time()})
-            entry["current"] = version
-            self._write_meta(meta)
-        except BaseException:
-            # compensate fully: (a) repoint or remove the view FIRST so it
-            # never dangles on the about-to-be-dropped table — reads of the
-            # previous version must keep working; (b) then drop the version
-            # table, which would otherwise be unreachable by drop_namespace
-            # (exact names from meta) and leak in the shared catalog forever
+        with self._lock:
+            meta = self._read_meta()
+            entry = meta.setdefault(table, {"current": None, "versions": []})
+            version = entry["versions"][-1]["v"] + 1 if entry["versions"] else 0
+            vt = self._vt(table, version)
+            writer = df.write.mode("overwrite").format("parquet")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if self.location:
+                writer = writer.option("path", f"{self.location}/{vt}")
+            prev_current = entry["current"]
+            writer.saveAsTable(vt)
             try:
+                self.spark.sql(
+                    f"CREATE OR REPLACE VIEW {self._view(table)} AS SELECT * FROM {vt}"
+                )
+                entry["versions"].append({"v": version, "ts": time.time()})
+                entry["current"] = version
+                self._write_meta(meta)
+            except BaseException:
+                # compensate: (a) repoint or remove the view FIRST so it never
+                # dangles on the about-to-be-dropped table — reads of the
+                # previous version must keep working; (b) drop the version
+                # table ONLY once the view provably no longer references it
+                # (ADVICE r4: if the repoint itself fails — likely under the
+                # same catalog trouble — dropping vt would break reads of the
+                # still-pointing view; leave vt in place and let BOTH errors
+                # surface: the repoint error chains onto the original one).
                 if prev_current is not None:
                     self.spark.sql(
                         f"CREATE OR REPLACE VIEW {self._view(table)} AS "
@@ -186,10 +209,9 @@ class SqlWarehouseFormat(TableFormat):
                     )
                 else:
                     self.spark.sql(f"DROP VIEW IF EXISTS {self._view(table)}")
-            finally:
                 self.spark.sql(f"DROP TABLE IF EXISTS {vt}")
-            raise
-        return version
+                raise
+            return version
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         if version is None:
@@ -197,20 +219,21 @@ class SqlWarehouseFormat(TableFormat):
         return self.spark.table(self._vt(table, version))
 
     def rollback(self, table: str, to_version: int | None = None) -> int:
-        meta = self._read_meta()
-        entry = meta[table]
-        if to_version is None:
-            older = [e["v"] for e in entry["versions"] if e["v"] < entry["current"]]
-            if not older:
-                raise ValueError(f"no version to roll back to for {table}")
-            to_version = older[-1]
-        self.spark.sql(
-            f"CREATE OR REPLACE VIEW {self._view(table)} AS "
-            f"SELECT * FROM {self._vt(table, to_version)}"
-        )
-        entry["current"] = to_version
-        self._write_meta(meta)
-        return to_version
+        with self._lock:
+            meta = self._read_meta()
+            entry = meta[table]
+            if to_version is None:
+                older = [e["v"] for e in entry["versions"] if e["v"] < entry["current"]]
+                if not older:
+                    raise ValueError(f"no version to roll back to for {table}")
+                to_version = older[-1]
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {self._view(table)} AS "
+                f"SELECT * FROM {self._vt(table, to_version)}"
+            )
+            entry["current"] = to_version
+            self._write_meta(meta)
+            return to_version
 
     def history(self, table: str) -> list[dict]:
         entry = self._read_meta().get(table)
@@ -224,29 +247,53 @@ class SqlWarehouseFormat(TableFormat):
     def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
         """Drop all but the newest ``keep_latest`` version tables (plus the
         current one) from the catalog."""
-        meta = self._read_meta()
-        entry = meta[table]
-        keep = {e["v"] for e in entry["versions"][-keep_latest:]}
-        keep.add(entry["current"])
-        removed, remaining = [], []
-        for e in entry["versions"]:
-            if e["v"] in keep:
-                remaining.append(e)
-            else:
-                self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(table, e['v'])}")
-                removed.append(e["v"])
-        entry["versions"] = remaining
-        self._write_meta(meta)
-        return removed
+        with self._lock:
+            meta = self._read_meta()
+            entry = meta[table]
+            keep = {e["v"] for e in entry["versions"][-keep_latest:]}
+            keep.add(entry["current"])
+            removed, remaining = [], []
+            for e in entry["versions"]:
+                if e["v"] in keep:
+                    remaining.append(e)
+                else:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(table, e['v'])}")
+                    removed.append(e["v"])
+            entry["versions"] = remaining
+            self._write_meta(meta)
+            return removed
 
     def drop_namespace(self) -> None:
         """Remove every catalog object this instance created (test cleanup).
 
-        Objects are resolved by EXACT name from the meta table, never by
-        name-prefix matching — a sibling namespace that shares a prefix
-        (ns ``conf`` vs ``conf_1``) is untouched."""
-        for tbl, entry in self._read_meta().items():
-            self.spark.sql(f"DROP VIEW IF EXISTS {self._view(tbl)}")
-            for e in entry["versions"]:
-                self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(tbl, e['v'])}")
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._meta_table()}")
+        Primary resolution is by EXACT name from the meta table; a final
+        sweep then drops catalog tables matching this namespace's STRICT
+        version-table pattern (``<ns>_<identifier>_v\\d{4,}``) that meta
+        does not know about — the orphan a hard process kill between
+        ``saveAsTable(vt)`` and ``_write_meta`` leaves behind (ADVICE r4).
+        Caveat: a sibling namespace that is itself ``<ns>_<suffix>`` has
+        version tables that also match the pattern (``a_b_t_v0001`` parses
+        as both ns ``a`` and ns ``a_b``), so namespaces sharing a '_'
+        prefix must not coexist in one catalog — the gate entries use
+        uuid-suffixed namespaces for exactly this reason."""
+        with self._lock:
+            meta = self._read_meta()
+            known = {self._meta_table()}
+            for tbl, entry in meta.items():
+                self.spark.sql(f"DROP VIEW IF EXISTS {self._view(tbl)}")
+                for e in entry["versions"]:
+                    vt = self._vt(tbl, e["v"])
+                    known.add(vt)
+                    self.spark.sql(f"DROP TABLE IF EXISTS {vt}")
+            # the catalog folds identifiers to lower case — match accordingly
+            orphan_pat = re.compile(rf"{re.escape(self.ns.lower())}_[a-z_]\w*_v\d{{4,}}$")
+            known_lower = {k.lower() for k in known}
+            for t in self.spark.catalog.listTables():
+                name = t.name.lower()
+                if (
+                    t.tableType != "VIEW"
+                    and name not in known_lower
+                    and orphan_pat.fullmatch(name)
+                ):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._meta_table()}")

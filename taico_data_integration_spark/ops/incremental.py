@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -161,9 +162,31 @@ class TableStore(TableFormat):
     protocol methods — promote_with_validation, diff, exists — are inherited
     from the seam and shared with SqlWarehouseFormat).
 
-    Layout: root/<table>/v<NNN>/ parquet + root/<table>/_meta.json pointing
-    at the current version. write() creates a new version; rollback()
-    repoints. Cheap O(1) metadata swap, like Delta's transaction log.
+    Layout: root/<table>/v<NNN>/ parquet + root/<table>/_meta.json holding
+    the current-version POINTER only. write() creates a new version;
+    rollback() repoints. Cheap O(1) metadata swap, like Delta's log commit.
+
+    Concurrent-writer contract (VERDICT r4 #6) — optimistic, Delta-style:
+    - **Version claim is a CAS**: a writer claims its version number by
+      atomically creating ``_claims/vNNNN`` (``O_CREAT|O_EXCL``); a loser
+      re-reads the store and retries with the next number, so no two
+      writers ever produce the same version directory.
+    - **Commit marker**: a version exists in ``history()`` only once its
+      directory contains the ``_SUCCESS`` marker the parquet committer
+      writes AFTER all task files are in place — a killed writer leaves an
+      uncommitted directory that history/read never see and vacuum removes
+      (requires ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` left
+      at its default ``true``).
+    - **Pointer swap is atomic**: ``_meta.json`` is written to a temp name
+      and ``os.replace``d, so readers see the old or the new current,
+      never a torn file. Version history is derived from the filesystem,
+      NOT stored in the pointer — concurrent committers cannot lose each
+      other's history rows.
+    - With N concurrent promotes, all N commit distinct versions and the
+      LAST pointer swap decides current (each promote validates what is
+      current at its own validation time). tests/test_ops.py pins the
+      two-writer race on one table: distinct versions, one current, full
+      clean history.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -174,28 +197,65 @@ class TableStore(TableFormat):
         return os.path.join(self.root, table, "_meta.json")
 
     def _read_meta(self, table: str) -> dict:
-        p = self._meta_path(table)
-        if not os.path.exists(p):
-            return {"current": None, "versions": []}
-        with open(p) as f:
-            return json.load(f)
+        """{current, versions} where ``versions`` is DERIVED from committed
+        version directories (commit marker present) — the filesystem is the
+        version log; only the current pointer is stored."""
+        tdir = os.path.join(self.root, table)
+        versions = []
+        if os.path.isdir(tdir):
+            for name in sorted(os.listdir(tdir)):
+                m = re.fullmatch(r"v(\d{4,})", name)
+                p = os.path.join(tdir, name)
+                if m and os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
+                    versions.append(
+                        {"v": int(m.group(1)), "path": p, "ts": os.path.getmtime(p)}
+                    )
+        current = None
+        mp = self._meta_path(table)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                current = json.load(f).get("current")
+        return {"current": current, "versions": versions}
 
-    def _write_meta(self, table: str, meta: dict) -> None:
-        os.makedirs(os.path.join(self.root, table), exist_ok=True)
-        with open(self._meta_path(table), "w") as f:
-            json.dump(meta, f)
+    def _write_pointer(self, table: str, current: int) -> None:
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, f"_meta.{os.getpid()}.{time.time_ns()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"current": current}, f)
+        os.replace(tmp, self._meta_path(table))  # atomic on POSIX
+
+    def _claim_version(self, table: str) -> int:
+        """CAS loop: smallest unclaimed version number, claimed atomically."""
+        tdir = os.path.join(self.root, table)
+        claims = os.path.join(tdir, "_claims")
+        os.makedirs(claims, exist_ok=True)
+        for _ in range(256):
+            taken = [
+                int(m.group(1))
+                for m in (re.fullmatch(r"v(\d{4,})", n) for n in os.listdir(claims))
+                if m
+            ] + [e["v"] for e in self._read_meta(table)["versions"]]
+            version = max(taken) + 1 if taken else 0
+            try:
+                fd = os.open(
+                    os.path.join(claims, f"v{version:04d}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return version
+            except FileExistsError:
+                continue  # another writer claimed it first — retry
+        raise RuntimeError(f"could not claim a version for {table} after 256 tries")
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        meta = self._read_meta(table)
-        version = (meta["versions"][-1]["v"] + 1) if meta["versions"] else 0
+        version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        meta["versions"].append({"v": version, "path": path, "ts": time.time()})
-        meta["current"] = version
-        self._write_meta(table, meta)
+        self._write_pointer(table, version)
         return version
 
     def exists(self, table: str) -> bool:
@@ -218,15 +278,21 @@ class TableStore(TableFormat):
         keep = {e["v"] for e in meta["versions"][-keep_latest:]}
         keep.add(meta["current"])
         removed = []
-        remaining = []
         for e in meta["versions"]:
-            if e["v"] in keep:
-                remaining.append(e)
-            else:
+            if e["v"] not in keep:
                 shutil.rmtree(e["path"], ignore_errors=True)
                 removed.append(e["v"])
-        meta["versions"] = remaining
-        self._write_meta(table, meta)
+        # also sweep uncommitted orphans (claimed dirs without the commit
+        # marker — a hard-killed writer's leftovers); claims stay so version
+        # numbers are never reused
+        tdir = os.path.join(self.root, table)
+        committed = {e["v"] for e in meta["versions"]}
+        for name in os.listdir(tdir):
+            m = re.fullmatch(r"v(\d{4,})", name)
+            p = os.path.join(tdir, name)
+            if m and os.path.isdir(p) and int(m.group(1)) not in committed:
+                if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                    shutil.rmtree(p, ignore_errors=True)
         return removed
 
     def compact(
@@ -319,8 +385,9 @@ class TableStore(TableFormat):
             if not older:
                 raise ValueError(f"no version to roll back to for {table}")
             to_version = older[-1]
-        meta["current"] = to_version
-        self._write_meta(table, meta)
+        elif to_version not in {e["v"] for e in meta["versions"]}:
+            raise ValueError(f"version {to_version} not committed for {table}")
+        self._write_pointer(table, to_version)
         return to_version
 
     def history(self, table: str) -> list[dict]:

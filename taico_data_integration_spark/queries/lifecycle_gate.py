@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..ops.formats import SqlWarehouseFormat
 from ..ops.incremental import PartitionedTable, TableStore
-from ..sources import read_csv, read_json, write_csv, write_json
+from ..sources import jdbc_sink, jdbc_source, read_csv, read_json, write_csv, write_json
 from ._util import T
 
 
@@ -189,6 +189,77 @@ def lifecycle_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(work, ignore_errors=True)
 
 
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7+S8 under the hash gate against a REAL RDBMS (Apache Derby,
+    embedded — ships inside Spark's own jars), VERDICT r4 #4. The protocol
+    is the reference's Postgres sync restated set-based:
+
+    - S8 bulk sink: initial load of half the suppliers via one distributed
+      ``df.write.jdbc`` (vs the per-row INSERT loop,
+      include/scripts/sync_data.py:250-252);
+    - S7 insert-if-absent DML: the full batch arrives, existing keys are
+      read back and anti-joined so only the missing half is appended
+      (sync_data.py:185-187 semantics, one set-based write);
+    - S6 tenant-filtered scan: final read-back uses predicate-partitioned
+      parallel reads (3 disjoint s_nationkey ranges = 3 concurrent JDBC
+      partitions, dags/etl.py:74-76) and a pushed filter.
+
+    Hard invariants (red row, not silent pass): the balance filter is
+    PUSHED into the JDBC scan, the parallel read has exactly 3 partitions,
+    and the two-phase load produced no duplicates. Oracle: the same
+    projection straight off the parquet supplier table."""
+    supplier = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n_base = supplier.count()
+    work = tempfile.mkdtemp(prefix="taico_lcg_jdbc_")
+    db = os.path.join(work, "gatedb")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    try:
+        # S8: bulk initial load (half the rows — the "already synced" state)
+        jdbc_sink(
+            supplier.where(F.col("s_suppkey") % 2 == 0), url, "suppliers",
+            mode="append", properties=props,
+        )
+        # S7: insert-if-absent — read existing keys, append only the delta
+        existing = jdbc_source(spark, url, "suppliers", properties=props).select(
+            "s_suppkey"
+        )
+        delta = supplier.join(existing, "s_suppkey", "left_anti")
+        jdbc_sink(delta, url, "suppliers", mode="append", properties=props)
+
+        # S6: predicate-partitioned parallel read + pushed tenant filter
+        back = jdbc_source(
+            spark, url, "suppliers",
+            predicates=[
+                '"s_nationkey" < 8',
+                '"s_nationkey" >= 8 AND "s_nationkey" < 16',
+                '"s_nationkey" >= 16',
+            ],
+            properties=props,
+        )
+        if back.rdd.getNumPartitions() != 3:
+            raise RuntimeError("sink_jdbc_roundtrip: predicate partitioning lost")
+        filtered = back.where(F.col("s_acctbal") > 0.0)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        if "PushedFilters" not in plan or "s_acctbal" not in plan.split("PushedFilters")[1][:200]:
+            raise RuntimeError("sink_jdbc_roundtrip: filter not pushed into JDBC scan")
+        if back.count() != n_base:
+            raise RuntimeError("sink_jdbc_roundtrip: two-phase load row count drifted")
+        return _materialize(
+            filtered.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        )
+    finally:
+        try:  # release Derby's file handles before removing the db dir
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{db};shutdown=true"
+            )
+        except Exception:
+            pass  # Derby signals successful shutdown via SQLException
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TABLESTORE_PROMOTE_SQL = """
 SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -208,6 +279,12 @@ JSON_ROUNDTRIP_SQL = """
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
 """
 
+JDBC_ROUNDTRIP_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier
+WHERE s_acctbal > CAST(0.0 AS DOUBLE)
+"""
+
 PARTITIONED_OVERWRITE_SQL = """
 SELECT c_custkey,
        CASE WHEN c_mktsegment = 'BUILDING'
@@ -221,6 +298,7 @@ QUERIES = {
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_json_roundtrip": sink_json_roundtrip,
+    "sink_jdbc_roundtrip": sink_jdbc_roundtrip,
     "lifecycle_partitioned_overwrite": lifecycle_partitioned_overwrite,
 }
 
@@ -229,5 +307,6 @@ ORACLE = {
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
     "sink_csv_roundtrip": CSV_ROUNDTRIP_SQL,
     "sink_json_roundtrip": JSON_ROUNDTRIP_SQL,
+    "sink_jdbc_roundtrip": JDBC_ROUNDTRIP_SQL,
     "lifecycle_partitioned_overwrite": PARTITIONED_OVERWRITE_SQL,
 }

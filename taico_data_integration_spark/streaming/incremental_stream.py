@@ -45,17 +45,31 @@ def _symlink_arrival_dir(sf_dir: str, table: str, tag: str) -> str:
         parts = [src]
     expected = {f"{table}_{i:05d}.parquet": p for i, p in enumerate(parts)}
     for name in os.listdir(link_dir):
-        if name not in expected:
-            os.unlink(os.path.join(link_dir, name))
+        # dot-names are in-flight temp links (invisible to the stream
+        # source, which skips hidden files) — never reconcile those away
+        # from under a concurrent creator
+        if name not in expected and not name.startswith("."):
+            try:
+                os.unlink(os.path.join(link_dir, name))
+            except FileNotFoundError:
+                pass  # a concurrent session reconciled first
     for name, target in expected.items():
         link = os.path.join(link_dir, name)
         # lexists/readlink, never exists(): a DANGLING link (fixture file
         # deleted after linking) must be replaced, not re-created on top of
-        # itself (os.path.exists follows the link -> FileExistsError)
-        if os.path.islink(link) and os.readlink(link) != target:
-            os.unlink(link)
-        if not os.path.lexists(link):
-            os.symlink(target, link)
+        # itself (os.path.exists follows the link -> FileExistsError).
+        # Creation is ATOMIC (ADVICE r4 TOCTOU): symlink under a unique temp
+        # name, then os.replace over the final name — two concurrent
+        # sessions on the same fixture can interleave freely and both end
+        # with a correct link; neither ever sees FileExistsError or a
+        # half-created entry. Links only ever point at the CURRENT expected
+        # target set, so a concurrent replace is idempotent; only
+        # regenerating the fixture itself mid-stream changes targets, which
+        # no link scheme can make safe for a stream already running.
+        if not os.path.islink(link) or os.readlink(link) != target:
+            tmp = os.path.join(link_dir, f".{name}.{os.getpid()}.tmp")
+            os.symlink(target, tmp)
+            os.replace(tmp, link)
     return link_dir
 
 
