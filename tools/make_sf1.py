@@ -1,14 +1,27 @@
-"""Generate an sf1-equivalent fixture set from the sf0.1 testdata by key-
-offset replication (10 replicas, every key column shifted by a fixed
-stride so FK relationships hold per replica). Region/nation stay fixed
-(TPC-H dims don't scale); documents get a per-replica text tag so the
-corpus is near-dup-dense rather than exact-copy-degenerate.
+"""Generate an sfN-equivalent fixture set from the sf0.1 testdata by key-
+offset replication (every key column shifted by a fixed stride per replica
+so FK relationships hold). Region/nation stay fixed (TPC-H dims don't
+scale); documents get a per-replica text tag so the corpus is
+near-dup-dense rather than exact-copy-degenerate.
+
+With `block_size` (replicas > block_size, e.g. sf10 = 100 replicas,
+block_size 10), replicas are grouped into decade blocks and the fixture
+keeps NEAR-DUP DENSITY CONSTANT per unit data instead of letting planted
+similarity go quadratic in the replica count:
+- documents: every 'e' in the text gains a block suffix, so tokens (and
+  hence shingles/minhashes) only overlap within a block — each doc has
+  block_size-1 near-dups at any scale, like the sf1 fixture.
+- embeddings: `label` gains a per-block offset (label + blk*10). The
+  engine queries block pair enumeration on `label`; a constant-cardinality
+  blocking key over growing data is the classic quadratic trap, and a real
+  deployment re-clusters as the corpus grows — the fixture models that.
 
 Output: /tmp/taico_sf1/<table>.parquet (directory-parquet). Used by
-tools/bench_vs_duckdb.py for the sf1 amortization run (VERDICT r2 #7) —
-not part of the driver gate (testdata is read-only; sf1 is derived).
+tools/bench_vs_duckdb.py for the sf1 amortization run (VERDICT r2 #7) and
+the r5 sf10 spot-check (VERDICT r4 #5) — not part of the driver gate
+(testdata is read-only; derived fixtures live in /tmp).
 
-Usage: python tools/make_sf1.py [src_sf_dir] [out_dir] [replicas]
+Usage: python tools/make_sf1.py [src_sf_dir] [out_dir] [replicas] [block_size]
 """
 
 from __future__ import annotations
@@ -25,6 +38,7 @@ def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/taico_sf1"
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    block_size = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from pyspark.sql import functions as F
 
@@ -55,11 +69,22 @@ def main() -> int:
         df = spark.read.parquet(f"{src}/{table}.parquet").crossJoin(rep)
         for kc in keys:
             df = df.withColumn(kc, F.col(kc) + F.col("__r") * STRIDE)
+        blk = (F.col("__r") / F.lit(block_size)).cast("bigint") if block_size else None
         if table == "documents":
             # per-replica tag keeps replicas near-dups, not exact copies
             df = df.withColumn(
                 "text", F.concat(F.col("text"), F.lit(" rep"), F.col("__r").cast("string"))
             )
+            if block_size:
+                # block-salt every 'e' so token/shingle overlap — and hence
+                # planted near-dup groups — stay within one decade block
+                df = df.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), "e", F.concat(F.lit("e"), blk.cast("string"))),
+                )
+        if table == "embeddings" and block_size:
+            # blocking-key cardinality grows with the corpus (see module doc)
+            df = df.withColumn("label", (F.col("label") + blk * F.lit(10)).cast("int"))
         df = df.drop("__r")
         # the crossJoin inherits the (single-file) source's partitioning —
         # rebalance so the sf1 layout has realistic scan parallelism
