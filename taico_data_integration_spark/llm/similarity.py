@@ -262,3 +262,76 @@ def embedding_neardup_pairs(
             F.round("cosine_raw", 6).alias("cosine"),
         )
     )
+
+
+def embedding_neardup_pairs_blas(
+    df: DataFrame,
+    min_cosine: float,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """BLAS-backed twin of :func:`embedding_neardup_pairs` — the throughput
+    path for wide blocks. Same contract: all pairs (vec_a < vec_b) within a
+    block with cosine >= min_cosine, cosine rounded HALF_UP to 6 places; ids
+    emitted as bigint.
+
+    Instead of one interpreted fold per pair (the HOF `dot` is exact-parity
+    with DuckDB but evaluates element-at-a-time), each block is shipped to
+    the executor as ONE Arrow batch and scored as a chunked gram matrix
+    (X_chunk @ X.T) in numpy — SIMD/BLAS, ~10x the per-pair throughput
+    measured at sf10 (BENCH_NOTES_r05.md). Memory per task is
+    O(chunk * block_rows) doubles plus the block itself; the blocking key is
+    what bounds block_rows, exactly as in the Column variant.
+
+    Parity caveat (why the ORACLE-CHECKED registry entry keeps the HOF
+    fold): numpy's pairwise summation can differ from a sequential fold in
+    the last ulp, so a cosine sitting exactly on a rounding or threshold
+    boundary may flip; tests pin exact pair-set/value agreement on the
+    fixture corpus and the bound |Δcosine| <= 1e-12 before rounding."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "vec_a bigint, vec_b bigint, cosine double"
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+            )
+        norms = np.sqrt((X * X).sum(axis=1))
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos = (X[lo:hi] @ X.T) / np.outer(norms[lo:hi], norms)
+            # upper triangle only (global column index > global row index):
+            # ids are sorted, so position order IS id order
+            rows, cols = np.nonzero(
+                (cos >= min_cosine) & (np.arange(n)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            if len(rows):
+                c = cos[rows, cols]
+                # HALF_UP to 6 places, matching Spark/DuckDB round()
+                c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": ids[rows + lo], "vec_b": ids[cols], "cosine": c}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    base = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).cast("bigint").alias("__id"),
+        _to_double(F.col(vec_col)).alias("__vec"),
+    )
+    return base.groupBy("__blk").applyInPandas(score_block, out_schema)

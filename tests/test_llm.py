@@ -115,6 +115,46 @@ def test_embedding_neardup_blocked(spark):
     assert {(r.vec_a, r.vec_b) for r in res} == {(0, 1)}
 
 
+def test_embedding_neardup_blas_parity(spark):
+    """The BLAS gram-matrix variant must agree with the HOF-fold variant on
+    the real fixture corpus: identical pair SET and |Δcosine| <= 1e-9 on the
+    rounded values (numpy pairwise summation vs sequential fold differ at
+    most in the last ulp before rounding)."""
+    from taico_data_integration_spark.llm.similarity import embedding_neardup_pairs_blas
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = {
+        (int(r.vec_a), int(r.vec_b)): r.cosine
+        for r in embedding_neardup_pairs(e, min_cosine=0.35, block_col="label").collect()
+    }
+    blas = {
+        (int(r.vec_a), int(r.vec_b)): r.cosine
+        for r in embedding_neardup_pairs_blas(
+            e, min_cosine=0.35, block_col="label", chunk=7  # force multi-chunk
+        ).collect()
+    }
+    assert hof and set(hof) == set(blas)
+    assert all(abs(hof[k] - blas[k]) <= 1e-9 for k in hof)
+
+
+def test_embedding_neardup_blas_chunking_and_degenerates(spark):
+    """Chunk boundaries must not drop or duplicate pairs; 1-row blocks emit
+    nothing; ids come back as bigint."""
+    from taico_data_integration_spark.llm.similarity import embedding_neardup_pairs_blas
+
+    rows = [Row(vec_id=i, embedding=[1.0, float(i % 3) * 0.01], label=i % 2) for i in range(9)]
+    rows.append(Row(vec_id=99, embedding=[0.0, 1.0], label=2))  # singleton block
+    e = spark.createDataFrame(rows)
+    full = embedding_neardup_pairs_blas(e, min_cosine=0.99, block_col="label", chunk=1024)
+    tiny = embedding_neardup_pairs_blas(e, min_cosine=0.99, block_col="label", chunk=2)
+    got_full = {(r.vec_a, r.vec_b, r.cosine) for r in full.collect()}
+    got_tiny = {(r.vec_a, r.vec_b, r.cosine) for r in tiny.collect()}
+    assert got_full == got_tiny
+    assert all(a < b for a, b, _ in got_full)
+    assert not any(99 in (a, b) for a, b, _ in got_full)
+    assert dict(full.dtypes) == {"vec_a": "bigint", "vec_b": "bigint", "cosine": "double"}
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     import random as pyrandom
 
