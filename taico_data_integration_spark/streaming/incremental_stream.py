@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,7 +68,7 @@ def _symlink_arrival_dir(sf_dir: str, table: str, tag: str) -> str:
         # regenerating the fixture itself mid-stream changes targets, which
         # no link scheme can make safe for a stream already running.
         if not os.path.islink(link) or os.readlink(link) != target:
-            tmp = os.path.join(link_dir, f".{name}.{os.getpid()}.tmp")
+            tmp = os.path.join(link_dir, f".{name}.{os.getpid()}.{time.time_ns()}.tmp")
             os.symlink(target, tmp)
             os.replace(tmp, link)
     return link_dir
