@@ -529,6 +529,10 @@ FROM w GROUP BY doc_id
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeps the HOF-fold kernel for bit-parity with the oracle's
+    sequential fold; the deployment path for wide blocks is the BLAS twin
+    ``llm.similarity.embedding_neardup_pairs_blas`` (7.1x at sf10, parity
+    pinned in tests — see BENCH_NOTES_r05.md)."""
     e = T(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, min_cosine=0.35, block_col="label")
 
