@@ -273,9 +273,12 @@ def embedding_neardup_pairs_blas(
     chunk: int = 1024,
 ) -> DataFrame:
     """BLAS-backed twin of :func:`embedding_neardup_pairs` — the throughput
-    path for wide blocks. Same contract: all pairs (vec_a < vec_b) within a
-    block with cosine >= min_cosine, cosine rounded HALF_UP to 6 places; ids
-    emitted as bigint.
+    path for wide blocks. Same pair contract: all pairs (vec_a < vec_b)
+    within a block with cosine >= min_cosine, cosine rounded HALF_UP to 6
+    places. One schema difference vs the HOF variant: THIS variant casts ids
+    to bigint (the Arrow batch needs one concrete integer type), while
+    :func:`embedding_neardup_pairs` preserves the source id type — callers
+    swapping variants on a non-bigint id column will see that drift.
 
     Instead of one interpreted fold per pair (the HOF `dot` is exact-parity
     with DuckDB but evaluates element-at-a-time), each block is shipped to
@@ -288,10 +291,17 @@ def embedding_neardup_pairs_blas(
     Parity caveat (why the ORACLE-CHECKED registry entry keeps the HOF
     fold): numpy's pairwise summation can differ from a sequential fold in
     the last ulp, so a cosine sitting exactly on a rounding or threshold
-    boundary may flip; tests pin exact pair-set/value agreement on the
-    fixture corpus and the bound |Δcosine| <= 1e-12 before rounding."""
+    boundary may flip. Rounding itself is exact-parity with Spark's round()
+    — HALF_UP over the shortest-decimal repr via Decimal(repr(x)), not
+    binary-double arithmetic (ADVICE r5) — so any residual divergence comes
+    only from the summation-order ulp. Tests pin exact pair-set/value
+    agreement on the fixture corpus and the bound |Δcosine| <= 1e-12
+    before rounding."""
     import numpy as np
     import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    _SIX = Decimal("0.000001")
 
     out_schema = "vec_a bigint, vec_b bigint, cosine double"
 
@@ -309,15 +319,26 @@ def embedding_neardup_pairs_blas(
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             cos = (X[lo:hi] @ X.T) / np.outer(norms[lo:hi], norms)
-            # upper triangle only (global column index > global row index):
-            # ids are sorted, so position order IS id order
+            # strict upper triangle BY ID (not position): identical to the
+            # HOF variant's a_id < b_id predicate, so duplicate ids emit no
+            # self-pairs here either (ADVICE r5)
             rows, cols = np.nonzero(
-                (cos >= min_cosine) & (np.arange(n)[None, :] > np.arange(lo, hi)[:, None])
+                (cos >= min_cosine) & (ids[None, :] > ids[lo:hi][:, None])
             )
             if len(rows):
-                c = cos[rows, cols]
-                # HALF_UP to 6 places, matching Spark/DuckDB round()
-                c = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                # HALF_UP to 6 places over the shortest-decimal repr — the
+                # exact algorithm of Spark's round() (BigDecimal.valueOf) and
+                # DuckDB's round(); plain *1e6 floor rounding of the binary
+                # double can differ by 1e-6 on .xxxxxx5-boundary values
+                # (ADVICE r5). Only threshold-passing pairs pay this loop.
+                c = np.fromiter(
+                    (
+                        float(Decimal(repr(v)).quantize(_SIX, rounding=ROUND_HALF_UP))
+                        for v in cos[rows, cols]
+                    ),
+                    dtype=np.float64,
+                    count=len(rows),
+                )
                 outs.append(
                     pd.DataFrame(
                         {"vec_a": ids[rows + lo], "vec_b": ids[cols], "cosine": c}

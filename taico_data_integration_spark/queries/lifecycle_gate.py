@@ -216,6 +216,12 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = os.path.join(work, "gatedb")
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Keep derby.log out of the repo root: Derby writes its stream-error
+    # file to CWD unless told otherwise; point it into the gate's tempdir
+    # (first engine boot in the JVM latches the property — harmless later).
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(work, "derby.log")
+    )
     try:
         # S8: bulk initial load (half the rows — the "already synced" state)
         jdbc_sink(

@@ -155,6 +155,50 @@ def test_embedding_neardup_blas_chunking_and_degenerates(spark):
     assert dict(full.dtypes) == {"vec_a": "bigint", "vec_b": "bigint", "cosine": "double"}
 
 
+def test_embedding_neardup_blas_duplicate_ids_match_hof(spark):
+    """Degenerate input: duplicate vec_id rows inside one block. The HOF
+    variant's a_id < b_id predicate never emits a self-pair (vec_a == vec_b)
+    for them; the BLAS mask is id-based (not positional) so it must agree on
+    the exact pair set (ADVICE r5)."""
+    from taico_data_integration_spark.llm.similarity import embedding_neardup_pairs_blas
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[1.0, 0.001], label=0),  # duplicate id
+        Row(vec_id=2, embedding=[1.0, 0.002], label=0),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=0),
+    ]
+    e = spark.createDataFrame(rows)
+    hof = {
+        (r.vec_a, r.vec_b) for r in
+        embedding_neardup_pairs(e, min_cosine=0.99, block_col="label").collect()
+    }
+    blas = {
+        (r.vec_a, r.vec_b) for r in
+        embedding_neardup_pairs_blas(e, min_cosine=0.99, block_col="label").collect()
+    }
+    assert not any(a == b for a, b in blas)
+    # the duplicated id pairs with id 2 twice -> set collapses to one entry,
+    # exactly as the HOF variant's DISTINCT-free output set does
+    assert blas == hof == {(1, 2)}
+
+
+def test_blas_rounding_matches_spark_round_on_boundaries(spark):
+    """The BLAS path rounds via Decimal(repr(x)) HALF_UP — the same
+    shortest-decimal algorithm as Spark's round(). Pin agreement on
+    .xxxxxx5-boundary doubles where binary-double *1e6 rounding diverges."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    boundary = [0.9999995, 0.5000005, 0.1234565, 0.7654325, 0.0000005]
+    sdf = spark.createDataFrame([(v,) for v in boundary], "v double")
+    spark_rounded = [r.r for r in sdf.select(F.round("v", 6).alias("r")).collect()]
+    six = Decimal("0.000001")
+    py_rounded = [
+        float(Decimal(repr(v)).quantize(six, rounding=ROUND_HALF_UP)) for v in boundary
+    ]
+    assert spark_rounded == py_rounded
+
+
 def test_kmeans_recovers_planted_clusters(spark):
     import random as pyrandom
 

@@ -83,8 +83,18 @@ def main() -> int:
                     F.regexp_replace(F.col("text"), "e", F.concat(F.lit("e"), blk.cast("string"))),
                 )
         if table == "embeddings" and block_size:
-            # blocking-key cardinality grows with the corpus (see module doc)
-            df = df.withColumn("label", (F.col("label") + blk * F.lit(10)).cast("int"))
+            # blocking-key cardinality grows with the corpus (see module doc);
+            # stride = max(label)+1 measured from the SOURCE so a wider label
+            # domain can't silently alias across blocks (ADVICE r5)
+            label_stride = (
+                spark.read.parquet(f"{src}/{table}.parquet")
+                .agg(F.max("label").cast("long").alias("m"))
+                .first()["m"]
+                + 1
+            )
+            df = df.withColumn(
+                "label", (F.col("label") + blk * F.lit(label_stride)).cast("int")
+            )
         df = df.drop("__r")
         # the crossJoin inherits the (single-file) source's partitioning —
         # rebalance so the sf1 layout has realistic scan parallelism
