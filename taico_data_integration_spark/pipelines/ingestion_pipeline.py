@@ -12,6 +12,11 @@ streaming.joins.stream_lsh_dedup_against_index):
    iff it verifies against a smaller-id doc of the same batch (the full
    connected-components canonical resolution is the batch path,
    queries.llm.dedup_canonical_keepers);
+2b. OPTIONAL embedding-cosine near-dup stage (when the batch carries an
+   embedding column): batch docs within min_cosine of a corpus doc or a
+   smaller-id batch doc are dropped; scorer selectable per call —
+   kernel="fold" (HOF Column fold, oracle parity, default) or "blas"
+   (numpy gram-matrix twin, the wide-block throughput path);
 3. one-pass curation gate (llm.curation.curation_flags);
 4. deterministic split assignment for the survivors;
 5. append survivors to the corpus table and their band keys to the band
@@ -31,6 +36,13 @@ from pyspark.sql import functions as F
 
 from ..llm.curation import curation_flags, dataset_split
 from ..llm.dedup import materialized_shingles, minhash_band_keys_fast, normalized_text
+from ..llm.similarity import (
+    _to_double,
+    dot,
+    embedding_neardup_pairs,
+    embedding_neardup_pairs_blas,
+    random_hyperplanes,
+)
 from ..ops.formats import TableFormat
 from .callbacks import PipelineCallbacks
 
@@ -93,14 +105,82 @@ def _within_batch_near_dups(new_bands: DataFrame, new_shingled: DataFrame) -> Da
     )
 
 
+def _embedding_near_dups(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    embedding_col: str,
+    block_col: str | None,
+    min_cosine: float,
+    kernel: str,
+) -> DataFrame:
+    """(doc_id) of batch docs dropped by embedding-cosine near-dup
+    survivorship: a batch doc is dropped iff it pairs at >= min_cosine with
+    any CORPUS doc (the corpus always wins) or with a SMALLER-id doc of the
+    same batch (pairwise min-id, matching the text path's semantics).
+
+    ``kernel`` picks the scorer over the pooled (corpus + batch) frame:
+    ``"fold"`` = :func:`embedding_neardup_pairs` (HOF Column fold, exact
+    oracle parity) — the default; ``"blas"`` =
+    :func:`embedding_neardup_pairs_blas` (Arrow-batched numpy gram matrix,
+    ~7x the throughput at sf10, BENCH_NOTES_r05.md; requires integral doc
+    ids — it emits them as bigint). With no ``block_col``, vectors are
+    blocked by an 8-plane sign-LSH bucket computed inline — near-identical
+    vectors agree on every sign bit, so >=min_cosine pairs land in one
+    bucket with high probability (same recall trade as the ANN path)."""
+    cols = ["doc_id", embedding_col] + ([block_col] if block_col else [])
+    pool = batch.select(*cols)
+    if corpus is not None and embedding_col in corpus.columns:
+        pool = pool.unionByName(corpus.select(*cols))
+    blk = block_col
+    if blk is None:
+        dim = batch.select(F.size(F.col(embedding_col))).first()[0]
+        v = _to_double(F.col(embedding_col))
+        bits = [
+            F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in random_hyperplanes(dim, 8)
+        ]
+        pool = pool.withColumn("__ebkt", F.concat(*bits))
+        blk = "__ebkt"
+    fn = embedding_neardup_pairs_blas if kernel == "blas" else embedding_neardup_pairs
+    pairs = fn(pool, min_cosine=min_cosine, block_col=blk, id_col="doc_id", vec_col=embedding_col)
+    batch_ids = batch.select("doc_id")
+    # pairs are (vec_a < vec_b): a batch doc on the b side always loses
+    drop = pairs.select(F.col("vec_b").alias("doc_id")).join(batch_ids, "doc_id", "left_semi")
+    if corpus is not None and embedding_col in corpus.columns:
+        # a batch doc on the a side loses only to a corpus doc (larger id)
+        corpus_ids = corpus.select(F.col("doc_id").alias("vec_b"))
+        drop = drop.unionByName(
+            pairs.select(F.col("vec_a").alias("doc_id"), "vec_b")
+            .join(batch_ids, "doc_id", "left_semi")
+            .join(corpus_ids, "vec_b", "left_semi")
+            .select("doc_id")
+        )
+    return drop.distinct()
+
+
 def ingest_batch(
     spark: SparkSession,
     store: TableFormat,
     batch: DataFrame,
     callbacks: PipelineCallbacks | None = None,
+    *,
+    embedding_col: str | None = None,
+    embedding_block_col: str | None = None,
+    min_cosine: float = 0.98,
+    neardup_kernel: str = "fold",
 ) -> dict:
     """Ingest one batch of documents (doc_id, text, ...) into the stored
-    corpus. Returns a summary dict with per-stage drop accounting."""
+    corpus. Returns a summary dict with per-stage drop accounting.
+
+    When ``embedding_col`` names a column of the batch, an embedding-cosine
+    near-dup stage runs after the text-LSH pass (stage 2b), dropping batch
+    docs within ``min_cosine`` of a corpus doc or a smaller-id batch doc.
+    ``neardup_kernel`` selects the scorer: ``"fold"`` (default, exact
+    oracle-parity Column fold) or ``"blas"`` (numpy gram-matrix twin — flip
+    it when blocks are wide and throughput dominates; see
+    :func:`_embedding_near_dups`)."""
+    if neardup_kernel not in ("fold", "blas"):
+        raise ValueError(f"neardup_kernel must be 'fold' or 'blas': {neardup_kernel!r}")
     callbacks = callbacks or PipelineCallbacks()
     n_in = batch.count()
 
@@ -127,6 +207,18 @@ def ingest_batch(
         drop = drop.unionByName(near.withColumnRenamed("new_doc_id", "doc_id")).distinct()
     deduped = batch_exact.join(drop, "doc_id", "left_anti").localCheckpoint()
     n_near = batch_exact.count() - deduped.count()
+
+    # 2b. embedding-cosine near-dup stage (optional; kernel-selectable)
+    n_embed = 0
+    if embedding_col is not None and embedding_col in deduped.columns:
+        corpus_df = store.read(CORPUS_TABLE) if store.exists(CORPUS_TABLE) else None
+        edrop = _embedding_near_dups(
+            deduped, corpus_df, embedding_col, embedding_block_col,
+            min_cosine, neardup_kernel,
+        )
+        before = deduped.count()
+        deduped = deduped.join(edrop, "doc_id", "left_anti").localCheckpoint()
+        n_embed = before - deduped.count()
 
     # 3. curation gate
     flags = curation_flags(deduped)
@@ -171,6 +263,7 @@ def ingest_batch(
         "n_in": n_in,
         "n_exact_dup": n_exact,
         "n_near_dup": n_near,
+        "n_embed_near_dup": n_embed,
         "n_curation_reject": n_curation,
         "n_accepted": n_accepted,
         "corpus_rows": store.read(CORPUS_TABLE).count() if store.exists(CORPUS_TABLE) else 0,

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from taico_data_integration_spark.catalog import load_table
@@ -236,3 +237,86 @@ def test_ingestion_within_batch_near_dups(spark, tmp_path):
     )
     s2 = ingest_batch(spark, store, b2)
     assert s2["n_near_dup"] == 2 and s2["n_accepted"] == 0
+
+
+@pytest.mark.parametrize("kernel", ["fold", "blas"])
+def test_ingestion_embedding_neardup_stage_both_kernels(spark, tmp_path, kernel):
+    """VERDICT r5 #4: the embedding near-dup stage of ingest_batch, e2e on
+    BOTH kernels (HOF fold and the BLAS gram-matrix twin). Three genuinely
+    different stories — only their EMBEDDINGS collide — so any drop here is
+    the embedding stage's doing, not text LSH. Within-batch min-id
+    survivorship, corpus-probe rejection on the next batch, idempotent
+    re-ingest; both kernels must produce identical accounting and corpus."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+    from taico_data_integration_spark.pipelines.ingestion_pipeline import (
+        CORPUS_TABLE,
+        ingest_batch,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the green hills where many other animals live together happily "
+        "and the seasons pass with sun and rain and the fields grow tall "
+    )
+    stories = {
+        1: base * 2,
+        2: "A completely different second story about ships and oceans. "
+           "The sailors cross the wide water under tall white sails all day. "
+           "Their captain charts a course by the bright evening stars above. "
+           "The waves keep rolling past the hull through the long salt night. "
+           "In the morning the crew hauls in the nets and counts the catch. "
+           "There is always work to be done on the deck and below in the hold. "
+           "When the storm finally comes they take down the sails and wait. "
+           "After it passes the sea is calm again and the voyage continues on.",
+        3: "A genuinely new long document about the mountain weather patterns. "
+           "It keeps describing the clouds, the wind, the snow and the valleys. "
+           "The writing passes the minimum token and quality thresholds easily. "
+           "Varied words keep appearing throughout the whole of the text body.",
+        10: "A fourth tale about the desert caravans and their camels walking slowly over the red dunes. "
+            "The traders travel for many days and they talk about the price of salt and silk on the way. "
+            "At night they make camp near the rocks and they watch the stars while the fires burn low. "
+            "In the morning they load the animals again and they set out before the heat of the day. "
+            "When they finally reach the oasis there is water and shade and the people rest for a while. "
+            "Then the caravan moves on toward the far city where the goods will be sold in the market.",
+        11: "A fifth account of the city markets in the early morning before the sun has fully risen. "
+            "The vendors arrange their fruit and bread on the long tables while the first customers arrive. "
+            "There is the smell of coffee and baking and the sound of carts rolling over the old stones. "
+            "By the middle of the day the streets are full of people and the stalls are busy with trade. "
+            "In the evening the sellers pack away what is left and they count the coins they have earned. "
+            "Then the square is quiet again until the next morning when it all begins once more.",
+    }
+    e_a = [1.0, 0.01, 0.01, 0.01]   # docs 1, 2 and 10 share this embedding
+    e_b = [0.0, 1.0, 0.0, 0.01]     # doc 3
+    e_c = [0.0, 0.0, 1.0, 0.01]     # doc 11
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "embedding"]
+
+    def doc(i, emb):
+        return (i, stories[i], "en", "unit", len(stories[i]), emb)
+
+    store = TableStore(spark, str(tmp_path / "corpus"))
+    b1 = spark.createDataFrame([doc(1, e_a), doc(2, e_a), doc(3, e_b)], cols)
+    s1 = ingest_batch(
+        spark, store, b1, embedding_col="embedding", neardup_kernel=kernel
+    )
+    assert s1["n_near_dup"] == 0  # text LSH saw three distinct stories
+    assert s1["n_embed_near_dup"] == 1  # doc 2 lost to smaller-id doc 1
+    assert s1["n_accepted"] == 2
+    kept = {r.doc_id for r in store.read(CORPUS_TABLE).select("doc_id").collect()}
+    assert kept == {1, 3}
+
+    # next batch: doc 10's embedding collides with corpus doc 1; 11 is fresh
+    b2 = spark.createDataFrame([doc(10, e_a), doc(11, e_c)], cols)
+    s2 = ingest_batch(
+        spark, store, b2, embedding_col="embedding", neardup_kernel=kernel
+    )
+    assert s2["n_embed_near_dup"] == 1 and s2["n_accepted"] == 1
+    kept = {r.doc_id for r in store.read(CORPUS_TABLE).select("doc_id").collect()}
+    assert kept == {1, 3, 11}
+
+    # idempotence: re-sending batch 2 accepts nothing (10 by embedding
+    # probe again, 11 by exact text dedup before the embedding stage)
+    s3 = ingest_batch(
+        spark, store, b2, embedding_col="embedding", neardup_kernel=kernel
+    )
+    assert s3["n_accepted"] == 0 and s3["corpus_rows"] == 3
