@@ -13,7 +13,13 @@ Prints per-size rows and fitted scaling exponents
 (log(t2/t1) / log(n2/n1) between successive sizes; 1.0 = linear). Results
 land in SCALE.md's "Measured scaling" section.
 
-Usage: python tools/scale_stress.py [--quick]
+Usage: python tools/scale_stress.py [--quick | --big]
+
+``--big`` (VERDICT r5 #5) runs the LSH candidate-generation leg alone one
+more decade up — 50k / 500k / 5M synthetic docs — to pin the measured
+candidate-growth exponent and planted recall across four decades total.
+Synthetic-only by design: the invariant is the exponent and the recall vs
+planted dups, no oracle involved.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> int:
     quick = "--quick" in sys.argv
+    big = "--big" in sys.argv
 
     from pyspark.sql import functions as F
 
@@ -42,8 +49,13 @@ def main() -> int:
     spark = get_spark("scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
-    doc_sizes = [500, 5_000] if quick else [500, 5_000, 50_000]
-    vec_sizes = [2_000, 20_000] if quick else [2_000, 20_000, 100_000]
+    if big:
+        doc_sizes = [50_000, 500_000, 5_000_000]
+        vec_sizes = []  # LSH leg only: the decade being extended
+    elif quick:
+        doc_sizes, vec_sizes = [500, 5_000], [2_000, 20_000]
+    else:
+        doc_sizes, vec_sizes = [500, 5_000, 50_000], [2_000, 20_000, 100_000]
     out: dict = {"lsh": [], "ivf": []}
 
     print("== LSH banding / candidate generation ==")
