@@ -227,6 +227,10 @@ class SqlWarehouseFormat(TableFormat):
                 if not older:
                     raise ValueError(f"no version to roll back to for {table}")
                 to_version = older[-1]
+            elif to_version not in {e["v"] for e in entry["versions"]}:
+                # same contract as TableStore.rollback: an uncommitted (or
+                # vacuumed) target is a ValueError, not a catalog error
+                raise ValueError(f"version {to_version} not committed for {table}")
             self.spark.sql(
                 f"CREATE OR REPLACE VIEW {self._view(table)} AS "
                 f"SELECT * FROM {self._vt(table, to_version)}"

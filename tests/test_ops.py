@@ -302,6 +302,128 @@ def test_format_history_and_diff_parity_across_formats(spark, tmp_path):
         fmts["wh"].drop_namespace()
 
 
+def test_format_rollback_rejects_uncommitted_target(spark, table_format):
+    """Contract pin (found by the fuzz below): rollback to a version that
+    was never committed — or was vacuumed — must raise ValueError on BOTH
+    formats, never a raw catalog error or a silent repoint.
+    SqlWarehouseFormat previously skipped this validation."""
+    fmt = table_format
+    fmt.write("t", spark.createDataFrame([Row(id=1, s="a")]))
+    with pytest.raises(ValueError, match="not committed"):
+        fmt.rollback("t", to_version=99)
+    assert [h["v"] for h in fmt.history("t") if h["is_current"]] == [0]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47, 83])
+def test_format_contract_fuzz_parity(spark, tmp_path, seed):
+    """Randomized extension of the fixed-script parity test above: a seeded
+    random sequence of write / upsert / good-promote / bad-promote /
+    rollback (implicit, explicit, and invalid-target) / vacuum ops is run
+    through TableStore AND SqlWarehouseFormat in lockstep, asserting after
+    EVERY step that return values (or exception types), history shapes, and
+    current rows agree — and at the end that pairwise diffs over every
+    surviving version pair agree. Deterministic seeds, no shrinking needed:
+    a divergence pinpoints the step and op in the assertion message."""
+    import random
+
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    rng = random.Random(seed)
+    fmts = {
+        "store": TableStore(spark, str(tmp_path / "store")),
+        "wh": SqlWarehouseFormat(
+            spark, f"fuzz_{seed}_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "wh")
+        ),
+    }
+
+    def rand_df(n_lo=2, n_hi=6):
+        ids = rng.sample(range(12), rng.randint(n_lo, n_hi))
+        return spark.createDataFrame(
+            [Row(id=i, s=rng.choice("abcxyz")) for i in sorted(ids)]
+        )
+
+    def hist_shape(fmt):
+        return [(h["v"], h["is_current"]) for h in fmt.history("t")]
+
+    def apply(fmt, op, arg):
+        """Run one op; exceptions are data — return ('raised', type name)."""
+        try:
+            if op == "write":
+                return fmt.write("t", arg)
+            if op == "upsert":
+                return fmt.write("t", merge_upsert(fmt.read("t"), arg, ["id"]))
+            if op == "promote":
+                df, _intent = arg  # intent only labels the step; validate decides
+                return fmt.promote_with_validation(
+                    "t", df, validate=lambda d: d.where("id < 0").count() == 0
+                )
+            if op == "rollback":
+                return fmt.rollback("t", to_version=arg)
+            if op == "vacuum":
+                return fmt.vacuum("t", keep_latest=arg)
+            raise AssertionError(op)
+        except Exception as e:  # noqa: BLE001 — parity on the exception type
+            return ("raised", type(e).__name__)
+
+    try:
+        # first op is always a write so the table exists
+        steps = [("write", rand_df())]
+        for _ in range(9):
+            steps.append(rng.choice(["write", "upsert", "promote", "rollback",
+                                     "rollback_to", "bad_rollback", "vacuum"]))
+        for i, step in enumerate(steps):
+            if isinstance(step, tuple):
+                op, arg = step
+            else:
+                op = step
+                if op == "write" or op == "upsert":
+                    arg = rand_df()
+                elif op == "promote":
+                    bad = rng.random() < 0.4
+                    df = rand_df()
+                    if bad:
+                        df = df.union(spark.createDataFrame([Row(id=-1, s="x")]))
+                    arg = (df, not bad)
+                elif op == "rollback":
+                    arg = None
+                elif op == "rollback_to":
+                    op = "rollback"
+                    versions = [h["v"] for h in fmts["store"].history("t")]
+                    arg = rng.choice(versions)
+                elif op == "bad_rollback":
+                    op = "rollback"
+                    committed = {h["v"] for h in fmts["store"].history("t")}
+                    arg = max(committed, default=-1) + 100  # never committed
+                else:  # vacuum
+                    arg = rng.randint(1, 3)
+            # randomized frames are actions with side effects — build once,
+            # hand the SAME frame to both formats
+            rets = {k: apply(f, op, arg) for k, f in fmts.items()}
+            ctx = f"seed={seed} step={i} op={op} arg={arg}"
+            assert rets["store"] == rets["wh"], f"{ctx}: returns diverge {rets}"
+            assert hist_shape(fmts["store"]) == hist_shape(fmts["wh"]), ctx
+            cur = {
+                k: {(r.id, r.s) for r in f.read("t").collect()}
+                for k, f in fmts.items()
+            }
+            assert cur["store"] == cur["wh"], f"{ctx}: current rows diverge"
+        versions = [h["v"] for h in fmts["store"].history("t")]
+        for a in versions:
+            for b in versions:
+                if a < b:
+                    da = {
+                        (r["id"], r["s"], r["__change"])
+                        for r in fmts["store"].diff("t", a, b).collect()
+                    }
+                    db = {
+                        (r["id"], r["s"], r["__change"])
+                        for r in fmts["wh"].diff("t", a, b).collect()
+                    }
+                    assert da == db, f"seed={seed} diff({a},{b}) diverges"
+    finally:
+        fmts["wh"].drop_namespace()
+
+
 def test_format_concurrent_promotes_one_table(spark, table_format):
     """VERDICT r4 #6: two writers promoting the SAME table concurrently.
     Optimistic contract: both commit DISTINCT versions (TableStore: CAS
