@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from taico_data_integration_spark.ops.cdc import cdc_apply, cdc_collapse
@@ -133,6 +134,111 @@ class TestScd2Invariants:
             assert dim.where("NOT is_current AND valid_to <= valid_from").count() == 0
         finally:
             dim.unpersist()
+
+
+class TestScd2RandomReplay:
+    """Seeded random snapshot-sequence replay through ``scd2_apply``, checked
+    after EVERY apply against an independent pure-Python SCD2 model.
+
+    The decisive oracle: for every apply date d_j, ``scd2_as_of(dim, d_j)``
+    must reconstruct snapshot_j EXACTLY, forever — history is an append-only
+    log of the snapshots it absorbed. Also pins the documented NULL-key
+    behavior (a NULL natural key joins nothing, so its current row is closed
+    and reopened on every apply) and the structural invariants (one current
+    row per live key, non-overlapping validity windows).
+    """
+
+    SCHEMA = "id bigint, a string, b string, valid_from date, valid_to date, is_current boolean"
+
+    @pytest.mark.parametrize("seed", [7, 19, 31])
+    def test_replay_matches_python_model(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        d0 = datetime.date(2020, 1, 1)
+        dates = [d0 + datetime.timedelta(days=17 * (i + 1)) for i in range(6)]
+
+        def rand_snapshot():
+            ids = rng.sample(range(8), rng.randint(0, 5))
+            rows = [(i, rng.choice("pqr"), rng.choice([None, "x", "y"])) for i in ids]
+            if rng.random() < 0.4:  # at most one NULL-keyed row per snapshot
+                rows.append((None, rng.choice("pqr"), "n"))
+            return rows
+
+        # --- independent Python model: list of [id, a, b, from, to, current]
+        model: list[list] = []
+
+        def model_apply(snap_rows, ts):
+            snap = {r[0]: (r[1], r[2]) for r in snap_rows if r[0] is not None}
+            null_rows = [r for r in snap_rows if r[0] is None]
+            for row in model:
+                if not row[5]:
+                    continue
+                key = row[0]
+                # NULL keys never join; absent / changed keys are closed
+                if key is None or key not in snap or snap[key] != (row[1], row[2]):
+                    row[4], row[5] = ts, False
+            live = {
+                r[0]: (r[1], r[2]) for r in model if r[5] and r[0] is not None
+            }
+            for key, attrs in snap.items():
+                if live.get(key) != attrs:
+                    model.append([key, attrs[0], attrs[1], ts, None, True])
+            for r in null_rows:
+                model.append([None, r[1], r[2], ts, None, True])
+
+        def model_as_of(d):
+            return {
+                (r[0], r[1], r[2])
+                for r in model
+                if r[3] <= d and (r[4] is None or r[4] > d)
+            }
+
+        snap0 = rand_snapshot()
+        model_apply(snap0, d0)
+        dim = scd2_init(
+            spark.createDataFrame(snap0, "id bigint, a string, b string"),
+            ["id"], ["a", "b"], str(d0),
+        )
+        snapshots = {d0: snap0}
+        for i, d in enumerate(dates):
+            snap = rand_snapshot()
+            snapshots[d] = snap
+            dim = scd2_apply(
+                dim,
+                spark.createDataFrame(snap, "id bigint, a string, b string"),
+                ["id"], ["a", "b"], str(d),
+            )
+            model_apply(snap, d)
+            rows = [tuple(r) for r in dim.collect()]
+            ctx = f"seed={seed} step={i} date={d}"
+            # 1) full history multiset parity with the model
+            assert sorted(rows, key=repr) == sorted(
+                (tuple(r) for r in model), key=repr
+            ), ctx
+            # 2) as-of reconstructs EVERY absorbed snapshot exactly
+            for dj, sj in snapshots.items():
+                got = {
+                    (r.id, r.a, r.b)
+                    for r in scd2_as_of(dim, str(dj)).select("id", "a", "b").collect()
+                }
+                assert got == {(r[0], r[1], r[2]) for r in sj}, f"{ctx} as_of({dj})"
+            # 3) structural invariants on the raw rows
+            by_key: dict = {}
+            for kid, a, b, vf, vt, cur in rows:
+                by_key.setdefault(kid, []).append((vf, vt, cur))
+                assert vt is None or vt > vf, ctx
+            for kid, spans in by_key.items():
+                assert sum(1 for s in spans if s[2]) <= 1, f"{ctx} key={kid}"
+                if kid is None:
+                    continue  # NULL keys legitimately reopen each apply
+                closed = sorted(s[:2] for s in spans if not s[2])
+                for (f1, t1), (f2, _) in zip(closed, closed[1:]):
+                    assert t1 <= f2, f"{ctx} key={kid} overlapping windows"
+            # keep plan depth bounded across applies: apply() is a pure
+            # function of the row set, so rebuilding from rows is semantics-
+            # preserving while avoiding a 7-deep full-outer-join lineage
+            dim = spark.createDataFrame(rows, self.SCHEMA)
 
 
 class TestCdcInvariants:
