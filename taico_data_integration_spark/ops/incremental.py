@@ -288,6 +288,11 @@ class TableStore(TableFormat):
             if e["v"] not in keep:
                 shutil.rmtree(e["path"], ignore_errors=True)
                 removed.append(e["v"])
+                # drop the version's data-skipping manifest with its files
+                try:
+                    os.remove(self._stats_path(table, e["v"]))
+                except FileNotFoundError:
+                    pass
         # also sweep uncommitted orphans (claimed dirs without the commit
         # marker — a hard-killed writer's leftovers); claims stay so version
         # numbers are never reused
@@ -380,6 +385,171 @@ class TableStore(TableFormat):
             .drop("__z")
         )
         return self.write(table, clustered)
+
+    def _stats_path(self, table: str, version: int) -> str:
+        return os.path.join(self.root, table, "_stats", f"v{version:04d}.json")
+
+    def collect_file_stats(
+        self, table: str, cols: list[str], version: int | None = None
+    ) -> dict:
+        """Per-file column-stats manifest — the Delta data-skipping analog.
+
+        Reads each committed file's parquet FOOTER once on the driver
+        (O(files) metadata reads, the cost Delta pays once per commit) and
+        caches the manifest at ``<table>/_stats/vNNNN.json``; a version's
+        files are immutable, so the cache never goes stale and subsequent
+        :meth:`read_pruned` calls touch no parquet at all — not even
+        footers. At 100 TB this is the difference between a planner that
+        opens a million footers per query and one that reads a single
+        manifest.
+
+        Manifest shape: ``{"files": {relpath: {"rows": N, "cols": {col:
+        {"min": v, "max": v, "null_count": n}}}}}``. Only JSON-native stat
+        values (int/float/str/bool) are recorded; anything else (decimal,
+        binary, nested) is stored as ``None`` and the file is kept
+        conservatively by every pruner. Partition columns live in directory
+        names, not footers, so they also record ``None`` here — Spark's own
+        partition-dir pruning (tested in test_sources) covers those.
+        """
+        import glob
+
+        import pyarrow.parquet as pq
+
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next(e for e in meta["versions"] if e["v"] == v)
+        sp = self._stats_path(table, v)
+        manifest: dict = {"files": {}}
+        if os.path.exists(sp):
+            with open(sp) as f:
+                manifest = json.load(f)
+        changed = False
+        for path in glob.glob(os.path.join(entry["path"], "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(path, entry["path"])
+            rec = manifest["files"].setdefault(rel, {"rows": None, "cols": {}})
+            missing = [c for c in cols if c not in rec["cols"]]
+            if not missing and rec["rows"] is not None:
+                continue
+            changed = True
+            md = pq.read_metadata(path)
+            rec["rows"] = md.num_rows
+            names = list(md.schema.to_arrow_schema().names)
+            for c in missing:
+                stat: dict = {"min": None, "max": None, "null_count": None}
+                if c in names:
+                    idx = names.index(c)
+                    mins, maxs, nulls = [], [], 0
+                    ok = True
+                    for rg in range(md.num_row_groups):
+                        s = md.row_group(rg).column(idx).statistics
+                        if s is None or not s.has_min_max:
+                            # an all-null row group has no min/max but is
+                            # still prunable if null_count covers all rows
+                            if s is not None and s.has_null_count:
+                                nulls += s.null_count
+                                continue
+                            ok = False
+                            break
+                        if not isinstance(s.min, (int, float, bool, str)) or not isinstance(
+                            s.max, (int, float, bool, str)
+                        ):
+                            ok = False
+                            break
+                        mins.append(s.min)
+                        maxs.append(s.max)
+                        nulls += s.null_count if s.has_null_count else 0
+                    if ok:
+                        stat = {
+                            "min": min(mins) if mins else None,
+                            "max": max(maxs) if maxs else None,
+                            "null_count": nulls,
+                        }
+                rec["cols"][c] = stat
+        if changed:
+            os.makedirs(os.path.dirname(sp), exist_ok=True)
+            tmp = f"{sp}.{os.getpid()}.{time.time_ns()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, sp)
+        return manifest
+
+    def read_pruned(
+        self,
+        table: str,
+        col: str | None = None,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        bounds: dict | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Range-predicate read that prunes the FILE LIST from the stats
+        manifest before Spark opens anything (Delta data-skipping read).
+
+        Pass a single ``(col, lo, hi)`` range, or ``bounds={col: (lo, hi)}``
+        for a multi-dimensional bounding box — the read-side payoff of
+        :meth:`optimize_layout_zorder`: a file is kept only if its per-file
+        bounding box intersects the query box in EVERY dimension. Either
+        bound may be None (= open side); a fully-open (None, None) entry is
+        ignored. NULLs never satisfy a range predicate, so files all-null in
+        a bounded column are skipped too; files without usable stats are
+        kept conservatively. The residual filter is always applied in
+        Spark, so correctness never depends on the manifest — pruning is
+        purely an I/O optimization. Returns ``(df, report)`` with
+        files_total/files_read/files_skipped.
+
+        After :meth:`optimize_layout` (disjoint per-file ranges) a
+        selective predicate reads 1-2 files instead of the whole version;
+        after Z-ordering, a small 2-D box touches only the curve cells it
+        overlaps — the end-to-end payoff the footer-level tests only imply.
+        """
+        if bounds is None:
+            bounds = {col: (lo, hi)}
+        bounds = {c: b for c, b in bounds.items() if b != (None, None)}
+        if not bounds:
+            raise ValueError("read_pruned needs at least one bounded column")
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next(e for e in meta["versions"] if e["v"] == v)
+        manifest = self.collect_file_stats(table, list(bounds), version=v)
+        keep = []
+        for rel, rec in manifest["files"].items():
+            keep_file = True
+            for c, (clo, chi) in bounds.items():
+                stat = rec["cols"].get(c, {})
+                smin, smax, nulls = stat.get("min"), stat.get("max"), stat.get("null_count")
+                if smin is None or smax is None:
+                    # all-null file: prunable (range predicates never match NULL)
+                    if nulls is not None and rec["rows"] is not None and nulls >= rec["rows"]:
+                        keep_file = False
+                        break
+                    continue  # no usable stats for this column — conservative
+                try:
+                    if (clo is not None and smax < clo) or (chi is not None and smin > chi):
+                        keep_file = False
+                        break
+                except TypeError:  # caller's bound type isn't comparable to the stat
+                    pass
+            if keep_file:
+                keep.append(rel)
+        report = {
+            "files_total": len(manifest["files"]),
+            "files_read": len(keep),
+            "files_skipped": len(manifest["files"]) - len(keep),
+        }
+        pred = F.lit(True)
+        for c, (clo, chi) in bounds.items():
+            if clo is not None:
+                pred = pred & (F.col(c) >= F.lit(clo))
+            if chi is not None:
+                pred = pred & (F.col(c) <= F.lit(chi))
+        if not keep:
+            return self.read(table, version=v).where(F.lit(False)), report
+        df = (
+            self.spark.read.option("basePath", entry["path"])
+            .parquet(*[os.path.join(entry["path"], rel) for rel in keep])
+            .where(pred)
+        )
+        return df, report
 
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)

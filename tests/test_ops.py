@@ -676,6 +676,123 @@ def test_tablestore_optimize_layout_disjoint_ranges(spark, tmp_path):
     assert store.read("t").exceptAll(df).count() == 0
 
 
+def test_tablestore_read_pruned_skips_files_after_optimize(spark, tmp_path):
+    """End-to-end data skipping: after optimize_layout, a selective range
+    read must touch only the 1-2 files whose range matches — and return
+    exactly what a full-scan filter returns."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id % 1000 AS key", "id AS payload")
+    store.write("t", df.repartition(8))
+
+    # BEFORE clustering every file spans ~the full key range: pruning must
+    # be a no-op (correct, zero false skips) on the interleaved layout
+    got, rep = store.read_pruned("t", "key", lo=100, hi=120)
+    want = df.where("key BETWEEN 100 AND 120")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_read"] == rep["files_total"] >= 8
+
+    store.optimize_layout("t", ["key"], num_files=8)
+    got, rep = store.read_pruned("t", "key", lo=100, hi=120)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_total"] >= 8 and rep["files_read"] <= 2, rep
+
+    # open bounds + out-of-range selections
+    got, rep = store.read_pruned("t", "key", lo=990)
+    want_hi = df.where("key >= 990")
+    assert got.exceptAll(want_hi).count() == 0 and want_hi.exceptAll(got).count() == 0
+    assert rep["files_read"] <= 2
+    got, rep = store.read_pruned("t", "key", lo=5000)
+    assert got.count() == 0 and rep["files_read"] == 0
+
+
+def test_tablestore_read_pruned_string_keys(spark, tmp_path):
+    """String-typed skipping: parquet binary min/max stats must prune
+    lexicographic ranges exactly like numeric ones (short keys — footer
+    stats are exact; the conservative no-stats path covers anything the
+    writer declines to record)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5200).selectExpr(
+        "CHAR(65 + CAST(id % 26 AS INT)) AS key", "id AS payload"
+    )
+    store.write("t", df.repartition(8))
+    store.optimize_layout("t", ["key"], num_files=6)
+    got, rep = store.read_pruned("t", "key", lo="C", hi="F")
+    want = df.where("key BETWEEN 'C' AND 'F'")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_read"] < rep["files_total"], rep
+
+
+def test_tablestore_read_pruned_box_after_zorder(spark, tmp_path):
+    """Multi-dim data skipping: after Z-ordering, a small 2-D query box
+    must touch only the curve cells it overlaps — pruning on BOTH columns'
+    footer stats at once (a 1-D sort could only prune the leading column)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 65536).selectExpr(
+        "CAST(id % 256 AS DOUBLE) AS x", "CAST(id DIV 256 AS DOUBLE) AS y", "id AS payload"
+    )
+    store.write("t", df.repartition(8))
+    store.optimize_layout_zorder("t", {"x": (0.0, 256.0), "y": (0.0, 256.0)}, bits=8, num_files=16)
+
+    got, rep = store.read_pruned("t", bounds={"x": (10.0, 30.0), "y": (40.0, 60.0)})
+    want = df.where("x BETWEEN 10 AND 30 AND y BETWEEN 40 AND 60")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_total"] == 16 and rep["files_read"] <= 6, rep
+
+    # half-open box on one dim still prunes on the other
+    got, rep = store.read_pruned("t", bounds={"x": (None, 20.0), "y": (200.0, None)})
+    want = df.where("x <= 20 AND y >= 200")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_read"] < rep["files_total"]
+
+
+def test_tablestore_read_pruned_nulls_and_manifest_cache(spark, tmp_path, monkeypatch):
+    """NULL keys never match a range predicate (all-null files are skipped,
+    null rows never returned), and the second pruned read must be served
+    entirely from the cached manifest — no parquet footer is opened."""
+    import pyarrow.parquet as pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    with_nulls = spark.range(0, 1000).selectExpr(
+        "IF(id < 500, NULL, id) AS key", "id AS payload"
+    )
+    # partition 0 all-null keys, partition 1 real keys
+    store.write("t", with_nulls.repartitionByRange(2, "key"))
+    got, rep = store.read_pruned("t", "key", lo=0, hi=2000)
+    assert got.where("key IS NULL").count() == 0
+    assert got.count() == 500
+    assert rep["files_skipped"] >= 1, f"all-null file not pruned: {rep}"
+
+    # cache proof: poison footer reads; the manifest alone must suffice
+    def boom(*a, **k):
+        raise AssertionError("footer read after manifest was cached")
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    got2, rep2 = store.read_pruned("t", "key", lo=0, hi=2000)
+    assert got2.count() == 500 and rep2 == rep
+
+
+def test_tablestore_vacuum_drops_stats_manifest(spark, tmp_path):
+    import os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.range(10).selectExpr("id AS key"))
+    store.read_pruned("t", "key", lo=0)  # builds v0 manifest
+    assert os.path.exists(store._stats_path("t", 0))
+    store.write("t", spark.range(20).selectExpr("id AS key"))
+    store.vacuum("t", keep_latest=1)
+    assert not os.path.exists(store._stats_path("t", 0))
+
+
 def test_tablestore_history_and_diff(spark, tmp_path):
     from taico_data_integration_spark.ops.incremental import TableStore
 
