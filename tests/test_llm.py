@@ -813,6 +813,52 @@ def test_jpeg_decoder_robustness():
             pass
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_connected_components_fuzz_matches_union_find(spark, seed):
+    """Random pair graphs (dup edges, both orientations, self-loops, a
+    deliberately long path to stress iteration depth) against an
+    independent pure-Python union-find. The sf10 sweep verified a 2.3M-edge
+    graph once, externally; this pins the same invariant inside the suite
+    on every run: cluster_id == min doc id reachable in the pair graph."""
+    import random
+
+    from taico_data_integration_spark.llm.dedup import connected_components
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 80)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(1, 3 * n))]
+    # a path component longer than the default max_iter would converge in —
+    # min-label propagation moves one hop per iteration
+    path_len = rng.randint(5, 40)
+    edges += [(1000 + i, 1000 + i + 1) for i in range(path_len)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for v in parent:
+        roots.setdefault(find(v), v)
+        roots[find(v)] = min(roots[find(v)], v)
+    expected = {v: roots[find(v)] for v in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=path_len + 5).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_uses_reliable_checkpoints_when_configured(spark, tmp_path):
     """The SCALE.md cluster swap is a configuration, not a code edit: with
     sc.setCheckpointDir on durable storage, every CC iteration checkpoints

@@ -1043,6 +1043,44 @@ def test_maintain_additive_rollup_equals_direct(spark, tmp_path):
     assert len(store.history("rollup")) == 3
 
 
+@pytest.mark.parametrize("seed", [11, 17])
+def test_maintain_additive_rollup_fuzz_matches_model(spark, tmp_path, seed):
+    """Random delta batches (skewed keys, negative deltas = retractions,
+    repeated keys across batches, an empty batch) folded through the stored
+    rollup must equal a pure-Python accumulator after every batch — not
+    just at the end, so a mid-stream combine bug can't cancel out."""
+    import random
+
+    from taico_data_integration_spark.ops.incremental import (
+        TableStore,
+        maintain_additive_rollup,
+    )
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    model: dict[str, list] = {}
+    sums = lambda: {
+        "n": F.count(F.lit(1)).cast("bigint"),
+        "total": F.sum("v").cast("bigint"),
+    }
+    keys = [f"k{i}" for i in range(rng.randint(2, 6))]
+    for batch_no in range(4):
+        n_rows = 0 if batch_no == 2 else rng.randint(1, 60)
+        rows = [
+            (rng.choice(keys), rng.randint(-100, 100)) for _ in range(n_rows)
+        ]
+        for k, v in rows:
+            acc = model.setdefault(k, [0, 0])
+            acc[0] += 1
+            acc[1] += v
+        delta = spark.createDataFrame(rows or [("x", 0)], "k string, v long").where(
+            F.lit(bool(rows))
+        )
+        result = maintain_additive_rollup(store, "r", delta, ["k"], sums())
+        got = {r.k: (r.n, r.total) for r in result.collect()}
+        assert got == {k: tuple(a) for k, a in model.items()}, f"batch {batch_no}"
+
+
 def test_sqlwarehouse_identifier_validation(spark, tmp_path):
     """Namespace AND table names must be SQL identifiers — anything else
     would break or inject into the interpolated DDL (ADVICE r3)."""
