@@ -280,6 +280,44 @@ class TestGoldenRecord:
         assert got == [(1, "c", 3, 12.0), (2, "z", 1, 1.0)]
 
 
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_golden_record_fuzz_matches_model(self, spark, seed):
+        """Random multi-feed records per key against a pure-Python model:
+        latest fields from the unique max-seq row, lifetime aggregates over
+        the whole key — including single-record keys and duplicate values."""
+        import random
+
+        from taico_data_integration_spark.ops.survivorship import golden_record
+
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(1, 8), seq, rng.choice("abcdef"), float(rng.randint(-50, 50)))
+            for seq in range(rng.randint(5, 120))
+        ]
+        model: dict[int, dict] = {}
+        for k, seq, name, score in rows:
+            m = model.setdefault(k, {"seq": -1, "name": None, "n": 0, "total": 0.0, "mx": None})
+            m["n"] += 1
+            m["total"] += score
+            m["mx"] = score if m["mx"] is None else max(m["mx"], score)
+            if seq > m["seq"]:
+                m["seq"], m["name"] = seq, name
+        df = spark.createDataFrame(rows, "k long, seq long, name string, score double")
+        out = golden_record(
+            df,
+            keys=["k"],
+            order_by=[F.col("seq").desc()],
+            latest_fields=["name"],
+            lifetime_aggs={
+                "n": F.count(F.lit(1)),
+                "total": F.sum("score"),
+                "mx": F.max("score"),
+            },
+        )
+        got = {r.k: (r.name, r.n, r.total, r.mx) for r in out.collect()}
+        assert got == {k: (m["name"], m["n"], m["total"], m["mx"]) for k, m in model.items()}
+
+
 class TestBandJoin:
     def test_matches_naive_theta_join(self, spark):
         from taico_data_integration_spark.ops.joins import band_join
@@ -328,6 +366,41 @@ class TestResampleFfill:
             (1, d(2024, 1, 4), True, 7.0),
             (2, d(2024, 1, 2), True, 5.0),
         ]
+
+    @pytest.mark.parametrize("seed", [7, 31])
+    def test_resample_ffill_fuzz_matches_pandas(self, spark, seed):
+        """Random sparse series against pandas' own resample machinery:
+        per key, daily max reindexed over [first, last] day and ffilled.
+        Stresses same-day collisions, multi-week gaps, and single-day keys."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(seed)
+        base = datetime.datetime(2024, 3, 1)
+        rows = [
+            (
+                rng.randint(1, 6),
+                base + datetime.timedelta(minutes=rng.randint(0, 60 * 24 * 45)),
+                float(rng.randint(-30, 30)),
+            )
+            for _ in range(rng.randint(5, 150))
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {
+            (r.user_id, r.day): (r.observed, r.value_filled)
+            for r in resample_ffill(df, "user_id", "ts", "value").collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["day"] = pdf.ts.dt.normalize()
+        expected = {}
+        for uid, grp in pdf.groupby("user_id"):
+            daily = grp.groupby("day").value.max()
+            dense = daily.reindex(pd.date_range(daily.index.min(), daily.index.max()))
+            filled = dense.ffill()
+            for day, v in filled.items():
+                expected[(uid, day.date())] = (not pd.isna(dense[day]), v)
+        assert got == expected
 
 
 def test_largest_remainder_allocation_sums_exactly(spark):
