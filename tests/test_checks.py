@@ -107,3 +107,51 @@ def test_observed_checks_ride_along_with_action(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unique"):
         attach_observed_checks(df, [Check("unique", "u", {"columns": ["l_orderkey"]})])
+
+
+def test_checks_fuzz_matches_python_model(spark):
+    """All seven check kinds over random null-riddled data vs a pure-Python
+    evaluator — pinning the SQL three-valued-logic edges: accepted_values /
+    non_negative / in_range ignore NULLs, unique is null-safe on composite
+    keys, cross_column counts rows where the predicate is FALSE (not NULL)."""
+    import random
+
+    for seed in (3, 13, 43):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.choice([None, rng.randint(-5, 5)]),
+                rng.choice([None, rng.randint(-5, 5)]),
+                rng.choice([None, "x", "y", "z", "w"]),
+            )
+            for _ in range(rng.randint(1, 60))
+        ]
+        df = spark.createDataFrame(rows, "a long, b long, s string")
+        lo, hi = sorted(rng.sample(range(-5, 6), 2))
+        min_n = rng.randint(1, 80)
+        checks = [
+            Check("not_null", "c1", {"column": "a"}),
+            Check("unique", "c2", {"columns": ["a", "b"]}),
+            Check("min_rows", "c3", {"n": min_n}),
+            Check("accepted_values", "c4", {"column": "s", "values": ["x", "y"]}),
+            Check("non_negative", "c5", {"column": "a"}),
+            Check("in_range", "c6", {"column": "b", "lo": lo, "hi": hi}),
+            Check("cross_column", "c7", {"predicate": "a IS NULL OR b IS NULL OR a <= b"}),
+        ]
+        got = {r["name"]: (r["metric"], r["ok"]) for r in run_checks(df, checks)}
+        n = len(rows)
+        m = {
+            "c1": sum(1 for a, _, _ in rows if a is None),
+            "c2": n - len({(a, b) for a, b, _ in rows}),
+            "c3": n,
+            "c4": sum(1 for _, _, s in rows if s is not None and s not in ("x", "y")),
+            "c5": sum(1 for a, _, _ in rows if a is not None and a < 0),
+            "c6": sum(1 for _, b, _ in rows if b is not None and not (lo <= b <= hi)),
+            "c7": sum(
+                1 for a, b, _ in rows if a is not None and b is not None and a > b
+            ),
+        }
+        expected = {
+            name: (v, v >= min_n if name == "c3" else v == 0) for name, v in m.items()
+        }
+        assert got == expected, f"seed {seed}"
