@@ -44,6 +44,11 @@ RUNTIME_CONFS = {
     # it (caught by the sf1 sweep, round 4). The level limit (100) stays as
     # the runaway guard; the row limit scales with data, not with bugs.
     "spark.sql.cteRecursionRowLimit": "1000000000",
+    # Write timestamps as TIMESTAMP(MICROS), not the deprecated INT96:
+    # INT96 columns get NO parquet min/max statistics, which silently
+    # disables timestamp data skipping (TableStore.read_pruned) and
+    # row-group pushdown for every engine reading our output.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

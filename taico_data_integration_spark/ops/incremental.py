@@ -255,6 +255,12 @@ class TableStore(TableFormat):
         raise RuntimeError(f"could not claim a version for {table} after 256 tries")
 
     def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        # self-sufficient on a vanilla session: the runtime confs include
+        # TIMESTAMP_MICROS output (INT96 would strip timestamp stats and
+        # silently disable read_pruned's skipping on time columns)
+        from ..catalog import ensure_runtime_confs
+
+        ensure_runtime_confs(df.sparkSession)
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         writer = df.write.mode("overwrite")
@@ -389,6 +395,27 @@ class TableStore(TableFormat):
     def _stats_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, "_stats", f"v{version:04d}.json")
 
+    @staticmethod
+    def _norm_stat(v):
+        """JSON-storable, ORDER-PRESERVING image of a footer stat / bound.
+
+        datetimes and dates normalize to fixed-width naive-UTC ISO strings
+        (timespec=microseconds), so lexicographic comparison of the stored
+        form equals chronological comparison of the values — the property
+        read_pruned's interval test relies on. Anything else non-JSON-native
+        (decimal, binary, nested) maps to None = no usable stat."""
+        import datetime as dt
+
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(timespec="microseconds")
+        if isinstance(v, dt.date):
+            return dt.datetime(v.year, v.month, v.day).isoformat(timespec="microseconds")
+        return None
+
     def collect_file_stats(
         self, table: str, cols: list[str], version: int | None = None
     ) -> dict:
@@ -450,13 +477,12 @@ class TableStore(TableFormat):
                                 continue
                             ok = False
                             break
-                        if not isinstance(s.min, (int, float, bool, str)) or not isinstance(
-                            s.max, (int, float, bool, str)
-                        ):
+                        nmin, nmax = self._norm_stat(s.min), self._norm_stat(s.max)
+                        if nmin is None or nmax is None:
                             ok = False
                             break
-                        mins.append(s.min)
-                        maxs.append(s.max)
+                        mins.append(nmin)
+                        maxs.append(nmax)
                         nulls += s.null_count if s.has_null_count else 0
                     if ok:
                         stat = {
@@ -523,8 +549,12 @@ class TableStore(TableFormat):
                         keep_file = False
                         break
                     continue  # no usable stats for this column — conservative
+                # bounds go through the same order-preserving normalization
+                # as the stored stats (datetime/date -> fixed-width ISO)
+                nlo = self._norm_stat(clo) if clo is not None else None
+                nhi = self._norm_stat(chi) if chi is not None else None
                 try:
-                    if (clo is not None and smax < clo) or (chi is not None and smin > chi):
+                    if (nlo is not None and smax < nlo) or (nhi is not None and smin > nhi):
                         keep_file = False
                         break
                 except TypeError:  # caller's bound type isn't comparable to the stat

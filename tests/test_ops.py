@@ -726,6 +726,29 @@ def test_tablestore_read_pruned_string_keys(spark, tmp_path):
     assert rep["files_read"] < rep["files_total"], rep
 
 
+def test_tablestore_read_pruned_timestamp_keys(spark, tmp_path):
+    """Timestamp skipping — the #1 real-world pruning column. Footer stats
+    arrive as datetime objects; they are stored as fixed-width ISO strings
+    whose lexicographic order equals chronological order, and datetime
+    bounds go through the same normalization."""
+    import datetime as dt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr(
+        "timestampadd(HOUR, CAST(id % 8760 AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(8))
+    store.optimize_layout("t", ["ts"], num_files=8)
+    lo, hi = dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 15)
+    got, rep = store.read_pruned("t", "ts", lo=lo, hi=hi)
+    want = df.where("ts BETWEEN TIMESTAMP'2024-03-01' AND TIMESTAMP'2024-03-15'")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert rep["files_total"] >= 8 and rep["files_read"] <= 2, rep
+
+
 def test_tablestore_read_pruned_box_after_zorder(spark, tmp_path):
     """Multi-dim data skipping: after Z-ordering, a small 2-D query box
     must touch only the curve cells it overlaps — pruning on BOTH columns'
