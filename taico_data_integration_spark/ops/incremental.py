@@ -581,6 +581,17 @@ class TableStore(TableFormat):
         )
         return df, report
 
+    def read_since(self, table: str, ts_col: str, watermark) -> tuple[DataFrame, dict]:
+        """Incremental consumer read: rows with ``ts_col > watermark``,
+        file-pruned by the stats manifest. The file-level test keeps any
+        file whose max >= watermark (a superset of the strict predicate);
+        the exact ``>`` residual is applied on top. With time-clustered or
+        append-ordered files, a catch-up consumer opens only the tail files
+        — at 100 TB, the difference between scanning a day and scanning
+        the table's history. Returns ``(df, report)`` like read_pruned."""
+        df, report = self.read_pruned(table, ts_col, lo=watermark)
+        return df.where(F.col(ts_col) > F.lit(watermark)), report
+
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)
         version. The failed version's files stay for forensics."""

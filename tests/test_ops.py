@@ -749,6 +749,29 @@ def test_tablestore_read_pruned_timestamp_keys(spark, tmp_path):
     assert rep["files_total"] >= 8 and rep["files_read"] <= 2, rep
 
 
+def test_tablestore_read_since_strict_and_pruned(spark, tmp_path):
+    """Incremental catch-up: ts > watermark exactly (boundary row excluded
+    even though the file-level test is >=), and old files skipped when the
+    layout is time-clustered."""
+    import datetime as dt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr(
+        "timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["ts"], num_files=8)
+    wm = dt.datetime(2024, 1, 7)  # minute 8640 of 10000
+    got, rep = store.read_since("t", "ts", wm)
+    want = df.where("ts > TIMESTAMP'2024-01-07'")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.where(F.col("ts") == F.lit(wm)).count() == 0  # strict boundary
+    assert rep["files_read"] <= 2 < rep["files_total"], rep
+
+
 def test_tablestore_read_pruned_box_after_zorder(spark, tmp_path):
     """Multi-dim data skipping: after Z-ordering, a small 2-D query box
     must touch only the curve cells it overlaps — pruning on BOTH columns'
