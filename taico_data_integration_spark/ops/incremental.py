@@ -581,6 +581,48 @@ class TableStore(TableFormat):
         )
         return df, report
 
+    def stats_aggregate(
+        self, table: str, cols: list[str] | None = None, version: int | None = None
+    ) -> dict:
+        """Metadata-only aggregates (Delta's SELECT COUNT(*) answering from
+        the log): exact ``count`` from per-file row counts, and per-column
+        ``min/max/null_count`` folded across files — zero data scanned, no
+        Spark job. A column's entry is present ONLY when every file has
+        usable stats for it (one stats-less file makes min/max unknowable);
+        ``null_count`` additionally requires every file to report it. Values
+        come back in manifest form (datetimes as the ISO strings
+        :meth:`_norm_stat` stores — order-preserving, caller-parseable)."""
+        manifest = self.collect_file_stats(table, cols or [], version=version)
+        files = manifest["files"].values()
+        out: dict = {"count": sum(rec["rows"] or 0 for rec in files)}
+        for c in cols or []:
+            mins, maxs, nulls = [], [], 0
+            complete, nulls_known = True, True
+            for rec in files:
+                stat = rec["cols"].get(c, {})
+                smin, smax, nc = stat.get("min"), stat.get("max"), stat.get("null_count")
+                if nc is None:
+                    nulls_known = False
+                else:
+                    nulls += nc
+                if smin is None or smax is None:
+                    # an all-null file constrains nothing; anything else
+                    # without stats makes min/max unknowable
+                    if not (
+                        nc is not None and rec["rows"] is not None and nc >= rec["rows"]
+                    ):
+                        complete = False
+                    continue
+                mins.append(smin)
+                maxs.append(smax)
+            if complete:
+                out[c] = {
+                    "min": min(mins) if mins else None,
+                    "max": max(maxs) if maxs else None,
+                    "null_count": nulls if nulls_known else None,
+                }
+        return out
+
     def read_since(self, table: str, ts_col: str, watermark) -> tuple[DataFrame, dict]:
         """Incremental consumer read: rows with ``ts_col > watermark``,
         file-pruned by the stats manifest. The file-level test keeps any

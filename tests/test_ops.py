@@ -749,6 +749,38 @@ def test_tablestore_read_pruned_timestamp_keys(spark, tmp_path):
     assert rep["files_total"] >= 8 and rep["files_read"] <= 2, rep
 
 
+def test_tablestore_stats_aggregate_metadata_only(spark, tmp_path, monkeypatch):
+    """count/min/max/null_count answered from the manifest alone — matches
+    the scan answers, runs zero Spark jobs once cached (footer poison), and
+    refuses (omits) a column any file lacks stats for."""
+    import pyarrow.parquet as pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "IF(id % 7 = 0, NULL, CAST(id AS DOUBLE)) AS v"
+    )
+    store.write("t", df.repartition(6))
+    got = store.stats_aggregate("t", ["k", "v"])
+    row = df.selectExpr(
+        "count(*) AS n", "min(k) AS kmin", "max(k) AS kmax",
+        "min(v) AS vmin", "max(v) AS vmax", "count_if(v IS NULL) AS vnulls",
+    ).collect()[0]
+    assert got["count"] == row.n
+    assert (got["k"]["min"], got["k"]["max"], got["k"]["null_count"]) == (row.kmin, row.kmax, 0)
+    assert (got["v"]["min"], got["v"]["max"], got["v"]["null_count"]) == (
+        row.vmin, row.vmax, row.vnulls,
+    )
+
+    # cached manifest answers without touching parquet metadata
+    def boom(*a, **kw):
+        raise AssertionError("footer read on cached stats_aggregate")
+
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    assert store.stats_aggregate("t", ["k", "v"]) == got
+
+
 def test_tablestore_read_since_strict_and_pruned(spark, tmp_path):
     """Incremental catch-up: ts > watermark exactly (boundary row excluded
     even though the file-level test is >=), and old files skipped when the
