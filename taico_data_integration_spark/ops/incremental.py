@@ -223,12 +223,19 @@ class TableStore(TableFormat):
                 current = json.load(f).get("current")
         return {"current": current, "versions": versions}
 
-    def _write_pointer(self, table: str, current: int) -> None:
+    def _write_pointer(self, table: str, current: int, txn: dict | None = None) -> None:
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
+        txns = {}
+        mp = self._meta_path(table)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                txns = json.load(f).get("txns", {})
+        if txn:
+            txns.update(txn)
         tmp = os.path.join(tdir, f"_meta.{os.getpid()}.{time.time_ns()}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"current": current}, f)
+            json.dump({"current": current, "txns": txns}, f)
         os.replace(tmp, self._meta_path(table))  # atomic on POSIX
 
     def _claim_version(self, table: str) -> int:
@@ -254,7 +261,13 @@ class TableStore(TableFormat):
                 continue  # another writer claimed it first — retry
         raise RuntimeError(f"could not claim a version for {table} after 256 tries")
 
-    def write(self, table: str, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        _txn: dict | None = None,
+    ) -> int:
         # self-sufficient on a vanilla session: the runtime confs include
         # TIMESTAMP_MICROS output (INT96 would strip timestamp stats and
         # silently disable read_pruned's skipping on time columns)
@@ -267,8 +280,43 @@ class TableStore(TableFormat):
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._write_pointer(table, version)
+        self._write_pointer(table, version, txn=_txn)
         return version
+
+    def last_txn(self, table: str, app_id: str) -> int | None:
+        """Last batch id committed for `app_id`, or None (Delta
+        ``txnAppId``/``txnVersion`` analog)."""
+        mp = self._meta_path(table)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f).get("txns", {}).get(app_id)
+
+    def write_with_txn(
+        self,
+        table: str,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Idempotent versioned write — the Delta txnAppId/txnVersion
+        pattern for exactly-once streaming sinks. A batch id at or below
+        the last committed one for `app_id` is a REPLAY (foreachBatch
+        re-runs the last batch when the driver dies between the sink write
+        and the checkpoint commit): skipped entirely, returns None. The txn
+        record rides the SAME atomic pointer swap as the version commit, so
+        there is no window where the version is current but the txn is
+        unrecorded. Txn tracking assumes one writer per app_id (a streaming
+        query is exactly that — Delta's model too): concurrent pointer
+        swaps from OTHER app_ids merge last-wins and cannot drop this one's
+        record only if they read the meta after this swap; same-table
+        concurrent promotes remain safe for versioning but do not
+        serialize txn reads."""
+        last = self.last_txn(table, app_id)
+        if last is not None and batch_id <= last:
+            return None
+        return self.write(table, df, partition_by, _txn={app_id: batch_id})
 
     def exists(self, table: str) -> bool:
         # cheaper than the seam's history() default: one JSON read, no list

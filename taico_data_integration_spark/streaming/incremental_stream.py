@@ -151,17 +151,36 @@ def stream_merge_into(
     table: str,
     keys: list[str],
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """foreachBatch incremental merge: each micro-batch MERGEs into the
     versioned table store on `keys` — the streaming form of the dbt
-    incremental model (M5). With Delta this is `MERGE INTO` per batch."""
+    incremental model (M5). With Delta this is `MERGE INTO` per batch.
+
+    With `app_id` (and a store that supports txn writes, i.e. TableStore),
+    each batch commits through the Delta txnAppId/txnVersion pattern:
+    a replayed batch — foreachBatch re-delivers the last batch when the
+    driver dies between the sink write and the checkpoint commit — is
+    detected by its batch id and skipped WITHOUT writing a version, making
+    the sink exactly-once at the version level, not merely content-
+    idempotent. Without app_id the merge stays content-idempotent (updates
+    win deterministically) but a replay costs a duplicate version."""
+    txn_capable = app_id is not None and hasattr(store, "write_with_txn")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if txn_capable:
+            last = store.last_txn(table, app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already committed
         if not store.exists(table):
-            store.write(table, batch_df)
+            merged = batch_df
         else:
             target = store.read(table)
-            store.write(table, merge_upsert(target, batch_df.select(*target.columns), keys))
+            merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+        if txn_capable:
+            store.write_with_txn(table, merged, app_id, batch_id)
+        else:
+            store.write(table, merged)
 
     q = (
         events.writeStream.foreachBatch(_merge)

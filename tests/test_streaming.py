@@ -225,6 +225,48 @@ def test_stream_merge_into_store(spark, tmp_path):
     assert store.read("events_merged").count() == batch_count
 
 
+def test_stream_merge_txn_skips_replayed_batches(spark, tmp_path):
+    """Exactly-once at the VERSION level (Delta txnAppId/txnVersion): a
+    full redelivery — fresh checkpoint, same app_id, batch ids restart at
+    0 — commits NOTHING: no new versions, content unchanged. A new app_id
+    is a different writer and merges normally."""
+    store = TableStore(spark, str(tmp_path / "store"))
+    events = stream_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    stream_merge_into(
+        events, store, "m", ["event_id"], str(tmp_path / "c1"), app_id="ingestd"
+    )
+    versions = len(store.history("m"))
+    rows = store.read("m").count()
+    assert versions >= 1 and rows > 0
+    assert store.last_txn("m", "ingestd") == versions - 1  # one batch per version
+
+    stream_merge_into(
+        events, store, "m", ["event_id"], str(tmp_path / "c2"), app_id="ingestd"
+    )
+    assert len(store.history("m")) == versions  # replay: zero new versions
+    assert store.read("m").count() == rows
+
+    stream_merge_into(
+        events, store, "m", ["event_id"], str(tmp_path / "c3"), app_id="other"
+    )
+    assert len(store.history("m")) > versions  # different writer merges
+    assert store.read("m").count() == rows  # same keys: content unchanged
+
+
+def test_tablestore_write_with_txn_unit(spark, tmp_path):
+    """Replayed batch id returns None and writes nothing; txn records
+    survive rollback (pointer swaps preserve the txn map)."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(5)
+    assert store.write_with_txn("t", df, "app", 0) == 0
+    assert store.write_with_txn("t", df, "app", 0) is None  # replay
+    assert len(store.history("t")) == 1
+    assert store.write_with_txn("t", df, "app", 1) == 1
+    store.rollback("t", to_version=0)
+    assert store.last_txn("t", "app") == 1  # txn map survives the repoint
+    assert store.write_with_txn("t", df, "app", 1) is None  # still a replay
+
+
 def test_stream_cdc_apply_matches_batch_collapse(spark, tmp_path):
     """Feeding the changelog in arrival-ordered micro-batches must land the
     same final table as one batch cdc_collapse over the whole log."""
