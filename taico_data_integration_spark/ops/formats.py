@@ -91,6 +91,23 @@ class TableFormat(ABC):
     def exists(self, table: str) -> bool:
         return bool(self.history(table))
 
+    def read_as_of(self, table: str, ts) -> DataFrame:
+        """Delta ``TIMESTAMP AS OF``: the newest version committed at or
+        before `ts` (epoch seconds or datetime). Derived entirely from
+        history()'s ``ts`` field, so every format inherits identical
+        time-travel semantics; sub-second commit ties break by version
+        number. Raises ValueError before the first commit — same contract
+        class as rollback-to-uncommitted."""
+        import datetime as dt
+
+        if isinstance(ts, dt.datetime):
+            ts = ts.timestamp()
+        eligible = [e for e in self.history(table) if e["ts"] <= ts]
+        if not eligible:
+            raise ValueError(f"no version of {table} committed at or before {ts}")
+        v = max(eligible, key=lambda e: (e["ts"], e["v"]))["v"]
+        return self.read(table, v)
+
     def promote_with_validation(
         self, table: str, staged: DataFrame, validate: Callable[[DataFrame], bool]
     ) -> bool:

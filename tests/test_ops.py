@@ -249,6 +249,41 @@ def test_format_lifecycle_conformance(spark, table_format):
     assert removed and fmt.read("t").count() == 5
 
 
+def test_format_read_as_of_time_travel_both_formats(spark, tmp_path):
+    """TIMESTAMP AS OF from the seam: a timestamp between two commits reads
+    the older version, after the last commit reads current, before the
+    first raises — identical on both formats (the method lives on the ABC)."""
+    import time as _time
+
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    fmts = {
+        "store": TableStore(spark, str(tmp_path / "aostore")),
+        "wh": SqlWarehouseFormat(
+            spark, f"ao_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "aowh")
+        ),
+    }
+    v0 = spark.createDataFrame([Row(id=1)])
+    v1 = spark.createDataFrame([Row(id=1), Row(id=2)])
+    try:
+        for name, fmt in fmts.items():
+            t_before = _time.time() - 1.0
+            fmt.write("t", v0)
+            _time.sleep(1.1)  # getmtime granularity on some filesystems
+            t_mid = _time.time()
+            _time.sleep(1.1)
+            fmt.write("t", v1)
+            assert fmt.read_as_of("t", t_mid).count() == 1, name
+            assert fmt.read_as_of("t", _time.time()).count() == 2, name
+            import datetime as dt
+
+            assert fmt.read_as_of("t", dt.datetime.fromtimestamp(t_mid)).count() == 1
+            with pytest.raises(ValueError):
+                fmt.read_as_of("t", t_before)
+    finally:
+        fmts["wh"].drop_namespace()
+
+
 def test_format_history_and_diff_parity_across_formats(spark, tmp_path):
     """VERDICT r5 #6: the conformance suite grades each format in its own
     test run; this runs ONE promote+rollback script through BOTH formats in
