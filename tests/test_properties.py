@@ -146,6 +146,92 @@ def test_cdc_collapse_matches_python(sc, ops):
     assert got == sorted(state.items())
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.floats(0, 9, allow_nan=False, width=16)),
+             min_size=0, max_size=8),
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                 # key
+            st.sampled_from(["I", "U", "D"]),  # op
+            st.floats(0, 100, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_cdc_apply_matches_python(sc, base, ops):
+    """cdc_apply(base, log) == dict replay seeded from base: winners
+    replace/delete base rows, untouched base rows pass through — including
+    a D on a key the base never had (no resurrection, no error)."""
+    from taico_data_integration_spark.ops.cdc import cdc_apply
+
+    base_rows = list({k: (k, float(v)) for k, v in base}.values())  # unique keys
+    log_rows = [(k, op, seq, float(v)) for seq, (k, op, v) in enumerate(ops)]
+    base_df = sc.createDataFrame(base_rows or [(0, 0.0)], "id long, val double")
+    if not base_rows:
+        base_df = base_df.where("1=0")
+    log_df = sc.createDataFrame(log_rows, "id long, op string, seq long, val double")
+    got = sorted(
+        (r.id, r.val)
+        for r in cdc_apply(base_df, log_df, ["id"]).select("id", "val").collect()
+    )
+    state: dict[int, float] = dict(base_rows)
+    for k, op, _seq, v in log_rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(-10, 10, allow_nan=False, width=16),
+                  st.floats(0, 1000, allow_nan=False, width=16)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 8),
+)
+def test_zorder_key_matches_python_interleave(sc, pts, bits):
+    """The Z-curve Column expression == a pure-Python quantize+interleave
+    (both sides do identical IEEE double ops, so codes match exactly),
+    including out-of-bounds values clamped to the code range."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.ops.incremental import zorder_key
+
+    lo_x, hi_x, lo_y, hi_y = -10.0, 10.0, 0.0, 1000.0
+    df = sc.createDataFrame(pts, "x double, y double")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_key({"x": (F.col("x"), lo_x, hi_x), "y": (F.col("y"), lo_y, hi_y)},
+                       bits=bits).alias("z")
+        ).collect()
+    ]
+
+    top = (1 << bits) - 1
+
+    def code(v, lo, hi):
+        import math
+
+        span = (hi - lo) or 1.0
+        return min(max(int(math.floor((v - lo) / span * (top + 1))), 0), top)
+
+    def interleave(cx, cy):
+        z = 0
+        for b in range(bits):
+            z |= ((cx >> b) & 1) << (b * 2)
+            z |= ((cy >> b) & 1) << (b * 2 + 1)
+        return z
+
+    want = [interleave(code(x, lo_x, hi_x), code(y, lo_y, hi_y)) for x, y in pts]
+    assert got == want
+
+
 @given(
     rows=st.lists(
         st.tuples(st.sampled_from(["hot"] * 6 + ["a", "b", "c"]), st.integers(0, 99)),
