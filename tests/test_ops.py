@@ -864,6 +864,32 @@ def test_tablestore_read_pruned_box_after_zorder(spark, tmp_path):
     assert rep["files_read"] < rep["files_total"]
 
 
+def test_tablestore_read_pruned_partitioned_version(spark, tmp_path):
+    """Pruned reads over a PARTITIONED version: files sit under partition
+    dirs, so the manifest keys nested relpaths and the basePath option must
+    reconstruct the partition column in the pruned frame. Stats pruning on
+    the data column still applies within each partition's files."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 8_000).selectExpr(
+        "id % 4 AS region", "id AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    store.write("t", df.repartitionByRange(8, "k"), partition_by=["region"])
+    got, rep = store.read_pruned("t", "k", lo=100, hi=300)
+    want = df.where("k BETWEEN 100 AND 300")
+    assert set(got.columns) == {"region", "k", "v"}  # partition col restored
+    assert {tuple(sorted(r.asDict().items())) for r in got.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in want.collect()
+    }
+    assert 0 < rep["files_read"] < rep["files_total"], rep
+    # pruning on the PARTITION column itself: no footer stats -> conservative
+    # keep-all, but results stay correct through the residual filter
+    got2, rep2 = store.read_pruned("t", "region", lo=2, hi=2)
+    assert got2.count() == df.where("region = 2").count()
+    assert rep2["files_read"] == rep2["files_total"]
+
+
 def test_tablestore_read_pruned_nulls_and_manifest_cache(spark, tmp_path, monkeypatch):
     """NULL keys never match a range predicate (all-null files are skipped,
     null rows never returned), and the second pruned read must be served
