@@ -122,11 +122,42 @@ class TableFormat(ABC):
     def diff(self, table: str, v_old: int, v_new: int) -> DataFrame:
         """Row-level version diff (audit / CDF-lite), multiset semantics
         (exceptAll) so duplicate-count changes show up. Keyless fallback —
-        prefer key-based CDC logs when a key exists."""
+        prefer :meth:`table_changes` when a key exists."""
         old, new = self.read(table, v_old), self.read(table, v_new)
         added = new.exceptAll(old).withColumn("__change", F.lit("added"))
         removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
         return added.unionByName(removed)
+
+    def table_changes(
+        self, table: str, v_old: int, v_new: int, keys: list[str]
+    ) -> DataFrame:
+        """Key-based change feed between two versions (Delta CDF's
+        ``table_changes`` analog): one row per changed KEY with
+        ``_change_type`` ∈ insert/delete/update_postimage, carrying the
+        new-version payload for inserts/updates and the old-version payload
+        for deletes. Downstream consumers replay it with ``ops.cdc
+        .cdc_apply`` (I/U/D contract). One full-outer join on the key —
+        a single hash shuffle at any scale; payload equality is null-safe
+        (a NULL→value flip is an update, not a no-op). Keys must be unique
+        per version — the M2/M5 invariant every keyed table here maintains."""
+        old, new = self.read(table, v_old), self.read(table, v_new)
+        payload = [c for c in new.columns if c not in keys]
+        # key-only tables have no payload to compare: presence IS the state
+        body_of = lambda: F.struct(*payload) if payload else F.lit(1)
+        o = old.select(*keys, body_of().alias("__old"))
+        n = new.select(*keys, body_of().alias("__new"))
+        j = o.join(n, on=keys, how="full_outer")
+        change = (
+            F.when(F.col("__old").isNull(), F.lit("insert"))
+            .when(F.col("__new").isNull(), F.lit("delete"))
+            .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update_postimage"))
+        )
+        body = F.when(F.col("__new").isNull(), F.col("__old")).otherwise(F.col("__new"))
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(*keys, *[body[c].alias(c) for c in payload], "_change_type")
+        )
 
 
 class SqlWarehouseFormat(TableFormat):

@@ -75,11 +75,26 @@ def incremental_new_rows(source: DataFrame, target: DataFrame, ts_col: str) -> D
     )
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    evolve_schema: bool = False,
+) -> DataFrame:
     """M5 merge-on-composite-key: updates win over target rows with the same
     key; target rows without a matching update survive (dbt incremental
-    unique_key semantics)."""
+    unique_key semantics).
+
+    ``evolve_schema=True`` is the Delta ``mergeSchema`` analog: columns new
+    in `updates` are added to the result (pre-existing rows carry NULL),
+    and updates may omit target columns (their rows carry NULL there —
+    whole-row upsert semantics, so an update that wants to PRESERVE a
+    target column must carry it). Default (False) keeps the strict
+    contract: updates must cover the target schema, output schema is the
+    target's."""
     kept = target.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    if evolve_schema:
+        return kept.unionByName(updates, allowMissingColumns=True)
     return kept.unionByName(updates.select(*target.columns))
 
 

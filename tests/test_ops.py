@@ -84,6 +84,21 @@ def test_incremental_new_rows_watermark(spark):
     assert got == {4, 5}
 
 
+def test_merge_upsert_schema_evolution(spark):
+    """mergeSchema analog: a new column in updates joins the result with
+    NULL on pre-existing rows; updates still win on shared columns; the
+    strict default keeps rejecting unknown columns by selecting them away."""
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B", 9.0), (3, "c", 7.0)], "k long, v string, extra double")
+    got = {
+        (r.k): (r.v, r.extra)
+        for r in merge_upsert(target, updates, ["k"], evolve_schema=True).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 9.0), 3: ("c", 7.0)}
+    # default path: output schema stays the target's
+    assert merge_upsert(target, updates, ["k"]).columns == ["k", "v"]
+
+
 def test_merge_upsert_updates_win(spark):
     target = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")])
     updates = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="ins")])
@@ -282,6 +297,58 @@ def test_format_read_as_of_time_travel_both_formats(spark, tmp_path):
                 fmt.read_as_of("t", t_before)
     finally:
         fmts["wh"].drop_namespace()
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_table_changes_roundtrip_and_model(spark, tmp_path, seed):
+    """Key-based change feed (Delta CDF analog), two oracles at once:
+    (a) fuzz vs a pure-Python diff of the two keyed states — including
+    NULL→value flips, which must be updates under null-safe equality;
+    (b) the gold invariant: cdc_apply(v_old, table_changes) == v_new."""
+    import random
+
+    from taico_data_integration_spark.ops.cdc import cdc_apply
+
+    rng = random.Random(seed)
+
+    def state():
+        return {
+            k: rng.choice([None, float(rng.randint(0, 5))])
+            for k in rng.sample(range(12), rng.randint(1, 10))
+        }
+
+    s_old, s_new = state(), state()
+    store = TableStore(spark, str(tmp_path))
+    to_df = lambda s: spark.createDataFrame(list(s.items()), "id long, v double")
+    store.write("t", to_df(s_old))
+    store.write("t", to_df(s_new))
+    ch = store.table_changes("t", 0, 1, ["id"])
+    got = {(r.id): (r.v, r._change_type) for r in ch.collect()}
+
+    expected = {}
+    for k in set(s_old) | set(s_new):
+        if k not in s_old:
+            expected[k] = (s_new[k], "insert")
+        elif k not in s_new:
+            expected[k] = (s_old[k], "delete")
+        elif s_old[k] != s_new[k]:
+            expected[k] = (s_new[k], "update_postimage")
+    assert got == expected, f"seed {seed}"
+
+    # replayability: the feed applied onto v0 reconstructs v1 exactly
+    log = ch.select(
+        "id",
+        "v",
+        F.when(F.col("_change_type") == "delete", "D")
+        .when(F.col("_change_type") == "insert", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.lit(0).alias("seq"),
+    )
+    replayed = {
+        (r.id, r.v) for r in cdc_apply(store.read("t", 0), log, ["id"]).collect()
+    }
+    assert replayed == {(k, v) for k, v in s_new.items()}
 
 
 def test_format_history_and_diff_parity_across_formats(spark, tmp_path):
