@@ -340,7 +340,11 @@ class TableStore(TableFormat):
     def read(self, table: str, version: int | None = None) -> DataFrame:
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version
-        entry = next(e for e in meta["versions"] if e["v"] == v)
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            # same contract class as rollback-to-uncommitted: a vacuumed or
+            # never-committed version is a ValueError, not a StopIteration
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         return self.spark.read.parquet(entry["path"])
 
     def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
@@ -507,7 +511,9 @@ class TableStore(TableFormat):
 
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version
-        entry = next(e for e in meta["versions"] if e["v"] == v)
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         sp = self._stats_path(table, v)
         manifest: dict = {"files": {}}
         if os.path.exists(sp):
@@ -598,7 +604,9 @@ class TableStore(TableFormat):
             raise ValueError("read_pruned needs at least one bounded column")
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version
-        entry = next(e for e in meta["versions"] if e["v"] == v)
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         manifest = self.collect_file_stats(table, list(bounds), version=v)
         keep = []
         for rel, rec in manifest["files"].items():
