@@ -93,14 +93,18 @@ class TableFormat(ABC):
 
     def read_as_of(self, table: str, ts) -> DataFrame:
         """Delta ``TIMESTAMP AS OF``: the newest version committed at or
-        before `ts` (epoch seconds or datetime). Derived entirely from
-        history()'s ``ts`` field, so every format inherits identical
-        time-travel semantics; sub-second commit ties break by version
-        number. Raises ValueError before the first commit — same contract
-        class as rollback-to-uncommitted."""
+        before `ts` (epoch seconds or datetime; a NAIVE datetime is read as
+        UTC wall clock — the engine session's timezone — never the host's
+        local zone, which would skew version selection on non-UTC hosts).
+        Derived entirely from history()'s ``ts`` field, so every format
+        inherits identical time-travel semantics; sub-second commit ties
+        break by version number. Raises ValueError before the first commit
+        — same contract class as rollback-to-uncommitted."""
         import datetime as dt
 
         if isinstance(ts, dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=dt.timezone.utc)
             ts = ts.timestamp()
         eligible = [e for e in self.history(table) if e["ts"] <= ts]
         if not eligible:
@@ -139,13 +143,32 @@ class TableFormat(ABC):
         .cdc_apply`` (I/U/D contract). One full-outer join on the key —
         a single hash shuffle at any scale; payload equality is null-safe
         (a NULL→value flip is an update, not a no-op). Keys must be unique
-        per version — the M2/M5 invariant every keyed table here maintains."""
+        per version — the M2/M5 invariant every keyed table here maintains.
+        Schema evolution between the versions is handled: the payload is
+        the UNION of both versions' non-key columns (a column only one side
+        has reads as NULL on the other, so a row differing only in a
+        dropped column still surfaces as an update); output carries the
+        union schema."""
         old, new = self.read(table, v_old), self.read(table, v_new)
-        payload = [c for c in new.columns if c not in keys]
-        # key-only tables have no payload to compare: presence IS the state
-        body_of = lambda: F.struct(*payload) if payload else F.lit(1)
-        o = old.select(*keys, body_of().alias("__old"))
-        n = new.select(*keys, body_of().alias("__new"))
+        payload = [
+            c for c in dict.fromkeys([*old.columns, *new.columns]) if c not in keys
+        ]
+        types = {**dict(old.dtypes), **dict(new.dtypes)}
+
+        def body_of(df: DataFrame):
+            if not payload:
+                # key-only tables have no payload to compare: presence IS the state
+                return F.lit(1)
+            have = set(df.columns)
+            return F.struct(
+                *[
+                    (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(c)
+                    for c in payload
+                ]
+            )
+
+        o = old.select(*keys, body_of(old).alias("__old"))
+        n = new.select(*keys, body_of(new).alias("__new"))
         j = o.join(n, on=keys, how="full_outer")
         change = (
             F.when(F.col("__old").isNull(), F.lit("insert"))

@@ -298,14 +298,32 @@ class TableStore(TableFormat):
         self._write_pointer(table, version, txn=_txn)
         return version
 
+    def _txn_sidecar(self, table: str, app_id: str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
+        return os.path.join(self.root, table, "_txns", f"{safe}.json")
+
     def last_txn(self, table: str, app_id: str) -> int | None:
         """Last batch id committed for `app_id`, or None (Delta
-        ``txnAppId``/``txnVersion`` analog)."""
+        ``txnAppId``/``txnVersion`` analog). Reads the MAX of the pointer
+        record and the per-app sidecar: the pointer copy is atomic with the
+        commit but can be clobbered by a concurrent MAINTENANCE write's
+        read-modify-merge of the txn map; the sidecar is a per-app file no
+        other writer touches. Together: a replay is missed only if a crash
+        lands in the swap→sidecar window AND a concurrent maintenance write
+        interleaves the pointer in that same window — and even then the
+        re-applied merge is content-idempotent."""
+        best = None
         mp = self._meta_path(table)
-        if not os.path.exists(mp):
-            return None
-        with open(mp) as f:
-            return json.load(f).get("txns", {}).get(app_id)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                best = json.load(f).get("txns", {}).get(app_id)
+        sc = self._txn_sidecar(table, app_id)
+        if os.path.exists(sc):
+            with open(sc) as f:
+                side = json.load(f).get("batch_id")
+            if best is None or (side is not None and side > best):
+                best = side
+        return best
 
     def write_with_txn(
         self,
@@ -331,7 +349,16 @@ class TableStore(TableFormat):
         last = self.last_txn(table, app_id)
         if last is not None and batch_id <= last:
             return None
-        return self.write(table, df, partition_by, _txn={app_id: batch_id})
+        version = self.write(table, df, partition_by, _txn={app_id: batch_id})
+        # belt-and-braces sidecar (see last_txn): written AFTER the commit so
+        # a crash here degrades to the pointer copy, never to a lost batch
+        sc = self._txn_sidecar(table, app_id)
+        os.makedirs(os.path.dirname(sc), exist_ok=True)
+        tmp = f"{sc}.{os.getpid()}.{time.time_ns()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, sc)
+        return version
 
     def exists(self, table: str) -> bool:
         # cheaper than the seam's history() default: one JSON read, no list
@@ -498,13 +525,22 @@ class TableStore(TableFormat):
         manifest.
 
         Manifest shape: ``{"files": {relpath: {"rows": N, "cols": {col:
-        {"min": v, "max": v, "null_count": n}}}}}``. Only JSON-native stat
-        values (int/float/str/bool) are recorded; anything else (decimal,
-        binary, nested) is stored as ``None`` and the file is kept
-        conservatively by every pruner. Partition columns live in directory
-        names, not footers, so they also record ``None`` here — Spark's own
-        partition-dir pruning (tested in test_sources) covers those.
+        {"min": v, "max": v, "null_count": n, "kind": "plain"|"temporal"}}}}}``.
+        Only JSON-native stat values (int/float/str/bool) are recorded —
+        temporal stats as order-preserving ISO strings tagged
+        ``kind="temporal"`` so pruners know string bounds need parsing;
+        anything else (decimal, binary, nested) is stored as ``None`` and
+        the file is kept conservatively by every pruner. ``null_count`` is
+        recorded only when EVERY row group reports it (else ``None`` — an
+        undercount must never masquerade as exact). Partition columns live
+        in directory names, not footers, so they record ``None`` here —
+        Spark's own partition-dir pruning (tested in test_sources) covers
+        those. Column chunks are located by the parquet LEAF schema path
+        (``path_in_schema``), never the top-level arrow name list — with
+        nested columns present the two disagree and a name-index lookup
+        would silently record some other leaf's bounds.
         """
+        import datetime as dt
         import glob
 
         import pyarrow.parquet as pq
@@ -529,19 +565,28 @@ class TableStore(TableFormat):
             changed = True
             md = pq.read_metadata(path)
             rec["rows"] = md.num_rows
-            names = list(md.schema.to_arrow_schema().names)
+            # LEAF paths: a top-level primitive's path equals its name; a
+            # nested leaf is "parent.child" and never matches a column name
+            leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
             for c in missing:
                 stat: dict = {"min": None, "max": None, "null_count": None}
-                if c in names:
-                    idx = names.index(c)
+                if c in leaf_paths:
+                    idx = leaf_paths.index(c)
                     mins, maxs, nulls = [], [], 0
-                    ok = True
+                    ok, nulls_known, temporal = True, True, False
                     for rg in range(md.num_row_groups):
-                        s = md.row_group(rg).column(idx).statistics
+                        rg_meta = md.row_group(rg)
+                        s = rg_meta.column(idx).statistics
                         if s is None or not s.has_min_max:
-                            # an all-null row group has no min/max but is
-                            # still prunable if null_count covers all rows
-                            if s is not None and s.has_null_count:
+                            # usable ONLY if provably all-null: null_count
+                            # present and covering every row of this group
+                            # (writers may drop min/max for other reasons,
+                            # e.g. oversized binary values, with rows present)
+                            if (
+                                s is not None
+                                and s.has_null_count
+                                and s.null_count >= rg_meta.num_rows
+                            ):
                                 nulls += s.null_count
                                 continue
                             ok = False
@@ -550,14 +595,30 @@ class TableStore(TableFormat):
                         if nmin is None or nmax is None:
                             ok = False
                             break
+                        try:
+                            # parquet-cpp TRUNCATES oversized binary stats and
+                            # can emit max < min (measured: max='' for a 100 KB
+                            # string) — an invalid bound must disable stats,
+                            # not silently mis-prune
+                            if nmin > nmax:
+                                ok = False
+                                break
+                        except TypeError:
+                            ok = False
+                            break
+                        temporal = temporal or isinstance(s.min, (dt.date, dt.datetime))
                         mins.append(nmin)
                         maxs.append(nmax)
-                        nulls += s.null_count if s.has_null_count else 0
+                        if s.has_null_count:
+                            nulls += s.null_count
+                        else:
+                            nulls_known = False
                     if ok:
                         stat = {
                             "min": min(mins) if mins else None,
                             "max": max(maxs) if maxs else None,
-                            "null_count": nulls,
+                            "null_count": nulls if nulls_known else None,
+                            "kind": "temporal" if temporal else "plain",
                         }
                 rec["cols"][c] = stat
         if changed:
@@ -621,9 +682,26 @@ class TableStore(TableFormat):
                         break
                     continue  # no usable stats for this column — conservative
                 # bounds go through the same order-preserving normalization
-                # as the stored stats (datetime/date -> fixed-width ISO)
+                # as the stored stats (datetime/date -> fixed-width ISO).
+                # Against TEMPORAL stats a plain-string bound (e.g.
+                # '1998-07-01 00:00:00', which Spark happily casts in the
+                # residual filter) must be PARSED first — raw space-separated
+                # strings sort differently from the stored 'T'-separated
+                # form — and an unparseable one disables pruning, never results.
                 nlo = self._norm_stat(clo) if clo is not None else None
                 nhi = self._norm_stat(chi) if chi is not None else None
+                if stat.get("kind") == "temporal":
+                    import datetime as _dt
+
+                    def _temporal(b, nb):
+                        if b is None or isinstance(b, (_dt.date, _dt.datetime)):
+                            return nb  # already normalized to the stored form
+                        try:
+                            return self._norm_stat(_dt.datetime.fromisoformat(str(b)))
+                        except ValueError:
+                            return None  # unparseable bound -> no pruning
+
+                    nlo, nhi = _temporal(clo, nlo), _temporal(chi, nhi)
                 try:
                     if (nlo is not None and smax < nlo) or (nhi is not None and smin > nhi):
                         keep_file = False

@@ -37,9 +37,14 @@ LO, HI = "1998-06-01 00:00:00", "1998-07-01 00:00:00"
 
 
 def revenue(df):
+    # decimal arithmetic so the three differently-planned scans (different
+    # file sets, different partition orders) sum EXACTLY equal — double
+    # addition is order-dependent and would fail the parity assert spuriously
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc)).alias("rev"),
     ).collect()[0]
 
 
