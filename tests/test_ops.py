@@ -957,6 +957,54 @@ def test_tablestore_read_pruned_partitioned_version(spark, tmp_path):
     assert rep2["files_read"] == rep2["files_total"]
 
 
+@pytest.mark.parametrize("seed", [1, 8, 21])
+def test_tablestore_read_pruned_fuzz_equals_full_scan(spark, tmp_path, seed):
+    """THE data-skipping invariant, fuzzed: for random data (ints with
+    nulls, strings, timestamps), random layout (raw / clustered on a
+    random column / random file count) and random bounds (open, closed,
+    empty-range, out-of-domain), read_pruned == full-scan filter, always.
+    Any future manifest bug that breaks conservativeness fails here."""
+    import datetime as dt
+    import random
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    n = rng.randint(200, 3000)
+    df = spark.range(0, n).selectExpr(
+        f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(10, 500)}) AS a",
+        "CHAR(65 + CAST(id % 26 AS INT)) AS s",
+        "timestampadd(MINUTE, CAST(id % 50000 AS INT), TIMESTAMP'2020-01-01') AS ts",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(rng.randint(2, 6)))
+    if rng.random() < 0.7:
+        store.optimize_layout("t", [rng.choice(["a", "s", "ts"])], num_files=rng.randint(2, 10))
+
+    for _ in range(6):
+        col = rng.choice(["a", "s", "ts"])
+        if col == "a":
+            b1, b2 = rng.randint(-50, 600), rng.randint(-50, 600)
+        elif col == "s":
+            b1, b2 = chr(rng.randint(60, 95)), chr(rng.randint(60, 95))
+        else:
+            b1 = dt.datetime(2020, 1, 1) + dt.timedelta(minutes=rng.randint(-10, 60000))
+            b2 = dt.datetime(2020, 1, 1) + dt.timedelta(minutes=rng.randint(-10, 60000))
+        lo, hi = rng.choice(
+            [(min(b1, b2), max(b1, b2)), (b1, None), (None, b2), (max(b1, b2), min(b1, b2))]
+        )
+        got, rep = store.read_pruned("t", col, lo=lo, hi=hi)
+        want = df
+        if lo is not None:
+            want = want.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            want = want.where(F.col(col) <= F.lit(hi))
+        g = sorted(r.payload for r in got.select("payload").collect())
+        w = sorted(r.payload for r in want.select("payload").collect())
+        assert g == w, f"seed {seed} col {col} bounds ({lo},{hi}) rep {rep}"
+
+
 def test_tablestore_read_pruned_nested_columns_no_misalignment(spark, tmp_path):
     """Regression (review finding): column chunks must be located by the
     parquet LEAF schema path. With a struct column ahead of the pruning
