@@ -333,7 +333,9 @@ def embedding_neardup_pairs_blas(
                 # (ADVICE r5). Only threshold-passing pairs pay this loop.
                 c = np.fromiter(
                     (
-                        float(Decimal(repr(v)).quantize(_SIX, rounding=ROUND_HALF_UP))
+                        # float(v) first: numpy>=2 reprs scalars as
+                        # 'np.float64(x)', which Decimal rejects
+                        float(Decimal(repr(float(v))).quantize(_SIX, rounding=ROUND_HALF_UP))
                         for v in cos[rows, cols]
                     ),
                     dtype=np.float64,

@@ -126,14 +126,46 @@ def _embedding_near_dups(
     ids — it emits them as bigint). With no ``block_col``, vectors are
     blocked by an 8-plane sign-LSH bucket computed inline — near-identical
     vectors agree on every sign bit, so >=min_cosine pairs land in one
-    bucket with high probability (same recall trade as the ANN path)."""
+    bucket with high probability (same recall trade as the ANN path).
+
+    Robustness/scale contracts (review-hardened):
+    - An EMPTY batch (everything dropped upstream) or one with no non-null
+      embedding returns an empty drop set — no dim probe, no crash.
+    - The corpus joins the pool only when it carries BOTH the embedding
+      column and (if given) the block column; otherwise the stage degrades
+      to within-batch dedup, same as the embedding-column-missing case.
+    - The blas kernel requires an integral doc id (its bigint cast would
+      otherwise NULL string ids and die opaquely inside the Arrow task) —
+      checked here, driver-side, fail-fast.
+    - Only blocks CONTAINING at least one batch doc are scored: corpus-only
+      blocks never enter the pair join, so per-batch cost tracks the
+      batch's block neighborhood, not the whole corpus (corpus-corpus
+      pairs inside shared blocks are filtered after scoring)."""
+    if kernel == "blas":
+        id_type = dict(batch.dtypes).get("doc_id")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"neardup_kernel='blas' needs an integral doc_id, got {id_type!r}"
+            )
+    first = (
+        batch.select(F.size(F.col(embedding_col)).alias("__d"))
+        .where(F.col(embedding_col).isNotNull())
+        .first()
+    )
+    if first is None:  # empty batch or all-null embeddings: nothing to drop
+        return batch.select("doc_id").where(F.lit(False))
     cols = ["doc_id", embedding_col] + ([block_col] if block_col else [])
     pool = batch.select(*cols)
-    if corpus is not None and embedding_col in corpus.columns:
+    use_corpus = (
+        corpus is not None
+        and embedding_col in corpus.columns
+        and (block_col is None or block_col in corpus.columns)
+    )
+    if use_corpus:
         pool = pool.unionByName(corpus.select(*cols))
     blk = block_col
     if blk is None:
-        dim = batch.select(F.size(F.col(embedding_col))).first()[0]
+        dim = first["__d"]
         v = _to_double(F.col(embedding_col))
         bits = [
             F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -141,12 +173,19 @@ def _embedding_near_dups(
         ]
         pool = pool.withColumn("__ebkt", F.concat(*bits))
         blk = "__ebkt"
+    batch_ids = batch.select("doc_id")
+    if use_corpus:
+        # prune corpus-only blocks before the pair join: only blocks a batch
+        # doc lands in can produce a batch-touching pair
+        batch_blocks = (
+            pool.join(batch_ids, "doc_id", "left_semi").select(blk).distinct()
+        )
+        pool = pool.join(batch_blocks, blk, "left_semi")
     fn = embedding_neardup_pairs_blas if kernel == "blas" else embedding_neardup_pairs
     pairs = fn(pool, min_cosine=min_cosine, block_col=blk, id_col="doc_id", vec_col=embedding_col)
-    batch_ids = batch.select("doc_id")
     # pairs are (vec_a < vec_b): a batch doc on the b side always loses
     drop = pairs.select(F.col("vec_b").alias("doc_id")).join(batch_ids, "doc_id", "left_semi")
-    if corpus is not None and embedding_col in corpus.columns:
+    if use_corpus:
         # a batch doc on the a side loses only to a corpus doc (larger id)
         corpus_ids = corpus.select(F.col("doc_id").alias("vec_b"))
         drop = drop.unionByName(
@@ -193,7 +232,8 @@ def ingest_batch(
         corpus_fps = corpus.select(F.md5(normalized_text("text")).alias("__fp")).distinct()
         batch_exact = batch_exact.join(corpus_fps, "__fp", "left_anti")
     batch_exact = batch_exact.drop("__fp").localCheckpoint()
-    n_exact = n_in - batch_exact.count()
+    n_batch_exact = batch_exact.count()
+    n_exact = n_in - n_batch_exact
 
     # 2. near-dup LSH pass: within-batch self-probe + incremental probe vs
     # the stored band index (the seeding batch gets the self-probe too)
@@ -206,7 +246,8 @@ def ingest_batch(
         near = _verified_near_dups(new_bands, corpus_bands, new_shingled, corpus_shingled)
         drop = drop.unionByName(near.withColumnRenamed("new_doc_id", "doc_id")).distinct()
     deduped = batch_exact.join(drop, "doc_id", "left_anti").localCheckpoint()
-    n_near = batch_exact.count() - deduped.count()
+    n_deduped = deduped.count()
+    n_near = n_batch_exact - n_deduped
 
     # 2b. embedding-cosine near-dup stage (optional; kernel-selectable)
     n_embed = 0
@@ -216,16 +257,17 @@ def ingest_batch(
             deduped, corpus_df, embedding_col, embedding_block_col,
             min_cosine, neardup_kernel,
         )
-        before = deduped.count()
+        before = n_deduped
         deduped = deduped.join(edrop, "doc_id", "left_anti").localCheckpoint()
-        n_embed = before - deduped.count()
+        n_deduped = deduped.count()
+        n_embed = before - n_deduped
 
     # 3. curation gate
     flags = curation_flags(deduped)
     accepted = deduped.join(flags.where("keep").select("doc_id"), "doc_id", "left_semi")
     accepted = accepted.withColumn("split", dataset_split("doc_id")).localCheckpoint()
     n_accepted = accepted.count()
-    n_curation = deduped.count() - n_accepted
+    n_curation = n_deduped - n_accepted
 
     # 4. append survivors to corpus + band index (versioned writes), with
     # quality metrics riding the write itself (Observation — no extra scan)

@@ -320,3 +320,49 @@ def test_ingestion_embedding_neardup_stage_both_kernels(spark, tmp_path, kernel)
         spark, store, b2, embedding_col="embedding", neardup_kernel=kernel
     )
     assert s3["n_accepted"] == 0 and s3["corpus_rows"] == 3
+
+    # regression (review finding): re-ingesting a batch whose docs ALL drop
+    # BEFORE stage 2b leaves the embedding stage an empty frame — the dim
+    # probe must not crash on first()==None, and accounting stays zero
+    s4 = ingest_batch(
+        spark, store, b1, embedding_col="embedding", neardup_kernel=kernel
+    )
+    assert s4["n_accepted"] == 0 and s4["n_embed_near_dup"] in (0, 1)
+    assert s4["corpus_rows"] == 3
+
+
+def test_ingestion_embedding_stage_guards(spark, tmp_path):
+    """Review-finding guards: blas rejects non-integral doc ids driver-side
+    with a clear error; a corpus lacking the caller's block column degrades
+    to within-batch dedup instead of an AnalysisException."""
+    import pytest as _pt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+    from taico_data_integration_spark.pipelines.ingestion_pipeline import (
+        CORPUS_TABLE,
+        _embedding_near_dups,
+        ingest_batch,
+    )
+
+    store = TableStore(spark, str(tmp_path / "c"))
+    sb = spark.createDataFrame(
+        [("doc-1", "text one", [1.0, 0.0]), ("doc-2", "text two", [1.0, 0.0])],
+        "doc_id string, text string, embedding array<double>",
+    )
+    with _pt.raises(ValueError, match="integral doc_id"):
+        _embedding_near_dups(sb, None, "embedding", None, 0.98, "blas")
+
+    # corpus without the block column: stage must not crash; within-batch
+    # survivorship still applies (doc 2 loses to doc 1 in the same block)
+    corpus = spark.createDataFrame(
+        [(100, "old", [0.0, 1.0])], "doc_id long, text string, embedding array<double>"
+    )
+    nb = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0], "blk"), (2, "b", [1.0, 0.0], "blk")],
+        "doc_id long, text string, embedding array<double>, cluster string",
+    )
+    dropped = {
+        r.doc_id
+        for r in _embedding_near_dups(nb, corpus, "embedding", "cluster", 0.98, "fold").collect()
+    }
+    assert dropped == {2}
