@@ -289,6 +289,7 @@ class TableStore(TableFormat):
         from ..catalog import ensure_runtime_confs
 
         ensure_runtime_confs(df.sparkSession)
+        self._enforce_constraints(table, df)
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         writer = df.write.mode("overwrite")
@@ -301,6 +302,64 @@ class TableStore(TableFormat):
     def _txn_sidecar(self, table: str, app_id: str) -> str:
         safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
         return os.path.join(self.root, table, "_txns", f"{safe}.json")
+
+    def _constraints_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_constraints.json")
+
+    def set_constraint(self, table: str, name: str, expr: str) -> None:
+        """Delta ``ADD CONSTRAINT ... CHECK`` analog: register a SQL boolean
+        expression every FUTURE write of `table` must satisfy on every row
+        (existing versions are not re-validated, matching Delta). Stored in
+        a per-table sidecar so constraint edits never race the version
+        pointer. Enforcement happens in :meth:`write` BEFORE any data lands:
+        one aggregate pass counts violators of all constraints at once and
+        a violation aborts with ValueError — no version directory, no
+        pointer change."""
+        cpath = self._constraints_path(table)
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        cons = self.constraints(table)
+        cons[name] = expr
+        tmp = f"{cpath}.{os.getpid()}.{time.time_ns()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, cpath)
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        cons = self.constraints(table)
+        cons.pop(name, None)
+        cpath = self._constraints_path(table)
+        tmp = f"{cpath}.{os.getpid()}.{time.time_ns()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cons, f)
+        os.replace(tmp, cpath)
+
+    def constraints(self, table: str) -> dict:
+        cpath = self._constraints_path(table)
+        if not os.path.exists(cpath):
+            return {}
+        with open(cpath) as f:
+            return json.load(f)
+
+    def _enforce_constraints(self, table: str, df: DataFrame) -> None:
+        cons = self.constraints(table)
+        if not cons:
+            return
+        # one job for ALL constraints: count rows where each check is not
+        # satisfied (NULL counts as a violation — CHECK must hold, not
+        # merely not-fail, mirroring Delta's NOT (expr) <=> true test)
+        aggs = [
+            F.sum(
+                F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        bad = {k: v for k, v in row.items() if v}
+        if bad:
+            detail = ", ".join(
+                f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad
+            )
+            raise ValueError(f"constraint violation on {table}: {detail}")
 
     def last_txn(self, table: str, app_id: str) -> int | None:
         """Last batch id committed for `app_id`, or None (Delta

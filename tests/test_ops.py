@@ -728,6 +728,36 @@ def test_sqlwarehouse_drop_namespace_sweeps_orphans(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {ns}_t_v0099")
 
 
+def test_tablestore_check_constraints(spark, tmp_path):
+    """Delta CHECK analog: a registered constraint gates every future
+    write — violation aborts BEFORE any version commits (no directory, no
+    pointer change, history unchanged), NULL results count as violations,
+    and dropping the constraint re-opens the gate."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([(1, 5.0)], "id long, v double"))
+    store.set_constraint("t", "v_nonneg", "v >= 0")
+    store.set_constraint("t", "id_notnull", "id IS NOT NULL")
+
+    ok = spark.createDataFrame([(2, 1.0)], "id long, v double")
+    assert store.write("t", ok) == 1
+
+    bad = spark.createDataFrame([(3, -2.0), (None, 4.0)], "id long, v double")
+    with pytest.raises(ValueError, match="constraint violation"):
+        store.write("t", bad)
+    assert len(store.history("t")) == 2  # nothing committed
+    assert store.read("t").count() == 1  # current still the ok version
+
+    # NULL check result is a violation (CHECK must HOLD), not a pass
+    nullv = spark.createDataFrame([(4, None)], "id long, v double")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        store.write("t", nullv)
+
+    store.drop_constraint("t", "v_nonneg")
+    assert store.write("t", nullv) == 2  # id_notnull still holds; v gate gone
+
+
 def test_tablestore_compact(spark, tmp_path):
     from taico_data_integration_spark.ops.incremental import TableStore
 
