@@ -289,13 +289,45 @@ class TableStore(TableFormat):
         from ..catalog import ensure_runtime_confs
 
         ensure_runtime_confs(df.sparkSession)
-        self._enforce_constraints(table, df)
+        cons = self.constraints(table)
+        obs = None
+        if cons:
+            # constraints ride the write job itself (Observation — zero
+            # extra scans at any size); NULL check results count as
+            # violations: CHECK must HOLD, mirroring Delta
+            from pyspark.sql import Observation
+
+            obs = Observation(f"constraints_{table}")
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+                    ).alias(name)
+                    for name, expr in cons.items()
+                ],
+            )
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
+        # stage under a dot-name the vNNNN regex can never match: the
+        # version becomes visible only via the atomic rename AFTER
+        # validation, so a constraint-violating write is never observable —
+        # not even transiently — in history(); a writer killed mid-write
+        # leaves only an invisible staging dir that vacuum sweeps
+        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        writer.parquet(staging)
+        if obs is not None:
+            bad = {k: v for k, v in obs.get.items() if v}
+            if bad:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+                detail = ", ".join(f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad)
+                raise ValueError(f"constraint violation on {table}: {detail}")
+        os.rename(staging, path)
         self._write_pointer(table, version, txn=_txn)
         return version
 
@@ -311,10 +343,11 @@ class TableStore(TableFormat):
         expression every FUTURE write of `table` must satisfy on every row
         (existing versions are not re-validated, matching Delta). Stored in
         a per-table sidecar so constraint edits never race the version
-        pointer. Enforcement happens in :meth:`write` BEFORE any data lands:
-        one aggregate pass counts violators of all constraints at once and
-        a violation aborts with ValueError — no version directory, no
-        pointer change."""
+        pointer. Enforcement rides the write job itself (Observation — no
+        extra scan at any size): the version is staged under a hidden name,
+        violation counts are checked when the job finishes, and only a
+        clean result is renamed into visibility — a violating write aborts
+        with ValueError and is never observable, not even transiently."""
         cpath = self._constraints_path(table)
         os.makedirs(os.path.dirname(cpath), exist_ok=True)
         cons = self.constraints(table)
@@ -339,27 +372,6 @@ class TableStore(TableFormat):
             return {}
         with open(cpath) as f:
             return json.load(f)
-
-    def _enforce_constraints(self, table: str, df: DataFrame) -> None:
-        cons = self.constraints(table)
-        if not cons:
-            return
-        # one job for ALL constraints: count rows where each check is not
-        # satisfied (NULL counts as a violation — CHECK must hold, not
-        # merely not-fail, mirroring Delta's NOT (expr) <=> true test)
-        aggs = [
-            F.sum(
-                F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
-            ).alias(name)
-            for name, expr in cons.items()
-        ]
-        row = df.agg(*aggs).collect()[0].asDict()
-        bad = {k: v for k, v in row.items() if v}
-        if bad:
-            detail = ", ".join(
-                f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad
-            )
-            raise ValueError(f"constraint violation on {table}: {detail}")
 
     def last_txn(self, table: str, app_id: str) -> int | None:
         """Last batch id committed for `app_id`, or None (Delta
@@ -453,8 +465,9 @@ class TableStore(TableFormat):
                 except FileNotFoundError:
                     pass
         # also sweep uncommitted orphans (claimed dirs without the commit
-        # marker — a hard-killed writer's leftovers); claims stay so version
-        # numbers are never reused
+        # marker — a hard-killed writer's leftovers — and .stage-v* staging
+        # dirs a writer died on before the validate+rename); claims stay so
+        # version numbers are never reused
         tdir = os.path.join(self.root, table)
         committed = {e["v"] for e in meta["versions"]}
         for name in os.listdir(tdir):
@@ -463,6 +476,8 @@ class TableStore(TableFormat):
             if m and os.path.isdir(p) and int(m.group(1)) not in committed:
                 if not os.path.exists(os.path.join(p, "_SUCCESS")):
                     shutil.rmtree(p, ignore_errors=True)
+            elif name.startswith(".stage-v") and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         return removed
 
     def compact(

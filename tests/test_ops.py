@@ -755,7 +755,10 @@ def test_tablestore_check_constraints(spark, tmp_path):
         store.write("t", nullv)
 
     store.drop_constraint("t", "v_nonneg")
-    assert store.write("t", nullv) == 2  # id_notnull still holds; v gate gone
+    # the two violating writes BURNED claims 2 and 3 (claim numbers are
+    # never reused — same contract as a killed writer), so this lands at 4
+    assert store.write("t", nullv) == 4  # id_notnull still holds; v gate gone
+    assert [h["v"] for h in store.history("t")] == [4, 1, 0]
 
 
 def test_tablestore_compact(spark, tmp_path):
