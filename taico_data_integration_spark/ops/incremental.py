@@ -335,43 +335,71 @@ class TableStore(TableFormat):
         safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
         return os.path.join(self.root, table, "_txns", f"{safe}.json")
 
-    def _constraints_path(self, table: str) -> str:
-        return os.path.join(self.root, table, "_constraints.json")
+    def _constraints_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, "_constraints")
 
     def set_constraint(self, table: str, name: str, expr: str) -> None:
         """Delta ``ADD CONSTRAINT ... CHECK`` analog: register a SQL boolean
-        expression every FUTURE write of `table` must satisfy on every row
-        (existing versions are not re-validated, matching Delta). Stored in
-        a per-table sidecar so constraint edits never race the version
-        pointer. Enforcement rides the write job itself (Observation — no
-        extra scan at any size): the version is staged under a hidden name,
-        violation counts are checked when the job finishes, and only a
-        clean result is renamed into visibility — a violating write aborts
-        with ValueError and is never observable, not even transiently."""
-        cpath = self._constraints_path(table)
-        os.makedirs(os.path.dirname(cpath), exist_ok=True)
-        cons = self.constraints(table)
-        cons[name] = expr
-        tmp = f"{cpath}.{os.getpid()}.{time.time_ns()}.tmp"
+        expression every FUTURE write of `table` must satisfy on every row.
+
+        Like Delta, the CURRENT data is validated first — a constraint the
+        table already violates is rejected here, so maintenance rewrites
+        (compact / optimize_layout / GDPR erasure), which re-write
+        surviving rows through write(), can never be dead-locked by a
+        later-added constraint; the same pass surfaces a typo'd expression
+        as a clear ValueError instead of burning a version claim on the
+        next write. (Rolling back to a version that PREDATES the
+        constraint can still restore violating data — same caveat as
+        Delta's RESTORE.) Each constraint is its OWN atomically-replaced
+        file under ``<table>/_constraints/``, so concurrent edits of
+        different constraints never lose each other (no read-modify-write
+        of a shared map). Enforcement rides the write job itself
+        (Observation — no extra scan at any size): the version is staged
+        under a hidden name, violation counts are checked when the job
+        finishes, and only a clean result is renamed into visibility — a
+        violating write aborts with ValueError and is never observable,
+        not even transiently."""
+        if not self.exists(table):
+            raise ValueError(f"cannot add constraint to non-existent table {table}")
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        try:
+            bad = (
+                self.read(table)
+                .where(~F.expr(expr).eqNullSafe(F.lit(True)))
+                .limit(1)
+                .count()
+            )
+        except Exception as e:  # unresolved column, parse error, wrong type
+            raise ValueError(f"constraint expression invalid for {table}: {expr!r}: {e}") from e
+        if bad:
+            raise ValueError(
+                f"existing data in {table} violates constraint {name}: {expr!r}"
+            )
+        cdir = self._constraints_dir(table)
+        os.makedirs(cdir, exist_ok=True)
+        tmp = os.path.join(cdir, f".{safe}.{os.getpid()}.{time.time_ns()}.tmp")
         with open(tmp, "w") as f:
-            json.dump(cons, f)
-        os.replace(tmp, cpath)
+            json.dump({"name": name, "expr": expr}, f)
+        os.replace(tmp, os.path.join(cdir, f"{safe}.json"))
 
     def drop_constraint(self, table: str, name: str) -> None:
-        cons = self.constraints(table)
-        cons.pop(name, None)
-        cpath = self._constraints_path(table)
-        tmp = f"{cpath}.{os.getpid()}.{time.time_ns()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(cons, f)
-        os.replace(tmp, cpath)
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        try:
+            os.remove(os.path.join(self._constraints_dir(table), f"{safe}.json"))
+        except FileNotFoundError:
+            pass  # dropping an absent constraint is a no-op
 
     def constraints(self, table: str) -> dict:
-        cpath = self._constraints_path(table)
-        if not os.path.exists(cpath):
+        cdir = self._constraints_dir(table)
+        if not os.path.isdir(cdir):
             return {}
-        with open(cpath) as f:
-            return json.load(f)
+        out = {}
+        for fname in sorted(os.listdir(cdir)):
+            if fname.endswith(".json") and not fname.startswith("."):
+                with open(os.path.join(cdir, fname)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = rec["expr"]
+        return out
 
     def last_txn(self, table: str, app_id: str) -> int | None:
         """Last batch id committed for `app_id`, or None (Delta
@@ -445,10 +473,14 @@ class TableStore(TableFormat):
             raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         return self.spark.read.parquet(entry["path"])
 
-    def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
+    def vacuum(
+        self, table: str, keep_latest: int = 1, stage_ttl_seconds: float = 3600.0
+    ) -> list[int]:
         """Delta-VACUUM analog: physically delete all but the newest
         `keep_latest` versions. Required after GDPR erasure (ops.deletion) —
-        superseded versions still hold the erased rows until vacuumed."""
+        superseded versions still hold the erased rows until vacuumed.
+        Staging dirs (in-flight writes) are reaped only past
+        `stage_ttl_seconds`, protecting live concurrent writers."""
         import shutil
 
         meta = self._read_meta(table)
@@ -477,7 +509,17 @@ class TableStore(TableFormat):
                 if not os.path.exists(os.path.join(p, "_SUCCESS")):
                     shutil.rmtree(p, ignore_errors=True)
             elif name.startswith(".stage-v") and os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
+                # NEVER sweep a live writer's staging dir (it may be between
+                # job completion and the validate+rename): only reap stages
+                # old enough that their writer is provably dead — the same
+                # retention-window discipline Delta's VACUUM applies to
+                # uncommitted files
+                try:
+                    age = time.time() - os.path.getmtime(p)
+                except OSError:
+                    continue  # renamed/removed under us — it's live
+                if age > stage_ttl_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
         return removed
 
     def compact(

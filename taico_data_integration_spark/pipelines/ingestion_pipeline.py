@@ -130,10 +130,13 @@ def _embedding_near_dups(
 
     Robustness/scale contracts (review-hardened):
     - An EMPTY batch (everything dropped upstream) or one with no non-null
-      embedding returns an empty drop set — no dim probe, no crash.
-    - The corpus joins the pool only when it carries BOTH the embedding
-      column and (if given) the block column; otherwise the stage degrades
-      to within-batch dedup, same as the embedding-column-missing case.
+      embedding returns an empty drop set — no dim probe, no crash. The
+      probe runs only on the inline-LSH path (caller-provided blocks need
+      neither the dim nor the guard — empty frames flow through the joins).
+    - A corpus WITHOUT embeddings predates the embedding stage and is
+      skipped (within-batch dedup only); a corpus missing the caller's
+      BLOCK column is a misconfiguration and raises — silently skipping it
+      would admit near-duplicates of corpus docs into the corpus forever.
     - The blas kernel requires an integral doc id (its bigint cast would
       otherwise NULL string ids and die opaquely inside the Arrow task) —
       checked here, driver-side, fail-fast.
@@ -147,24 +150,26 @@ def _embedding_near_dups(
             raise ValueError(
                 f"neardup_kernel='blas' needs an integral doc_id, got {id_type!r}"
             )
-    first = (
-        batch.select(F.size(F.col(embedding_col)).alias("__d"))
-        .where(F.col(embedding_col).isNotNull())
-        .first()
-    )
-    if first is None:  # empty batch or all-null embeddings: nothing to drop
-        return batch.select("doc_id").where(F.lit(False))
+    use_corpus = corpus is not None and embedding_col in corpus.columns
+    if use_corpus and block_col is not None and block_col not in corpus.columns:
+        raise ValueError(
+            f"corpus lacks block column {block_col!r}; refusing to silently "
+            f"skip corpus-vs-batch embedding dedup (re-block the corpus or "
+            f"pass embedding_block_col=None for inline LSH blocking)"
+        )
     cols = ["doc_id", embedding_col] + ([block_col] if block_col else [])
     pool = batch.select(*cols)
-    use_corpus = (
-        corpus is not None
-        and embedding_col in corpus.columns
-        and (block_col is None or block_col in corpus.columns)
-    )
     if use_corpus:
         pool = pool.unionByName(corpus.select(*cols))
     blk = block_col
     if blk is None:
+        first = (
+            batch.select(F.size(F.col(embedding_col)).alias("__d"))
+            .where(F.col(embedding_col).isNotNull())
+            .first()
+        )
+        if first is None:  # empty batch or all-null embeddings: nothing to drop
+            return batch.select("doc_id").where(F.lit(False))
         dim = first["__d"]
         v = _to_double(F.col(embedding_col))
         bits = [

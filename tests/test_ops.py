@@ -760,6 +760,44 @@ def test_tablestore_check_constraints(spark, tmp_path):
     assert store.write("t", nullv) == 4  # id_notnull still holds; v gate gone
     assert [h["v"] for h in store.history("t")] == [4, 1, 0]
 
+    # Delta semantics at ADD time: existing data is validated, so a
+    # constraint the table already violates is rejected here — maintenance
+    # rewrites (compact/optimize/erase) can never be dead-locked later
+    with pytest.raises(ValueError, match="existing data"):
+        store.set_constraint("t", "late_gate", "v IS NOT NULL")
+    # ...and a typo'd expression fails HERE with a clear error, not on the
+    # next write with a burned claim
+    with pytest.raises(ValueError, match="invalid"):
+        store.set_constraint("t", "typo", "vv >= 0")
+    with pytest.raises(ValueError, match="non-existent"):
+        store.set_constraint("never_written", "x", "1 = 1")
+    store.drop_constraint("t", "never_was")  # absent constraint: no-op
+    # maintenance rewrite passes the surviving gate (id_notnull)
+    assert store.compact("t", rows_per_file=10)["rows"] == 1
+
+
+def test_tablestore_vacuum_protects_live_staging(spark, tmp_path):
+    """vacuum must never reap a LIVE writer's staging dir (between job
+    completion and the validate+rename) — only stages older than the TTL,
+    the same retention-window discipline as Delta VACUUM."""
+    import os
+    import time as _time
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.range(3))
+    store.write("t", spark.range(4))
+    tdir = str(tmp_path / "t")
+    live = os.path.join(tdir, ".stage-v0099")
+    os.makedirs(live)
+    store.vacuum("t", keep_latest=1)
+    assert os.path.isdir(live), "live staging dir was reaped"
+    old = _time.time() - 7200
+    os.utime(live, (old, old))
+    store.vacuum("t", keep_latest=1)
+    assert not os.path.isdir(live), "expired staging dir survived"
+
 
 def test_tablestore_compact(spark, tmp_path):
     from taico_data_integration_spark.ops.incremental import TableStore

@@ -352,8 +352,9 @@ def test_ingestion_embedding_stage_guards(spark, tmp_path):
     with _pt.raises(ValueError, match="integral doc_id"):
         _embedding_near_dups(sb, None, "embedding", None, 0.98, "blas")
 
-    # corpus without the block column: stage must not crash; within-batch
-    # survivorship still applies (doc 2 loses to doc 1 in the same block)
+    # corpus WITH embeddings but WITHOUT the caller's block column is a
+    # misconfiguration: silently skipping corpus dedup would admit
+    # near-duplicates of corpus docs forever — must raise, loudly
     corpus = spark.createDataFrame(
         [(100, "old", [0.0, 1.0])], "doc_id long, text string, embedding array<double>"
     )
@@ -361,8 +362,17 @@ def test_ingestion_embedding_stage_guards(spark, tmp_path):
         [(1, "a", [1.0, 0.0], "blk"), (2, "b", [1.0, 0.0], "blk")],
         "doc_id long, text string, embedding array<double>, cluster string",
     )
+    with _pt.raises(ValueError, match="lacks block column"):
+        _embedding_near_dups(nb, corpus, "embedding", "cluster", 0.98, "fold")
+
+    # corpus WITHOUT embeddings predates the stage: within-batch dedup only
+    legacy = spark.createDataFrame([(100, "old")], "doc_id long, text string")
     dropped = {
         r.doc_id
-        for r in _embedding_near_dups(nb, corpus, "embedding", "cluster", 0.98, "fold").collect()
+        for r in _embedding_near_dups(nb, legacy, "embedding", "cluster", 0.98, "fold").collect()
     }
     assert dropped == {2}
+
+    # empty batch with caller-provided blocks: no probe job, no crash
+    empty = nb.where("1=0")
+    assert _embedding_near_dups(empty, None, "embedding", "cluster", 0.98, "fold").count() == 0
