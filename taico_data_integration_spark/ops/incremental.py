@@ -331,9 +331,24 @@ class TableStore(TableFormat):
         self._write_pointer(table, version, txn=_txn)
         return version
 
+    @staticmethod
+    def _fs_safe_name(raw: str) -> str:
+        """Filesystem-safe image of a user-supplied name that stays
+        INJECTIVE: names already filesystem-safe map to themselves
+        (back-compat with existing sidecar files), anything else gets its
+        unsafe characters replaced AND a short digest of the raw name
+        appended — so 'a b' and 'a:b' can never share a file (ADVICE r6:
+        a bare re.sub collides them, silently overwriting an unrelated
+        constraint / txn watermark)."""
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", raw)
+        if safe == raw:
+            return safe
+        import hashlib
+
+        return f"{safe}-{hashlib.sha256(raw.encode()).hexdigest()[:8]}"
+
     def _txn_sidecar(self, table: str, app_id: str) -> str:
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", app_id)
-        return os.path.join(self.root, table, "_txns", f"{safe}.json")
+        return os.path.join(self.root, table, "_txns", f"{self._fs_safe_name(app_id)}.json")
 
     def _constraints_dir(self, table: str) -> str:
         return os.path.join(self.root, table, "_constraints")
@@ -361,7 +376,7 @@ class TableStore(TableFormat):
         not even transiently."""
         if not self.exists(table):
             raise ValueError(f"cannot add constraint to non-existent table {table}")
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        safe = self._fs_safe_name(name)
         try:
             bad = (
                 self.read(table)
@@ -383,7 +398,7 @@ class TableStore(TableFormat):
         os.replace(tmp, os.path.join(cdir, f"{safe}.json"))
 
     def drop_constraint(self, table: str, name: str) -> None:
-        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        safe = self._fs_safe_name(name)
         try:
             os.remove(os.path.join(self._constraints_dir(table), f"{safe}.json"))
         except FileNotFoundError:
@@ -818,6 +833,21 @@ class TableStore(TableFormat):
                             return None  # unparseable bound -> no pruning
 
                     nlo, nhi = _temporal(clo, nlo), _temporal(chi, nhi)
+                else:
+                    # Reverse direction of the same hazard: a datetime/date
+                    # BOUND normalizes to a 'T'-separated ISO string, but a
+                    # PLAIN string column's stats keep their raw form (e.g.
+                    # space-separated '1998-07-01 23:59:59'), so lexicographic
+                    # comparison would silently over-prune files whose rows
+                    # the Spark residual (string cast to timestamp) matches —
+                    # and pruned files are unrecoverable. Stats unusable.
+                    import datetime as _dt
+
+                    if isinstance(smin, str) and (
+                        isinstance(clo, (_dt.date, _dt.datetime))
+                        or isinstance(chi, (_dt.date, _dt.datetime))
+                    ):
+                        continue
                 try:
                     if (nlo is not None and smax < nlo) or (nhi is not None and smin > nhi):
                         keep_file = False

@@ -254,9 +254,19 @@ def ingest_batch(
     n_deduped = deduped.count()
     n_near = n_batch_exact - n_deduped
 
-    # 2b. embedding-cosine near-dup stage (optional; kernel-selectable)
+    # 2b. embedding-cosine near-dup stage (optional; kernel-selectable).
+    # A requested column missing from the BATCH is caller error (likely a
+    # typo) and must fail fast — a silent skip admits near-duplicates into
+    # the corpus permanently (ADVICE r6); the documented lenient case is
+    # only the CORPUS predating embeddings, handled in _embedding_near_dups.
     n_embed = 0
-    if embedding_col is not None and embedding_col in deduped.columns:
+    if embedding_col is not None and embedding_col not in deduped.columns:
+        raise ValueError(
+            f"embedding_col {embedding_col!r} not in batch columns "
+            f"{batch.columns}; pass embedding_col=None to skip the "
+            "embedding near-dup stage"
+        )
+    if embedding_col is not None:
         corpus_df = store.read(CORPUS_TABLE) if store.exists(CORPUS_TABLE) else None
         edrop = _embedding_near_dups(
             deduped, corpus_df, embedding_col, embedding_block_col,

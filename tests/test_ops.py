@@ -776,6 +776,36 @@ def test_tablestore_check_constraints(spark, tmp_path):
     assert store.compact("t", rows_per_file=10)["rows"] == 1
 
 
+def test_tablestore_sidecar_names_injective(spark, tmp_path):
+    """Regression (ADVICE r6): constraint names / txn app_ids that differ
+    only in sanitized characters ('a b' vs 'a:b') must NOT share a sidecar
+    file — a bare re.sub collides them, so set_constraint overwrites an
+    unrelated constraint and drop_constraint('a b') removes 'a:b'."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([(1, 5.0)], "id long, v double"))
+    store.set_constraint("t", "a b", "v >= 0")
+    store.set_constraint("t", "a:b", "id IS NOT NULL")
+    cons = store.constraints("t")
+    assert cons == {"a b": "v >= 0", "a:b": "id IS NOT NULL"}
+    store.drop_constraint("t", "a b")
+    assert store.constraints("t") == {"a:b": "id IS NOT NULL"}
+    # clean names keep their pre-fix filenames (back-compat with existing
+    # stores); only names that CHANGE under sanitization get the digest
+    store.set_constraint("t", "plain_name", "v IS NOT NULL OR v IS NULL")
+    import os
+
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "t", "_constraints", "plain_name.json")
+    )
+    # txn app_ids: same injectivity — two apps, separate watermarks
+    df = spark.createDataFrame([(2, 1.0)], "id long, v double")
+    store.write_with_txn("t", df, "app 1", 7)
+    assert store.last_txn("t", "app:1") is None
+    assert store.last_txn("t", "app 1") == 7
+
+
 def test_tablestore_vacuum_protects_live_staging(spark, tmp_path):
     """vacuum must never reap a LIVE writer's staging dir (between job
     completion and the validate+rename) — only stages older than the TTL,
@@ -1126,6 +1156,45 @@ def test_tablestore_read_pruned_string_bound_on_timestamp(spark, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     assert got.count() == want.count() > 0
     assert rep["files_read"] < rep["files_total"]
+
+
+def test_tablestore_read_pruned_datetime_bound_on_string_column(spark, tmp_path):
+    """Regression (ADVICE r6, reverse of the string-bound case): a
+    datetime/date BOUND normalizes to a 'T'-separated ISO string, but a
+    plain STRING column's stats keep their raw space-separated form —
+    'T' sorts after every digit and space, so lexicographic comparison
+    would prune a boundary file whose rows satisfy the Spark residual
+    (string cast to timestamp). Plain string stats must be treated as
+    unusable against a temporal bound: conservative keep, residual decides."""
+    import datetime as dt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr(
+        "date_format(timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP'1998-01-01 00:00:00'), 'yyyy-MM-dd HH:mm:ss') AS ts_str",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["ts_str"], num_files=8)
+    m = store.collect_file_stats("t", ["ts_str"])
+    assert all(rec["cols"]["ts_str"]["kind"] == "plain" for rec in m["files"].values())
+    got, rep = store.read_pruned(
+        "t", "ts_str", lo=dt.datetime(1998, 3, 1), hi=dt.datetime(1998, 4, 1)
+    )
+    want = df.where(
+        "ts_str >= '1998-03-01 00:00:00' AND ts_str <= '1998-04-01 00:00:00'"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # no usable stats for this (column, bound-type) pair: nothing pruned
+    assert rep["files_read"] == rep["files_total"]
+    # sanity: the same range as raw strings still prunes (stats ARE usable)
+    _, rep2 = store.read_pruned(
+        "t", "ts_str", lo="1998-03-01 00:00:00", hi="1998-04-01 00:00:00"
+    )
+    assert rep2["files_read"] < rep2["files_total"]
 
 
 def test_table_changes_across_schema_evolution(spark, tmp_path):

@@ -376,3 +376,9 @@ def test_ingestion_embedding_stage_guards(spark, tmp_path):
     # empty batch with caller-provided blocks: no probe job, no crash
     empty = nb.where("1=0")
     assert _embedding_near_dups(empty, None, "embedding", "cluster", 0.98, "fold").count() == 0
+
+    # ADVICE r6: a typo'd embedding_col must fail fast in ingest_batch, not
+    # silently skip the stage (n_embed_near_dup=0 with no signal admits
+    # near-duplicates into the corpus permanently)
+    with _pt.raises(ValueError, match="embedding_colx"):
+        ingest_batch(spark, store, sb, embedding_col="embedding_colx")
