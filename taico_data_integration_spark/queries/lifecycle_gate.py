@@ -58,16 +58,36 @@ def _enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lifecycle_tablestore_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3+M6 on the versioned-parquet TableStore: baseline write, a FAILING
-    promotion (half the rows dropped — validation rejects, store rolls back),
-    then a passing promotion of the enriched rebuild. Returns the final
-    read-back; history/pointer invariants are hard-checked."""
+    """M3+M6 on the versioned-parquet TableStore: baseline write, a CHECK
+    constraint that must abort a violating write with no visible version
+    (VERDICT r6 #1 — the constraint surface under the driver's gate), a
+    FAILING promotion (half the rows dropped — validation rejects, store
+    rolls back), then a passing promotion of the enriched rebuild. Returns
+    the final read-back; history/pointer invariants are hard-checked."""
     nation = T(spark, sf_dir, "nation")
     n_base = nation.count()
     work = tempfile.mkdtemp(prefix="taico_lcg_store_")
     try:
         store = TableStore(spark, os.path.join(work, "store"))
         store.write("dim_nation", nation)  # v0: M3 staging rebuild baseline
+        # CHECK constraint: a violating staged batch must abort BEFORE any
+        # version becomes visible — not even transiently (stage-then-rename)
+        store.set_constraint("dim_nation", "regionkey_nonneg", "n_regionkey >= 0")
+        violating = nation.withColumn("n_regionkey", F.lit(-1))
+        try:
+            store.write("dim_nation", violating)
+            raise RuntimeError(
+                "lifecycle_tablestore_promote: constraint-violating write accepted"
+            )
+        except ValueError:
+            pass  # the contract: ValueError, version claim burned, nothing visible
+        hist = store.history("dim_nation")
+        if len(hist) != 1 or hist[0]["v"] != 0 or not hist[0]["is_current"]:
+            raise RuntimeError(
+                f"lifecycle_tablestore_promote: violating write left a trace {hist}"
+            )
+        if store.read("dim_nation").count() != n_base:
+            raise RuntimeError("lifecycle_tablestore_promote: constraint abort lost v0")
         bad = nation.where(F.col("n_nationkey") < 5)  # truncated staged batch
         if store.promote_with_validation(
             "dim_nation", bad, lambda df: df.count() >= n_base
@@ -80,8 +100,10 @@ def lifecycle_tablestore_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim_nation", good, lambda df: df.count() >= n_base
         ):
             raise RuntimeError("lifecycle_tablestore_promote: good batch was rejected")
+        # claim 1 was burned by the constraint abort (claims never reused),
+        # so the rejected batch landed at v2 and the good rebuild at v3
         hist = store.history("dim_nation")
-        if len(hist) != 3 or not hist[0]["is_current"] or hist[0]["v"] != 2:
+        if len(hist) != 3 or not hist[0]["is_current"] or hist[0]["v"] != 3:
             raise RuntimeError(f"lifecycle_tablestore_promote: bad history {hist}")
         return _materialize(store.read("dim_nation"))
     finally:
@@ -266,6 +288,156 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping under the driver's gate (VERDICT r6 #1): write orders
+    into the TableStore, cluster on order date (optimize_layout →
+    range-disjoint files + per-file stats manifest), then read a 7-month
+    window via read_pruned. Hard invariants: the pruned read touched at
+    most 3 of the 8 files (the I/O claim), the pruned result is EXACTLY the
+    full-scan residual (row parity both directions — skipping must never
+    change results), and stats_aggregate answers the row count from the
+    manifest alone (metadata-only aggregate). Returns the pruned window for
+    the hash gate."""
+    import datetime as dt
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("o_date")
+    )
+    lo, hi = dt.date(1997, 6, 1), dt.date(1997, 12, 31)
+    work = tempfile.mkdtemp(prefix="taico_lcg_skip_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("orders_by_date", orders)
+        n_total = store.read("orders_by_date").count()
+        store.optimize_layout("orders_by_date", ["o_date"], num_files=8)
+        pruned, report = store.read_pruned("orders_by_date", "o_date", lo=lo, hi=hi)
+        if report["files_total"] < 8 or report["files_read"] > 3:
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: pruning ineffective {report}"
+            )
+        full = store.read("orders_by_date").where(
+            (F.col("o_date") >= F.lit(lo)) & (F.col("o_date") <= F.lit(hi))
+        )
+        if pruned.exceptAll(full).count() or full.exceptAll(pruned).count():
+            raise RuntimeError(
+                "lifecycle_skipping_gate: pruned read diverged from full scan"
+            )
+        agg = store.stats_aggregate("orders_by_date", ["o_date"])
+        if agg["count"] != n_total or agg.get("o_date", {}).get("min") is None:
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: metadata-only aggregate wrong {agg}"
+            )
+        return _materialize(pruned)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def lifecycle_cdc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed + exactly-once txn under the driver's gate (VERDICT r6
+    #1): v0 = customers, v1 = a deterministic edit script (every 10th key
+    deleted, keys ≡1 mod 10 get +100 balance, keys ≡2 mod 10 re-inserted
+    offset by 1M) committed via write_with_txn. Hard invariants: the replayed
+    txn batch commits NOTHING (exactly-once — same app_id/batch_id returns
+    None, history unchanged), and cdc_apply(v0, table_changes(0,1))
+    reconstructs v1 exactly (the feed is complete and minimal). Returns the
+    change feed itself for the hash gate."""
+    customer = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_cdc_")
+    try:
+        from ..ops.cdc import cdc_apply
+
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("dim_customer", customer)  # v0
+        mod = F.col("c_custkey") % 10
+        v1 = (
+            customer.where(mod != 0)
+            .withColumn(
+                "c_acctbal",
+                F.when(mod == 1, F.col("c_acctbal") + F.lit(100.0)).otherwise(
+                    F.col("c_acctbal")
+                ),
+            )
+            .unionByName(
+                customer.where(mod == 2).withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(1_000_000)
+                )
+            )
+        )
+        if store.write_with_txn("dim_customer", v1, "cdc_gate_app", 1) != 1:
+            raise RuntimeError("lifecycle_cdc_gate: first txn write did not commit v1")
+        if store.write_with_txn("dim_customer", v1, "cdc_gate_app", 1) is not None:
+            raise RuntimeError("lifecycle_cdc_gate: replayed txn batch committed")
+        if [h["v"] for h in store.history("dim_customer")] != [1, 0]:
+            raise RuntimeError("lifecycle_cdc_gate: replay changed history")
+        feed = store.table_changes("dim_customer", 0, 1, ["c_custkey"])
+        changelog = feed.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", F.lit("D"))
+            .when(F.col("_change_type") == "insert", F.lit("I"))
+            .otherwise(F.lit("U")),
+        ).withColumn("seq", F.lit(1)).drop("_change_type")
+        rebuilt = cdc_apply(
+            store.read("dim_customer", 0), changelog, ["c_custkey"]
+        )
+        v1_read = store.read("dim_customer", 1)
+        if rebuilt.exceptAll(v1_read).count() or v1_read.exceptAll(rebuilt).count():
+            raise RuntimeError(
+                "lifecycle_cdc_gate: cdc_apply(v0, feed) did not reconstruct v1"
+            )
+        return _materialize(feed)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def lifecycle_timetravel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the driver's gate (VERDICT r6 #1): three commits of
+    a nation dim (raw → lowercased names → truncated), then TIMESTAMP AS OF
+    between the v1 and v2 commits must pin EXACTLY v1. Hard invariants: the
+    as-of read equals the version-pinned read row-for-row, a never-committed
+    version raises ValueError, and an as-of before the first commit raises
+    ValueError (the documented missing-version contract). Returns the as-of
+    read (v1 state) for the hash gate."""
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    work = tempfile.mkdtemp(prefix="taico_lcg_tt_")
+    try:
+        import time as _time
+
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("dim_nation", nation)  # v0
+        _time.sleep(0.05)  # distinct commit mtimes (ties break by version)
+        store.write("dim_nation", nation.withColumn("n_name", F.lower("n_name")))
+        _time.sleep(0.05)
+        store.write("dim_nation", nation.where(F.col("n_nationkey") < 10))
+        ts = {h["v"]: h["ts"] for h in store.history("dim_nation")}
+        if not ts[0] < ts[1] < ts[2]:
+            raise RuntimeError(f"lifecycle_timetravel_gate: commit times not ordered {ts}")
+        as_of = store.read_as_of("dim_nation", (ts[1] + ts[2]) / 2)
+        pinned = store.read("dim_nation", version=1)
+        if as_of.exceptAll(pinned).count() or pinned.exceptAll(as_of).count():
+            raise RuntimeError(
+                "lifecycle_timetravel_gate: as-of read is not the pinned v1"
+            )
+        try:
+            store.read("dim_nation", version=57)
+            raise RuntimeError(
+                "lifecycle_timetravel_gate: uncommitted version read succeeded"
+            )
+        except ValueError:
+            pass
+        try:
+            store.read_as_of("dim_nation", ts[0] - 100.0)
+            raise RuntimeError(
+                "lifecycle_timetravel_gate: pre-history as-of read succeeded"
+            )
+        except ValueError:
+            pass
+        return _materialize(as_of)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 TABLESTORE_PROMOTE_SQL = """
 SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -299,6 +471,34 @@ SELECT c_custkey,
 FROM customer
 """
 
+SKIPPING_GATE_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+FROM orders
+WHERE CAST(o_orderdate AS DATE)
+      BETWEEN DATE '1997-06-01' AND DATE '1997-12-31'
+"""
+
+CDC_GATE_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       'delete' AS _change_type
+FROM base WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal + CAST(100.0 AS DOUBLE) AS c_acctbal,
+       c_mktsegment, 'update_postimage' AS _change_type
+FROM base WHERE c_custkey % 10 = 1
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal, c_mktsegment,
+       'insert' AS _change_type
+FROM base WHERE c_custkey % 10 = 2
+"""
+
+TIMETRAVEL_GATE_SQL = """
+SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey FROM nation
+"""
+
 QUERIES = {
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -306,6 +506,9 @@ QUERIES = {
     "sink_json_roundtrip": sink_json_roundtrip,
     "sink_jdbc_roundtrip": sink_jdbc_roundtrip,
     "lifecycle_partitioned_overwrite": lifecycle_partitioned_overwrite,
+    "lifecycle_skipping_gate": lifecycle_skipping_gate,
+    "lifecycle_cdc_gate": lifecycle_cdc_gate,
+    "lifecycle_timetravel_gate": lifecycle_timetravel_gate,
 }
 
 ORACLE = {
@@ -315,4 +518,7 @@ ORACLE = {
     "sink_json_roundtrip": JSON_ROUNDTRIP_SQL,
     "sink_jdbc_roundtrip": JDBC_ROUNDTRIP_SQL,
     "lifecycle_partitioned_overwrite": PARTITIONED_OVERWRITE_SQL,
+    "lifecycle_skipping_gate": SKIPPING_GATE_SQL,
+    "lifecycle_cdc_gate": CDC_GATE_SQL,
+    "lifecycle_timetravel_gate": TIMETRAVEL_GATE_SQL,
 }
