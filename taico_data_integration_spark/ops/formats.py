@@ -194,7 +194,21 @@ class SqlWarehouseFormat(TableFormat):
 
     ``location`` roots the table files (external-table paths) so tests can
     point at a tmp dir; ``namespace`` isolates concurrent instances in the
-    shared session catalog."""
+    shared session catalog.
+
+    **Concurrency boundary (narrower than TableStore's — deliberately).**
+    TableStore carries a cross-PROCESS contract (O_EXCL version claims,
+    _SUCCESS-gated visibility, atomic rename swap — proven with two real
+    JVMs and a SIGKILLed ghost writer in tests/test_ops.py). This format
+    does NOT: writers serialize on a per-namespace ``threading.RLock``
+    (same-session only) and version bookkeeping is a full overwrite of the
+    ``<ns>__meta`` table, so two DRIVER PROCESSES sharing an external
+    metastore have a lost-update window on the meta table between read and
+    overwrite. That is the standard catalog-format design point — multi-
+    writer arbitration belongs to a transactional metastore (Hive ACID,
+    Unity, Glue+Lock), and a namespace must have a single writing
+    application unless one is present. Use TableStore when multi-process
+    writers on shared storage are the requirement."""
 
     def __init__(self, spark: SparkSession, namespace: str, location: str | None = None):
         self.spark = spark

@@ -489,28 +489,52 @@ class TableStore(TableFormat):
         return self.spark.read.parquet(entry["path"])
 
     def vacuum(
-        self, table: str, keep_latest: int = 1, stage_ttl_seconds: float = 3600.0
+        self,
+        table: str,
+        keep_latest: int = 1,
+        stage_ttl_seconds: float = 3600.0,
+        min_age_seconds: float = 0.0,
     ) -> list[int]:
         """Delta-VACUUM analog: physically delete all but the newest
         `keep_latest` versions. Required after GDPR erasure (ops.deletion) —
         superseded versions still hold the erased rows until vacuumed.
         Staging dirs (in-flight writes) are reaped only past
-        `stage_ttl_seconds`, protecting live concurrent writers."""
+        `stage_ttl_seconds`, protecting live concurrent writers.
+
+        ``min_age_seconds`` is the reader-retention horizon (Delta's
+        ``deletedFileRetentionDuration``): a version is removable only once
+        it has been SUPERSEDED for at least that long — measured from the
+        NEXT version's commit time, because that is the moment the version
+        stopped being the default read target — so a reader that pinned the
+        then-current version keeps its files for the whole window. Size it
+        above the longest-running query (Delta defaults to 7 days). The
+        default 0.0 keeps vacuum immediate for tests and GDPR flows where
+        the operator KNOWS no reader is live. A read that races a vacuum
+        anyway fails loudly, never silently: a pinned re-read of a vacuumed
+        version raises the documented ``ValueError`` (version not committed
+        or vacuumed), and an already-planned DataFrame over removed files
+        surfaces Spark's missing-file error mid-scan."""
         import shutil
 
         meta = self._read_meta(table)
-        keep = {e["v"] for e in meta["versions"][-keep_latest:]}
+        versions = meta["versions"]
+        keep = {e["v"] for e in versions[-keep_latest:]}
         keep.add(meta["current"])
+        now = time.time()
         removed = []
-        for e in meta["versions"]:
-            if e["v"] not in keep:
-                shutil.rmtree(e["path"], ignore_errors=True)
-                removed.append(e["v"])
-                # drop the version's data-skipping manifest with its files
-                try:
-                    os.remove(self._stats_path(table, e["v"]))
-                except FileNotFoundError:
-                    pass
+        for i, e in enumerate(versions):
+            if e["v"] in keep:
+                continue
+            superseded_at = versions[i + 1]["ts"] if i + 1 < len(versions) else now
+            if now - superseded_at < min_age_seconds:
+                continue  # retention window: a pinned reader may be mid-scan
+            shutil.rmtree(e["path"], ignore_errors=True)
+            removed.append(e["v"])
+            # drop the version's data-skipping manifest with its files
+            try:
+                os.remove(self._stats_path(table, e["v"]))
+            except FileNotFoundError:
+                pass
         # also sweep uncommitted orphans (claimed dirs without the commit
         # marker — a hard-killed writer's leftovers — and .stage-v* staging
         # dirs a writer died on before the validate+rename); claims stay so

@@ -14,6 +14,14 @@ Modes (dispatched on argv[1]):
   directory with a partial task file but NO _SUCCESS marker (the exact
   window a hard-killed writer dies in), touch <sentinel>, sleep until the
   parent SIGKILLs us.
+- ``stream_merge <root> <input_dir> <ckpt> <mode> <sentinel>`` — run
+  ``stream_merge_into`` (availableNow, exactly-once app_id) over a parquet
+  file source. mode ``crash``: the store's write_with_txn is wrapped to
+  COMMIT the sink version, touch <sentinel>, then block before foreachBatch
+  returns — the exact window between sink write and checkpoint commit that
+  write_with_txn exists for; the parent SIGKILLs the whole process group
+  there (python driver AND its JVM). mode ``resume``: plain run to
+  completion — a redelivered batch must be skipped by its txn id.
 """
 
 import json
@@ -65,10 +73,49 @@ def hang_main(root: str, sentinel: str) -> int:
     return 0
 
 
+def stream_merge_main(root: str, input_dir: str, ckpt: str, mode: str, sentinel: str) -> int:
+    from pyspark.sql import SparkSession
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+    from taico_data_integration_spark.streaming.incremental_stream import (
+        stream_merge_into,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"stream-merge-soak-{mode}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1500m")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    store = TableStore(spark, root)
+    if mode == "crash":
+        # commit the sink version, then freeze BEFORE foreachBatch returns:
+        # the checkpoint offset is written but the batch COMMIT never is, so
+        # a restart redelivers this exact batch — the duplicate-version
+        # window the txn sidecar closes
+        real = store.write_with_txn
+
+        def crashing_write_with_txn(table, df, app_id, batch_id, partition_by=None):
+            v = real(table, df, app_id, batch_id, partition_by)
+            open(sentinel, "w").close()
+            time.sleep(3600)  # parent SIGKILLs the process group here
+            return v
+
+        store.write_with_txn = crashing_write_with_txn
+    events = spark.readStream.schema("id long, v string").parquet(input_dir)
+    stream_merge_into(events, store, "t", ["id"], ckpt, app_id="soak_app")
+    spark.stop()
+    return 0
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "promote":
         sys.exit(promote_main(*sys.argv[2:7]))
     elif mode == "hang":
         sys.exit(hang_main(*sys.argv[2:4]))
+    elif mode == "stream_merge":
+        sys.exit(stream_merge_main(*sys.argv[2:7]))
     sys.exit(2)

@@ -253,6 +253,87 @@ def test_stream_merge_txn_skips_replayed_batches(spark, tmp_path):
     assert store.read("m").count() == rows  # same keys: content unchanged
 
 
+def test_stream_merge_sigkill_between_sink_and_checkpoint(spark, tmp_path):
+    """VERDICT r6 #6: a REAL stream_merge_into driver process SIGKILLed in
+    the exact window write_with_txn exists for — after the sink version
+    commits, before the checkpoint batch commit — must converge on restart
+    with ZERO duplicate versions: the redelivered batch is recognized by
+    its txn id and skipped, and later batches merge normally."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "store")
+    input_dir = str(tmp_path / "input")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "v": ["a", "a"]}),
+        os.path.join(input_dir, "batch0.parquet"),
+    )
+
+    worker = os.path.join(os.path.dirname(__file__), "_tablestore_worker.py")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(worker)))
+
+    def run(mode: str, sentinel: str = "-") -> subprocess.Popen:
+        # own process group so SIGKILL takes the driver AND its JVM child
+        return subprocess.Popen(
+            [sys.executable, worker, "stream_merge", root, input_dir, ckpt, mode, sentinel],
+            env=env,
+            start_new_session=True,
+        )
+
+    sentinel = str(tmp_path / "sink_committed")
+    p = run("crash", sentinel)
+    try:
+        deadline = _time.time() + 300
+        while not os.path.exists(sentinel):
+            assert _time.time() < deadline, "crash worker never committed the sink"
+            assert p.poll() is None, "crash worker exited before the kill window"
+            _time.sleep(0.1)
+        # the window is real: sink version 0 is committed with its txn...
+        store = TableStore(spark, root)
+        assert [h["v"] for h in store.history("t")] == [0]
+        assert store.last_txn("t", "soak_app") == 0
+        # ...but batch 0 was never committed to the checkpoint
+        assert not os.path.exists(os.path.join(ckpt, "commits", "0"))
+        os.killpg(p.pid, signal.SIGKILL)
+        p.wait(timeout=30)
+    finally:
+        if p.poll() is None:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+    # restart: foreachBatch redelivers batch 0 — txn id must skip it
+    p = run("resume")
+    assert p.wait(timeout=300) == 0
+    store = TableStore(spark, root)
+    assert [h["v"] for h in store.history("t")] == [0]  # zero duplicate versions
+    assert {(r.id, r.v) for r in store.read("t").collect()} == {(1, "a"), (2, "a")}
+
+    # new data after recovery merges normally as the NEXT batch/version
+    pq.write_table(
+        pa.table({"id": pa.array([2, 3], pa.int64()), "v": ["b", "b"]}),
+        os.path.join(input_dir, "batch1.parquet"),
+    )
+    p = run("resume")
+    assert p.wait(timeout=300) == 0
+    assert [h["v"] for h in store.history("t")] == [1, 0]
+    assert {(r.id, r.v) for r in store.read("t").collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "b"),
+    }
+    assert store.last_txn("t", "soak_app") == 1
+
+
 def test_tablestore_write_with_txn_unit(spark, tmp_path):
     """Replayed batch id returns None and writes nothing; txn records
     survive rollback (pointer swaps preserve the txn map)."""
