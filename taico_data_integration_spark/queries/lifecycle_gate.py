@@ -295,9 +295,11 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     window via read_pruned. Hard invariants: the pruned read touched at
     most 3 of the 8 files (the I/O claim), the pruned result is EXACTLY the
     full-scan residual (row parity both directions — skipping must never
-    change results), and stats_aggregate answers the row count from the
-    manifest alone (metadata-only aggregate). Returns the pruned window for
-    the hash gate."""
+    change results), stats_aggregate answers the row count from the
+    manifest alone (metadata-only aggregate), and read_since (the
+    incremental consumer read) file-prunes from the same manifest while
+    agreeing exactly with the strict residual. Returns the pruned window
+    for the hash gate."""
     import datetime as dt
 
     orders = T(spark, sf_dir, "orders").select(
@@ -326,6 +328,20 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if agg["count"] != n_total or agg.get("o_date", {}).get("min") is None:
             raise RuntimeError(
                 f"lifecycle_skipping_gate: metadata-only aggregate wrong {agg}"
+            )
+        # read_since (incremental consumer read) on the same clustered table:
+        # a catch-up from the window's lo-1d watermark must also file-prune
+        # and must agree with the strict residual predicate exactly
+        wm = lo - dt.timedelta(days=1)
+        since, since_rep = store.read_since("orders_by_date", "o_date", wm)
+        if since_rep["files_read"] >= since_rep["files_total"]:
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: read_since did not prune {since_rep}"
+            )
+        expect_since = store.read("orders_by_date").where(F.col("o_date") > F.lit(wm))
+        if since.exceptAll(expect_since).count() or expect_since.exceptAll(since).count():
+            raise RuntimeError(
+                "lifecycle_skipping_gate: read_since diverged from the residual"
             )
         return _materialize(pruned)
     finally:

@@ -446,3 +446,25 @@ def test_adpcm_roundtrip_property(n, freq, amp, seed):
     if n >= 32:  # allow the predictor a few samples of attack
         err = np.abs(sig[16:].astype(int) - dec[16:, 0].astype(int))
         assert float(np.mean(err)) <= max(200.0, 0.15 * amp)
+
+
+@given(
+    a=st.text(min_size=1, max_size=40),
+    b=st.text(min_size=1, max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_fs_safe_name_injective_property(a, b):
+    """ADVICE r6: the filesystem image of constraint names / txn app_ids
+    must be INJECTIVE (distinct names never share a sidecar file) and
+    must be the identity on already-safe names (back-compat with stores
+    written before the digest suffix existed)."""
+    import re
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    fa, fb = TableStore._fs_safe_name(a), TableStore._fs_safe_name(b)
+    if a != b:
+        assert fa != fb, (a, b, fa)
+    assert re.fullmatch(r"[A-Za-z0-9_.-]+", fa), (a, fa)
+    if re.fullmatch(r"[A-Za-z0-9_.-]+", a):
+        assert fa == a
