@@ -1114,14 +1114,20 @@ def test_tablestore_read_pruned_fuzz_equals_full_scan(spark, tmp_path, seed):
         f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(10, 500)}) AS a",
         "CHAR(65 + CAST(id % 26 AS INT)) AS s",
         "timestampadd(MINUTE, CAST(id % 50000 AS INT), TIMESTAMP'2020-01-01') AS ts",
+        # a TEMPORAL-LOOKING plain string column: the ADVICE r6 hazard class
+        # (datetime bound vs raw string stats and vice versa) stays fuzzed
+        "date_format(timestampadd(MINUTE, CAST(id % 50000 AS INT), "
+        "TIMESTAMP'2020-01-01'), 'yyyy-MM-dd HH:mm:ss') AS ds",
         "id AS payload",
     )
     store.write("t", df.repartition(rng.randint(2, 6)))
     if rng.random() < 0.7:
-        store.optimize_layout("t", [rng.choice(["a", "s", "ts"])], num_files=rng.randint(2, 10))
+        store.optimize_layout(
+            "t", [rng.choice(["a", "s", "ts", "ds"])], num_files=rng.randint(2, 10)
+        )
 
-    for _ in range(6):
-        col = rng.choice(["a", "s", "ts"])
+    for _ in range(8):
+        col = rng.choice(["a", "s", "ts", "ds"])
         if col == "a":
             b1, b2 = rng.randint(-50, 600), rng.randint(-50, 600)
         elif col == "s":
@@ -1129,6 +1135,16 @@ def test_tablestore_read_pruned_fuzz_equals_full_scan(spark, tmp_path, seed):
         else:
             b1 = dt.datetime(2020, 1, 1) + dt.timedelta(minutes=rng.randint(-10, 60000))
             b2 = dt.datetime(2020, 1, 1) + dt.timedelta(minutes=rng.randint(-10, 60000))
+            # cross the bound/stat type combinations both ways: temporal
+            # column with string bounds, string column with temporal bounds
+            if rng.random() < 0.5:
+                b1 = b1.strftime("%Y-%m-%d %H:%M:%S")
+            if rng.random() < 0.5:
+                b2 = b2.strftime("%Y-%m-%d %H:%M:%S")
+            if isinstance(b1, str) != isinstance(b2, str):
+                # keep min/max well-defined for the bounds shuffle below
+                # (str(datetime) is the same space-separated form)
+                b1, b2 = str(b1), str(b2)
         lo, hi = rng.choice(
             [(min(b1, b2), max(b1, b2)), (b1, None), (None, b2), (max(b1, b2), min(b1, b2))]
         )
