@@ -1095,6 +1095,99 @@ def test_tablestore_read_pruned_partitioned_version(spark, tmp_path):
     assert rep2["files_read"] == rep2["files_total"]
 
 
+def test_tablestore_bloom_point_lookup(spark, tmp_path):
+    """Per-file bloom index: a point lookup on a column the layout is NOT
+    clustered on (min/max stats span the full domain in every file and
+    prune nothing) must still skip almost every file via the bloom — with
+    results identical to the full-scan equality filter."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    # cluster on k; probe on u, which is uniformly interleaved across k-files
+    df = spark.range(0, 40_000).selectExpr(
+        "id % 100 AS k",
+        "CONCAT('user_', CAST(xxhash64(id) % 30000 AS STRING)) AS u",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=8)
+
+    # pick an existing MID-DOMAIN value: every file's [min,max] on u covers
+    # it (stats can't prune — only the domain extremes fall outside some
+    # file's range), so any skipping below is the bloom's work alone
+    val = df.where("id = 12345").first().u
+    got, rep = store.read_point("t", "u", val)
+    want = store.read("t").where(F.col("u") == val)
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+    assert got.count() > 0
+    assert rep["files_total"] == 8
+    # each u value lives in few files; bloom must do real skipping where
+    # stats cannot (u spans the whole domain in every k-clustered file)
+    assert rep["skipped_by_bloom"] > 0
+    assert rep["files_read"] < rep["files_total"]
+
+    # absent value: bloom (no false negatives, ~1% fp) skips everything or
+    # nearly everything, and the residual guarantees zero rows regardless
+    got2, rep2 = store.read_point("t", "u", "user_never_was")
+    assert got2.count() == 0
+    assert rep2["files_read"] <= 1
+
+    # point lookup ON the clustered column: stats alone already prune;
+    # bloom composes (skips come from either stage, result exact)
+    got3, rep3 = store.read_point("t", "k", 17)
+    assert got3.count() == store.read("t").where("k = 17").count() > 0
+    assert rep3["files_read"] < rep3["files_total"]
+
+    # NULL probe is a contract error
+    with pytest.raises(ValueError, match="NULL"):
+        store.read_point("t", "u", None)
+
+    # manifest caching: second call reads no parquet (manifest mtime stable)
+    import os as _os
+
+    bp = store._bloom_path("t", store._read_meta("t")["current"])
+    mtime = _os.path.getmtime(bp)
+    store.read_point("t", "u", val)
+    assert _os.path.getmtime(bp) == mtime
+    # sizing mismatch against the cached manifest is rejected loudly
+    with pytest.raises(ValueError, match="already built"):
+        store.collect_file_blooms("t", ["u"], num_bits=1 << 10)
+    # vacuum drops the bloom manifest with the version's files
+    store.write("t", df.where("id < 100"))
+    store.vacuum("t", keep_latest=1)
+    assert not _os.path.exists(bp)
+
+
+def test_tablestore_bloom_type_sensitivity_and_nulls(spark, tmp_path):
+    """xxhash64 is type-sensitive: the probe must hash the lit cast to the
+    column's OWN type (an int-typed probe against a bigint column would
+    false-negative everywhere — silent row loss). Also: all-null files
+    carry no bloom entry and are dropped by the null-count stats rule, and
+    a column with nulls indexes only its non-null values."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr(
+        "CAST(id AS BIGINT) AS big",
+        "IF(id % 3 = 0, NULL, CAST(id % 40 AS INT)) AS small",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(5))
+    # bigint probe with a plain Python int must still find its rows
+    got, _ = store.read_point("t", "big", 4321)
+    assert [r.payload for r in got.collect()] == [4321]
+    # int column with nulls: equality never matches NULL, rows exact
+    got2, _ = store.read_point("t", "small", 7)
+    want2 = df.where("small = 7")
+    assert got2.count() == want2.count() > 0
+    # fuzz a handful of existing and absent values for exactness
+    for probe in (0, 1, 39, 40, -5):
+        g, _ = store.read_point("t", "small", probe)
+        assert g.count() == df.where(F.col("small") == probe).count()
+
+
 @pytest.mark.parametrize("seed", [1, 8, 21])
 def test_tablestore_read_pruned_fuzz_equals_full_scan(spark, tmp_path, seed):
     """THE data-skipping invariant, fuzzed: for random data (ints with
