@@ -296,9 +296,12 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 3 of the 8 files (the I/O claim), the pruned result is EXACTLY the
     full-scan residual (row parity both directions — skipping must never
     change results), stats_aggregate answers the row count from the
-    manifest alone (metadata-only aggregate), and read_since (the
-    incremental consumer read) file-prunes from the same manifest while
-    agreeing exactly with the strict residual. Returns the pruned window
+    manifest alone (metadata-only aggregate), read_since (the incremental
+    consumer read) file-prunes from the same manifest while agreeing
+    exactly with the strict residual, and a BLOOM point lookup on the
+    UNCLUSTERED key column (where min/max stats span the domain in every
+    file) reads at most 2 files for a present key, zero for an absent one,
+    with results exactly the equality residual. Returns the pruned window
     for the hash gate."""
     import datetime as dt
 
@@ -342,6 +345,34 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if since.exceptAll(expect_since).count() or expect_since.exceptAll(since).count():
             raise RuntimeError(
                 "lifecycle_skipping_gate: read_since diverged from the residual"
+            )
+        # BLOOM point lookup on the key column: the o_date clustering
+        # interleaves keys, so every file's [min,max] on o_orderkey covers a
+        # mid-domain key and stats prune nothing — any skipping is the bloom
+        kr = store.read("orders_by_date").agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).first()
+        probe_key = (
+            store.read("orders_by_date")
+            .where(F.col("o_orderkey") >= (kr.lo + kr.hi) // 2)
+            .agg(F.min("o_orderkey"))
+            .first()[0]
+        )
+        hit, hit_rep = store.read_point("orders_by_date", "o_orderkey", probe_key)
+        if (
+            hit_rep["files_read"] > 2
+            or hit_rep["skipped_by_bloom"] < hit_rep["files_total"] - 2
+            or hit.count() != 1
+        ):
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: bloom hit read {hit_rep} rows={hit.count()}"
+            )
+        # absent key (above the domain): the lookup must touch NOTHING —
+        # stats or bloom, either stage may claim the skip — and return 0 rows
+        miss, miss_rep = store.read_point("orders_by_date", "o_orderkey", kr.hi + 1)
+        if miss_rep["files_read"] != 0 or miss.count() != 0:
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: absent-key lookup read {miss_rep}"
             )
         return _materialize(pruned)
     finally:
