@@ -1820,3 +1820,24 @@ def test_lifecycle_gate_concurrent_invocations_isolated(spark):
     rows = [frozenset(tuple(r) for r in df.collect()) for df in dfs]
     assert rows[0] == rows[1] == rows[2] and len(rows[0]) > 0
     assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("lcg_")]
+
+
+def test_bloom_sizing_meets_fpp():
+    """bloom_sizing must deliver AT MOST the requested false-positive rate
+    (power-of-two round-up can only improve it) and reject nonsense."""
+    import math
+
+    import pytest as _pt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    for n, p in [(1, 0.01), (100, 0.01), (10_000, 0.05), (625_000, 0.01), (10**7, 0.001)]:
+        m, k = TableStore.bloom_sizing(n, p)
+        assert m & (m - 1) == 0 and m >= 64  # power of two, sane floor
+        assert 1 <= k <= 16
+        fpr = (1 - math.exp(-k * n / m)) ** k
+        assert fpr <= p, (n, p, m, k, fpr)
+    with _pt.raises(ValueError):
+        TableStore.bloom_sizing(0, 0.01)
+    with _pt.raises(ValueError):
+        TableStore.bloom_sizing(10, 1.5)
