@@ -63,3 +63,53 @@ def merge_rollup(
     rollup rows, never raw history)."""
     u = existing.select(*keys, *sum_cols).unionByName(delta.select(*keys, *sum_cols))
     return u.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    sketch_col: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count rollup as MERGEABLE Datasketches HLL sketches
+    (``hll_sketch_agg`` — JVM-side, one hash shuffle on the keys).
+
+    COUNT(DISTINCT x) is the one common aggregate that does NOT cascade:
+    distincts are not additive, so an exact incremental distinct over
+    100 TB re-shuffles the full history every batch. Sketches restore
+    additivity — ``union(sketch(old), sketch(new)) == sketch(all)``
+    EXACTLY (the sketch union is lossless over sketches of the same lg_k),
+    so per-batch cost is O(batch) + O(rollup rows), never O(history) —
+    at a relative standard error of ~1.04/sqrt(2^lg_k) (~1.6% at the
+    default lg_k=12, 2-5 KB per group). The stored rollup carries BINARY
+    sketches; read the estimate with :func:`hll_estimate`. Same continuous-
+    aggregate pattern as merge_rollup, extended to the non-additive
+    metric; nulls contribute nothing (sketch of the non-null values)."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({distinct_col}, {lg_k})").alias(sketch_col)
+    )
+
+
+def merge_hll_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """Fold a new micro-batch's HLL rollup into the stored one:
+    ``hll_union_agg`` over the (tiny) union of rollup rows — the
+    incremental-view-maintenance step for distinct counts. Exactly
+    equivalent to re-sketching all raw history (asserted byte-for-byte in
+    tests), at O(|delta rollup| + |existing rollup|) cost."""
+    u = existing.select(*keys, sketch_col).unionByName(delta.select(*keys, sketch_col))
+    return u.groupBy(*keys).agg(
+        F.expr(f"hll_union_agg({sketch_col}, true)").alias(sketch_col)
+    )
+
+
+def hll_estimate(df: DataFrame, sketch_col: str = "hll", out_col: str = "n_distinct") -> DataFrame:
+    """Read side: sketch -> approximate distinct count (BIGINT)."""
+    return df.withColumn(out_col, F.expr(f"hll_sketch_estimate({sketch_col})")).drop(
+        sketch_col
+    )

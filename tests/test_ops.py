@@ -1841,3 +1841,44 @@ def test_bloom_sizing_meets_fpp():
         TableStore.bloom_sizing(0, 0.01)
     with _pt.raises(ValueError):
         TableStore.bloom_sizing(10, 1.5)
+
+
+def test_hll_rollup_incremental_equals_full(spark):
+    """Sketch-based distinct-count rollup: folding per-batch HLL rollups
+    must be EXACTLY re-sketching the full history (same serialized sketch
+    on this build, same estimates by contract), estimates stay within the
+    lg_k error envelope of the exact distinct, and NULLs contribute
+    nothing. This is the continuous-aggregate answer to COUNT(DISTINCT),
+    the one common metric that is not additive."""
+    from taico_data_integration_spark.ops.rollup import (
+        hll_estimate,
+        hll_rollup,
+        merge_hll_rollup,
+    )
+
+    df = spark.range(120_000).selectExpr(
+        "id % 4 AS g",
+        "IF(id % 11 = 0, NULL, CAST(xxhash64(id) % 25000 AS STRING)) AS u",
+    )
+    gens = [df.where("id < 40000"), df.where("id >= 40000 AND id < 90000"), df.where("id >= 90000")]
+    full = hll_rollup(df, ["g"], "u")
+    inc = hll_rollup(gens[0], ["g"], "u")
+    for d in gens[1:]:
+        inc = merge_hll_rollup(inc, hll_rollup(d, ["g"], "u"), ["g"])
+
+    f = {r.g: bytes(r.hll) for r in full.collect()}
+    i = {r.g: bytes(r.hll) for r in inc.collect()}
+    assert f == i  # lossless: union of same-lg_k sketches == sketch of union
+
+    est = {r.g: r.n_distinct for r in hll_estimate(inc).collect()}
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.05, (g, est[g], n)
+
+    # NULL-only group sketches to an empty estimate, never a phantom 1
+    nulls = spark.range(10).selectExpr("99 AS g", "CAST(NULL AS STRING) AS u")
+    e = hll_estimate(hll_rollup(nulls, ["g"], "u")).first()
+    assert e.n_distinct == 0
