@@ -190,3 +190,53 @@ def stream_merge_into(
     )
     q.awaitTermination()
     return q
+
+
+def stream_hll_rollup(
+    events: DataFrame,
+    store: TableFormat,
+    table: str,
+    keys: list[str],
+    distinct_col: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    lg_k: int = 12,
+):
+    """foreachBatch continuous aggregate for COUNT(DISTINCT): each
+    micro-batch is sketched (``ops.rollup.hll_rollup`` — one hash shuffle
+    over the BATCH) and folded into the stored per-key HLL rollup
+    (``merge_hll_rollup`` — O(rollup rows), the raw history is never
+    re-read). The streaming twin of ``stream_merge_into`` for the one
+    common metric that is not additive; with ``app_id`` the fold commits
+    through the exactly-once txn path, so a redelivered batch is never
+    double-counted into the sketches (an HLL union IS idempotent for the
+    same values, but a replay interleaved with a DIFFERENT batch's fold
+    would still burn a version — the txn guard keeps versions exact).
+    Read the estimates with ``ops.rollup.hll_estimate``."""
+    from ..ops.rollup import hll_rollup, merge_hll_rollup
+
+    txn_capable = app_id is not None and hasattr(store, "write_with_txn")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if txn_capable:
+            last = store.last_txn(table, app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed batch — already folded
+        batch_rollup = hll_rollup(batch_df, keys, distinct_col, lg_k=lg_k)
+        if store.exists(table):
+            merged = merge_hll_rollup(store.read(table), batch_rollup, keys)
+        else:
+            merged = batch_rollup
+        if txn_capable:
+            store.write_with_txn(table, merged, app_id, batch_id)
+        else:
+            store.write(table, merged)
+
+    q = (
+        events.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -461,3 +461,55 @@ def test_stateful_sessionize_recovers_from_checkpoint(spark, tmp_path):
         assert key in batch
         last_ts, n = batch[key]
         assert r.n_events == n and r.session_end.strftime("%Y-%m-%d %H:%M:%S") == last_ts
+
+
+def test_stream_hll_rollup_matches_batch(spark, tmp_path):
+    """Streaming continuous aggregate for COUNT(DISTINCT): the folded
+    per-batch HLL rollup must estimate exactly what one batch sketch over
+    all the data estimates (sketch union is lossless at the same lg_k),
+    and a full redelivery with the same app_id must commit nothing."""
+    from taico_data_integration_spark.ops.rollup import hll_estimate, hll_rollup
+    from taico_data_integration_spark.streaming.incremental_stream import (
+        stream_events,
+        stream_hll_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    events = stream_events(spark, SF_DIR).select("event_type", "user_id")
+    stream_hll_rollup(
+        events, store, "uniques", ["event_type"], "user_id",
+        str(tmp_path / "c1"), app_id="hll_app",
+    )
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    want = {
+        r.event_type: r.n_distinct
+        for r in hll_estimate(hll_rollup(batch, ["event_type"], "user_id")).collect()
+    }
+    got = {
+        r.event_type: r.n_distinct
+        for r in hll_estimate(store.read("uniques")).collect()
+    }
+    assert got == want and len(got) > 0
+    # sanity: estimates within the lg_k=12 envelope of the exact distinct
+    exact = {
+        r.event_type: r.n
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.05, (k, got[k], n)
+
+    versions = len(store.history("uniques"))
+    # full redelivery: fresh checkpoint, same app_id -> zero new versions
+    stream_hll_rollup(
+        events, store, "uniques", ["event_type"], "user_id",
+        str(tmp_path / "c2"), app_id="hll_app",
+    )
+    assert len(store.history("uniques")) == versions
+    assert {
+        r.event_type: r.n_distinct
+        for r in hll_estimate(store.read("uniques")).collect()
+    } == want
