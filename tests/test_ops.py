@@ -1882,3 +1882,51 @@ def test_hll_rollup_incremental_equals_full(spark):
     nulls = spark.range(10).selectExpr("99 AS g", "CAST(NULL AS STRING) AS u")
     e = hll_estimate(hll_rollup(nulls, ["g"], "u")).first()
     assert e.n_distinct == 0
+
+
+@pytest.mark.parametrize("seed", [3, 14])
+def test_tablestore_read_point_fuzz_equals_full_scan(spark, tmp_path, seed):
+    """THE bloom invariant, fuzzed: for random data across types (ints
+    with nulls, strings, timestamps, doubles), random layout, and probes
+    drawn from both present and absent values, read_point == full-scan
+    equality filter, always — bloom false positives may cost extra files,
+    never rows; false negatives must not exist."""
+    import datetime as dt
+    import random
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    n = rng.randint(500, 4000)
+    df = spark.range(0, n).selectExpr(
+        f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(20, 800)}) AS a",
+        "CONCAT('v', CAST(xxhash64(id) % 500 AS STRING)) AS s",
+        "timestampadd(MINUTE, CAST(id % 20000 AS INT), TIMESTAMP'2021-01-01') AS ts",
+        "CAST(id % 97 AS DOUBLE) / 7.0 AS d",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(rng.randint(2, 6)))
+    if rng.random() < 0.7:
+        store.optimize_layout(
+            "t", [rng.choice(["a", "s", "ts", "d"])], num_files=rng.randint(2, 8)
+        )
+
+    for _ in range(8):
+        col = rng.choice(["a", "s", "ts", "d"])
+        if rng.random() < 0.6:  # present value, sampled from the data
+            row = df.where(F.col(col).isNotNull()).orderBy(F.rand(seed)).limit(1).first()
+            probe = row[col]
+        elif col == "a":
+            probe = rng.randint(-100, 2000)
+        elif col == "s":
+            probe = f"v{rng.randint(-600, 600)}_missing" if rng.random() < 0.5 else f"v{rng.randint(-600, 600)}"
+        elif col == "ts":
+            probe = dt.datetime(2021, 1, 1) + dt.timedelta(minutes=rng.randint(-50, 25000))
+        else:
+            probe = rng.randint(0, 120) / 7.0
+        got, rep = store.read_point("t", col, probe)
+        want = df.where(F.col(col) == F.lit(probe))
+        g = sorted(r.payload for r in got.collect())
+        w = sorted(r.payload for r in want.collect())
+        assert g == w, f"seed {seed} col {col} probe {probe!r} rep {rep}"
