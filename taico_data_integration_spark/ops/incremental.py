@@ -1017,6 +1017,12 @@ class TableStore(TableFormat):
         optional. Filter bit-words are assembled per file with an
         Arrow-batched grouped-map (one output row per file-column), so the
         driver receives packed bitmaps, never per-word rows.
+
+        Concurrency boundary: the manifest is written with a read-merge-
+        replace, so two processes adding DIFFERENT columns to the same
+        version's manifest concurrently can lose one side's entry. The
+        loser's filter is rebuilt (deterministically — same data, same
+        hashes) on its next use: a cost window, never a correctness one.
         """
         import base64
 
@@ -1185,6 +1191,7 @@ class TableStore(TableFormat):
         probe = (
             self.spark.range(1)
             .select(
+                F.lit(value).cast(dtype).alias("cv"),
                 *[
                     F.pmod(
                         F.xxhash64(F.lit(i), F.lit(value).cast(dtype)), F.lit(m)
@@ -1194,6 +1201,42 @@ class TableStore(TableFormat):
             )
             .first()
         )
+        # cast-fidelity guard: the probe hashes CAST(value AS coltype), so a
+        # value the cast cannot represent must not silently match its
+        # truncation — read_point(bigint_col, 2.5) casting to 2 and matching
+        # id=2 would be a wrong answer (Spark's own `col = 2.5` widens the
+        # COLUMN and matches nothing). Uncastable -> loud error; a numeric
+        # value changed by the cast -> provably no row equals it -> empty.
+        if probe["cv"] is None:
+            raise ValueError(
+                f"read_point value {value!r} is not castable to {col}'s type {dtype}"
+            )
+        import datetime as _dt
+
+        lossy_numeric = (
+            isinstance(value, (int, float))
+            and not isinstance(value, bool)
+            and isinstance(probe["cv"], (int, float))
+            and probe["cv"] != value
+        )
+        # same hazard for a timestamp probed against a DATE column: the cast
+        # drops the time-of-day, but Spark's own comparison widens the
+        # column, so a non-midnight timestamp can never equal a DATE value
+        lossy_temporal = (
+            isinstance(value, _dt.datetime)
+            and isinstance(probe["cv"], _dt.date)
+            and not isinstance(probe["cv"], _dt.datetime)
+            and value.replace(tzinfo=None) != _dt.datetime.combine(probe["cv"], _dt.time())
+        )
+        if lossy_numeric or lossy_temporal:
+            report = {
+                "files_total": len(stats["files"]),
+                "files_read": 0,
+                "files_skipped": len(stats["files"]),
+                "skipped_by_stats": len(stats["files"]),
+                "skipped_by_bloom": 0,
+            }
+            return self.read(table, version=v).where(F.lit(False)), report
         positions = [probe[f"p{i}"] for i in range(k)]
 
         def bloom_keeps(rel: str) -> bool:

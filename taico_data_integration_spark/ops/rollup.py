@@ -86,8 +86,13 @@ def hll_rollup(
     sketches; read the estimate with :func:`hll_estimate`. Same continuous-
     aggregate pattern as merge_rollup, extended to the non-additive
     metric; nulls contribute nothing (sketch of the non-null values)."""
+    from .formats import _sql_identifier
+
+    if not 4 <= lg_k <= 21:  # Datasketches HLL valid lgConfigK range
+        raise ValueError(f"lg_k must be in [4, 21]: {lg_k}")
+    c = _sql_identifier(distinct_col, "distinct_col")
     return df.groupBy(*keys).agg(
-        F.expr(f"hll_sketch_agg({distinct_col}, {lg_k})").alias(sketch_col)
+        F.expr(f"hll_sketch_agg({c}, {int(lg_k)})").alias(sketch_col)
     )
 
 
@@ -102,14 +107,18 @@ def merge_hll_rollup(
     incremental-view-maintenance step for distinct counts. Exactly
     equivalent to re-sketching all raw history (asserted byte-for-byte in
     tests), at O(|delta rollup| + |existing rollup|) cost."""
+    from .formats import _sql_identifier
+
+    s = _sql_identifier(sketch_col, "sketch_col")
     u = existing.select(*keys, sketch_col).unionByName(delta.select(*keys, sketch_col))
     return u.groupBy(*keys).agg(
-        F.expr(f"hll_union_agg({sketch_col}, true)").alias(sketch_col)
+        F.expr(f"hll_union_agg({s}, true)").alias(sketch_col)
     )
 
 
 def hll_estimate(df: DataFrame, sketch_col: str = "hll", out_col: str = "n_distinct") -> DataFrame:
     """Read side: sketch -> approximate distinct count (BIGINT)."""
-    return df.withColumn(out_col, F.expr(f"hll_sketch_estimate({sketch_col})")).drop(
-        sketch_col
-    )
+    from .formats import _sql_identifier
+
+    s = _sql_identifier(sketch_col, "sketch_col")
+    return df.withColumn(out_col, F.expr(f"hll_sketch_estimate({s})")).drop(sketch_col)

@@ -333,9 +333,16 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"lifecycle_skipping_gate: metadata-only aggregate wrong {agg}"
             )
         # read_since (incremental consumer read) on the same clustered table:
-        # a catch-up from the window's lo-1d watermark must also file-prune
-        # and must agree with the strict residual predicate exactly
-        wm = lo - dt.timedelta(days=1)
+        # a catch-up from a DATA-DERIVED watermark (70% into the date range,
+        # so some clustered files are provably below it whatever date span a
+        # regenerated fixture carries) must file-prune and agree with the
+        # strict residual predicate exactly
+        drange = store.read("orders_by_date").agg(
+            F.min("o_date").alias("dlo"), F.max("o_date").alias("dhi")
+        ).first()
+        wm = drange.dlo + dt.timedelta(
+            days=int((drange.dhi - drange.dlo).days * 0.7)
+        )
         since, since_rep = store.read_since("orders_by_date", "o_date", wm)
         if since_rep["files_read"] >= since_rep["files_total"]:
             raise RuntimeError(

@@ -1930,3 +1930,34 @@ def test_tablestore_read_point_fuzz_equals_full_scan(spark, tmp_path, seed):
         g = sorted(r.payload for r in got.collect())
         w = sorted(r.payload for r in want.collect())
         assert g == w, f"seed {seed} col {col} probe {probe!r} rep {rep}"
+
+
+def test_read_point_cast_fidelity_guards(spark, tmp_path):
+    """read_point hashes CAST(value AS coltype); a value the cast cannot
+    faithfully represent must never match its truncation. Spark's own
+    equality widens the COLUMN (bigint_col = 2.5 matches nothing), so:
+    numeric value changed by the cast -> provably empty; non-midnight
+    timestamp vs DATE column -> empty; uncastable -> loud ValueError."""
+    import datetime as dt
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "to_date(timestampadd(DAY, CAST(id % 300 AS INT), DATE'2020-01-01')) AS d"
+    )
+    store.write("t", df.repartition(3))
+
+    got, rep = store.read_point("t", "k", 2.5)  # would truncate to 2
+    assert got.count() == 0 and rep["files_read"] == 0
+    got2, _ = store.read_point("t", "k", 2.0)  # faithful float: matches id=2
+    assert [r.k for r in got2.collect()] == [2]
+
+    # DATE column: midnight timestamp matches its date, non-midnight never
+    got3, _ = store.read_point("t", "d", dt.datetime(2020, 1, 11))
+    assert got3.count() == df.where("d = DATE'2020-01-11'").count() > 0
+    got4, rep4 = store.read_point("t", "d", dt.datetime(2020, 1, 11, 12, 30))
+    assert got4.count() == 0 and rep4["files_read"] == 0
+
+    with pytest.raises(ValueError, match="not castable"):
+        store.read_point("t", "d", "definitely-not-a-date")
