@@ -955,7 +955,51 @@ class TableStore(TableFormat):
         return out
 
     def _bloom_path(self, table: str, version: int) -> str:
-        return os.path.join(self.root, table, "_bloom", f"v{version:04d}.json")
+        return os.path.join(self.root, table, "_bloom", f"v{version:04d}.parquet")
+
+    @staticmethod
+    def _bloom_save(path: str, manifest: dict) -> None:
+        """Bloom sidecar as PARQUET (pyarrow, driver-side): raw binary
+        filters in a columnar file — no base64 inflation, arrow-speed
+        parse, and at million-file scale any engine can read it SELECTIVELY
+        (by column, by file range) instead of parsing one monolithic JSON."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            (c, rel, rec["m"], rec["k"], blob)
+            for c, rec in manifest["cols"].items()
+            for rel, blob in rec["files"].items()
+        ]
+        t = pa.table(
+            {
+                "col": pa.array([r[0] for r in rows], pa.string()),
+                "file": pa.array([r[1] for r in rows], pa.string()),
+                "m": pa.array([r[2] for r in rows], pa.int64()),
+                "k": pa.array([r[3] for r in rows], pa.int64()),
+                "bloom": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        )
+        tmp = f"{path}.{os.getpid()}.{time.time_ns()}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _bloom_load(path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        manifest: dict = {"cols": {}}
+        for c, rel, m, k, blob in zip(
+            t["col"].to_pylist(),
+            t["file"].to_pylist(),
+            t["m"].to_pylist(),
+            t["k"].to_pylist(),
+            t["bloom"].to_pylist(),
+        ):
+            rec = manifest["cols"].setdefault(c, {"m": m, "k": k, "files": {}})
+            rec["files"][rel] = blob
+        return manifest
 
     @staticmethod
     def bloom_sizing(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -999,7 +1043,7 @@ class TableStore(TableFormat):
         positions, positions fold into 64-bit words with ``bit_or``
         map-side, and the driver receives at most ``files x cols x
         num_bits/64`` small rows — never the data. The manifest caches at
-        ``<table>/_bloom/vNNNN.json`` (immutable version => never stale,
+        ``<table>/_bloom/vNNNN.parquet`` (immutable version => never stale,
         same contract as the stats manifest); at 100 TB the planner reads
         one manifest, not a million footers. Default sizing: 2^17 bits /
         7 hashes ≈ 1% false-positive rate at ~12k distinct values per file
@@ -1023,9 +1067,11 @@ class TableStore(TableFormat):
         version's manifest concurrently can lose one side's entry. The
         loser's filter is rebuilt (deterministically — same data, same
         hashes) on its next use: a cost window, never a correctness one.
-        """
-        import base64
 
+        Storage: a PARQUET sidecar (columns col/file/m/k/bloom, raw binary
+        filters) — columnar, no base64 inflation, arrow-speed parse, and
+        selectively readable at million-file scale.
+        """
         if expected_items_per_file is not None:
             num_bits, num_hashes = self.bloom_sizing(expected_items_per_file, fpp)
         meta = self._read_meta(table)
@@ -1036,8 +1082,7 @@ class TableStore(TableFormat):
         bp = self._bloom_path(table, v)
         manifest: dict = self._bloom_mem.get((table, v), {"cols": {}})
         if not manifest["cols"] and os.path.exists(bp):
-            with open(bp) as f:
-                manifest = json.load(f)
+            manifest = self._bloom_load(bp)
         for c, rec in manifest["cols"].items():
             if c in cols and (rec["m"] != num_bits or rec["k"] != num_hashes):
                 raise ValueError(
@@ -1107,11 +1152,11 @@ class TableStore(TableFormat):
         )
         from urllib.parse import unquote, urlparse
 
-        filters: dict[str, dict[str, str]] = {c: {} for c in missing}
+        filters: dict[str, dict[str, bytes]] = {c: {} for c in missing}
         for r in rows:
             path = unquote(urlparse(r.f).path) if ":" in r.f else r.f
             rel = os.path.relpath(path, entry["path"])
-            filters[r.c][rel] = base64.b64encode(r.bloom).decode()
+            filters[r.c][rel] = bytes(r.bloom)
         for c in missing:
             manifest["cols"][c] = {
                 "m": num_bits,
@@ -1119,10 +1164,7 @@ class TableStore(TableFormat):
                 "files": filters[c],
             }
         os.makedirs(os.path.dirname(bp), exist_ok=True)
-        tmp = f"{bp}.{os.getpid()}.{time.time_ns()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, bp)
+        self._bloom_save(bp, manifest)
         self._bloom_mem[(table, v)] = manifest
         return manifest
 
@@ -1150,8 +1192,6 @@ class TableStore(TableFormat):
         Returns ``(df, report)``; the report carries files_total /
         files_read / files_skipped plus the per-stage skip counts, so scan
         I/O claims are testable (the same contract as read_pruned)."""
-        import base64
-
         if value is None:
             raise ValueError("read_point(value=None): equality never matches NULL")
         meta = self._read_meta(table)
@@ -1166,8 +1206,7 @@ class TableStore(TableFormat):
         bloom = self._bloom_mem.get((table, v), {}).get("cols", {}).get(col)
         bp = self._bloom_path(table, v)
         if bloom is None and os.path.exists(bp):
-            with open(bp) as f:
-                man = json.load(f)
+            man = self._bloom_load(bp)
             self._bloom_mem[(table, v)] = man
             bloom = man["cols"].get(col)
         if bloom is None:
@@ -1240,10 +1279,9 @@ class TableStore(TableFormat):
         positions = [probe[f"p{i}"] for i in range(k)]
 
         def bloom_keeps(rel: str) -> bool:
-            b64 = bloom["files"].get(rel)
-            if b64 is None:
+            words = bloom["files"].get(rel)
+            if words is None:
                 return True  # no filter for this file — conservative
-            words = base64.b64decode(b64)
             for pos in positions:
                 w = int.from_bytes(words[(pos >> 6) * 8 : (pos >> 6) * 8 + 8], "little")
                 if not (w >> (pos & 63)) & 1:
