@@ -78,14 +78,19 @@ def hll_rollup(
     COUNT(DISTINCT x) is the one common aggregate that does NOT cascade:
     distincts are not additive, so an exact incremental distinct over
     100 TB re-shuffles the full history every batch. Sketches restore
-    additivity — ``union(sketch(old), sketch(new)) == sketch(all)``
-    EXACTLY (the sketch union is lossless over sketches of the same lg_k),
-    so per-batch cost is O(batch) + O(rollup rows), never O(history) —
-    at a relative standard error of ~1.04/sqrt(2^lg_k) (~1.6% at the
-    default lg_k=12, 2-5 KB per group). The stored rollup carries BINARY
-    sketches; read the estimate with :func:`hll_estimate`. Same continuous-
-    aggregate pattern as merge_rollup, extended to the non-additive
-    metric; nulls contribute nothing (sketch of the non-null values)."""
+    additivity — ``union(sketch(old), sketch(new))`` carries the same
+    accuracy guarantee as ``sketch(all)`` (relative standard error
+    ~1.04/sqrt(2^lg_k), ~1.6% at the default lg_k=12, 2-5 KB per group),
+    so per-batch cost is O(batch) + O(rollup rows), never O(history).
+    Honest boundary (measured): deep in the DENSE regime (distincts well
+    above 2^lg_k buckets) the fold is byte-identical to the direct sketch
+    on this build; near the sparse/dense mode transition the union's
+    estimate can differ from the direct sketch by a fraction of a percent
+    — accuracy is the contract, bit-identity is regime-specific. The
+    stored rollup carries BINARY sketches; read the estimate with
+    :func:`hll_estimate`. Same continuous-aggregate pattern as
+    merge_rollup, extended to the non-additive metric; nulls contribute
+    nothing (sketch of the non-null values)."""
     from .formats import _sql_identifier
 
     if not 4 <= lg_k <= 21:  # Datasketches HLL valid lgConfigK range
@@ -104,9 +109,12 @@ def merge_hll_rollup(
 ) -> DataFrame:
     """Fold a new micro-batch's HLL rollup into the stored one:
     ``hll_union_agg`` over the (tiny) union of rollup rows — the
-    incremental-view-maintenance step for distinct counts. Exactly
-    equivalent to re-sketching all raw history (asserted byte-for-byte in
-    tests), at O(|delta rollup| + |existing rollup|) cost."""
+    incremental-view-maintenance step for distinct counts, at
+    O(|delta rollup| + |existing rollup|) cost. Equivalent to re-sketching
+    all raw history within the sketch's accuracy bound (byte-identical in
+    the dense regime — pinned in tests; a fraction-of-a-percent estimate
+    delta is possible near the sparse/dense mode boundary — see
+    :func:`hll_rollup`)."""
     from .formats import _sql_identifier
 
     s = _sql_identifier(sketch_col, "sketch_col")

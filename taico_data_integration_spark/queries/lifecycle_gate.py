@@ -492,6 +492,57 @@ def lifecycle_timetravel_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def hll_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based incremental distinct-count rollup under the driver's
+    gate. COUNT(DISTINCT) is not additive; the HLL rollup makes it so.
+    Hard invariants: a 3-generation incremental fold (hll_rollup per slice,
+    merge_hll_rollup to combine) agrees with one sketch over all the data
+    to within 2% (near the sketch's sparse/dense mode boundary the union's
+    estimate can differ SLIGHTLY from the direct sketch — measured at
+    sf0.01, ~0.5% — while deep in the dense regime they are byte-identical;
+    accuracy is the contract, identity is regime-specific), and every
+    estimate lands within 5% of the exact distinct (lg_k=12 ⇒ ~1.6% rse).
+    Returns the EXACT per-group distinct counts for the hash gate — the
+    sketch math is validated in-entry, the values the driver hashes are
+    deterministic."""
+    from ..ops.rollup import hll_estimate, hll_rollup, merge_hll_rollup
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    )
+    third = F.col("o_orderkey") % 3
+    gens = [orders.where(third == i) for i in range(3)]
+    full = hll_rollup(orders, ["o_orderpriority"], "o_custkey")
+    inc = hll_rollup(gens[0], ["o_orderpriority"], "o_custkey")
+    for g in gens[1:]:
+        inc = merge_hll_rollup(inc, hll_rollup(g, ["o_orderpriority"], "o_custkey"), ["o_orderpriority"])
+    est_full = {
+        r.o_orderpriority: r.n_distinct for r in hll_estimate(full).collect()
+    }
+    est_inc = {r.o_orderpriority: r.n_distinct for r in hll_estimate(inc).collect()}
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_distinct")
+    )
+    for r in exact.collect():
+        ei, ef = est_inc.get(r.o_orderpriority), est_full.get(r.o_orderpriority)
+        if ei is None or ef is None or abs(ei - ef) / r.n_distinct > 0.02:
+            raise RuntimeError(
+                f"hll_distinct_rollup_gate: fold diverged from direct sketch "
+                f"beyond the mode-boundary envelope: {ei} vs {ef} (exact {r.n_distinct})"
+            )
+        if abs(ei - r.n_distinct) / r.n_distinct > 0.05:
+            raise RuntimeError(
+                f"hll_distinct_rollup_gate: estimate {ei} off exact {r.n_distinct} "
+                f"for {r.o_orderpriority}"
+            )
+    return _materialize(exact)
+
+
+HLL_ROLLUP_GATE_SQL = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
 TABLESTORE_PROMOTE_SQL = """
 SELECT n_nationkey, n_name, n_regionkey, r_name AS region_name
 FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -563,6 +614,7 @@ QUERIES = {
     "lifecycle_skipping_gate": lifecycle_skipping_gate,
     "lifecycle_cdc_gate": lifecycle_cdc_gate,
     "lifecycle_timetravel_gate": lifecycle_timetravel_gate,
+    "hll_distinct_rollup_gate": hll_distinct_rollup_gate,
 }
 
 ORACLE = {
@@ -575,4 +627,5 @@ ORACLE = {
     "lifecycle_skipping_gate": SKIPPING_GATE_SQL,
     "lifecycle_cdc_gate": CDC_GATE_SQL,
     "lifecycle_timetravel_gate": TIMETRAVEL_GATE_SQL,
+    "hll_distinct_rollup_gate": HLL_ROLLUP_GATE_SQL,
 }

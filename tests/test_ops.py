@@ -1844,12 +1844,14 @@ def test_bloom_sizing_meets_fpp():
 
 
 def test_hll_rollup_incremental_equals_full(spark):
-    """Sketch-based distinct-count rollup: folding per-batch HLL rollups
-    must be EXACTLY re-sketching the full history (same serialized sketch
-    on this build, same estimates by contract), estimates stay within the
-    lg_k error envelope of the exact distinct, and NULLs contribute
-    nothing. This is the continuous-aggregate answer to COUNT(DISTINCT),
-    the one common metric that is not additive."""
+    """Sketch-based distinct-count rollup. The CONTRACT is accuracy: the
+    incremental fold and the direct sketch agree within the lg_k error
+    envelope of each other and of the exact distinct; NULLs contribute
+    nothing. At this scale (25k distinct >> 2^12 buckets, dense regime)
+    the fold is additionally byte-identical to the direct sketch on this
+    build — pinned as an empirical observation; near the sparse/dense
+    mode boundary the estimates can differ by a fraction of a percent
+    (measured at ~1.3k distinct, covered by the gated entry)."""
     from taico_data_integration_spark.ops.rollup import (
         hll_estimate,
         hll_rollup,
