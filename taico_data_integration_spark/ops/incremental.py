@@ -523,7 +523,9 @@ class TableStore(TableFormat):
 
         meta = self._read_meta(table)
         versions = meta["versions"]
-        keep = {e["v"] for e in versions[-keep_latest:]}
+        # keep_latest=0 means "keep only current": [-0:] slices the WHOLE
+        # list, so it must be special-cased or the call silently no-ops
+        keep = {e["v"] for e in (versions[-keep_latest:] if keep_latest > 0 else [])}
         keep.add(meta["current"])
         now = time.time()
         removed = []

@@ -1963,3 +1963,44 @@ def test_read_point_cast_fidelity_guards(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not castable"):
         store.read_point("t", "d", "definitely-not-a-date")
+
+
+def test_bloom_and_stats_manifests_across_version_lifecycle(spark, tmp_path):
+    """Integration of the skipping surfaces with the versioning lifecycle:
+    manifests are PER VERSION (a pinned read keeps its own filters after
+    new writes), rollback repoints without touching them, and vacuum
+    removes a reclaimed version's manifests while the surviving version's
+    keep working."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    v0_df = spark.range(0, 4_000).selectExpr("id AS k", "id % 13 AS grp")
+    store.write("t", v0_df.repartition(4))
+    g0, r0 = store.read_point("t", "k", 1234)
+    assert [r.grp for r in g0.collect()] == [1234 % 13]
+
+    # new version: the pinned v0 read still answers from v0's manifests
+    store.write("t", spark.range(0, 50).selectExpr("id AS k", "id % 13 AS grp"))
+    g0b, _ = store.read_point("t", "k", 1234, version=0)
+    assert g0b.count() == 1
+    gcur, _ = store.read_point("t", "k", 1234)  # current=v1: absent
+    assert gcur.count() == 0
+    assert _os.path.exists(store._bloom_path("t", 0))
+    assert _os.path.exists(store._bloom_path("t", 1))
+
+    # rollback repoints current; manifests untouched, lookups follow current
+    store.rollback("t", 0)
+    gback, _ = store.read_point("t", "k", 1234)
+    assert gback.count() == 1
+
+    # reclaim the rolled-back v1: keep_latest=0 = "keep only current"
+    # (regression: versions[-0:] slices the whole list — a bare
+    # vacuum(keep_latest=0) used to silently keep everything)
+    assert store.vacuum("t", keep_latest=1) == []  # v1 IS the newest: kept
+    assert store.vacuum("t", keep_latest=0) == [1]
+    assert not _os.path.exists(store._bloom_path("t", 1))
+    assert _os.path.exists(store._bloom_path("t", 0))
+    gfinal, rep = store.read_point("t", "k", 1234)
+    assert gfinal.count() == 1 and rep["files_total"] > 0
