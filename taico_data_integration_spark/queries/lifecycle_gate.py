@@ -365,7 +365,17 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("o_orderkey"))
             .first()[0]
         )
-        hit, hit_rep = store.read_point("orders_by_date", "o_orderkey", probe_key)
+        # size the bloom from the table itself (ADVICE r7: the default
+        # 2^17-bit filter saturates at sf>=1's ~190k distinct keys per
+        # file — every probe positive, no skipping, gate fails on scale
+        # alone; n_total/8 keys per clustered file keeps fpp honest at
+        # ANY sf the driver runs)
+        hit, hit_rep = store.read_point(
+            "orders_by_date",
+            "o_orderkey",
+            probe_key,
+            expected_items_per_file=max(1, n_total // 8),
+        )
         if hit_rep["files_read"] > 2 or hit.count() != 1:
             raise RuntimeError(
                 f"lifecycle_skipping_gate: bloom hit read {hit_rep} rows={hit.count()}"

@@ -2004,3 +2004,185 @@ def test_bloom_and_stats_manifests_across_version_lifecycle(spark, tmp_path):
     assert _os.path.exists(store._bloom_path("t", 0))
     gfinal, rep = store.read_point("t", "k", 1234)
     assert gfinal.count() == 1 and rep["files_total"] > 0
+
+
+def test_read_point_matches_spark_numeric_coercion(spark, tmp_path):
+    """ADVICE r7: read_point's lossy-cast guard must mirror Spark's OWN
+    ``col = lit`` type coercion, empirically: NaN = NaN is TRUE in Spark,
+    a bigint literal rounds to the column type on double/float columns,
+    and a non-float-representable double against a FLOAT column matches
+    nothing (the column widens to double)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    nan = float("nan")
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, nan), (2, 0.0), (3, -0.0), (4, float(2**53)), (5, 1.5), (6, nan)],
+        "id bigint, d double",
+    ).withColumn("f", F.col("d").cast("float"))
+    store.write("t", df.repartition(3))
+
+    def _ids(got):
+        return sorted(r.id for r in got.collect())
+
+    # NaN probe on double and float columns: returns the NaN rows (stats
+    # bypassed — parquet min/max exclude NaN — the bloom still indexes it)
+    for c in ("d", "f"):
+        got, rep = store.read_point("t", c, nan)
+        assert _ids(got) == [1, 6], (c, rep)
+        assert rep["skipped_by_stats"] == 0, rep
+
+    # -0.0 and 0.0 are equal in Spark (and xxhash64 canonicalizes both):
+    # probing either value finds BOTH rows
+    for probe in (0.0, -0.0):
+        got, _ = store.read_point("t", "d", probe)
+        assert _ids(got) == [2, 3]
+
+    # 2**53+1 is not a double: Spark rounds the literal to 2**53 on a
+    # double column and matches the stored 2**53 — so must read_point
+    got, _ = store.read_point("t", "d", 2**53 + 1)
+    assert _ids(got) == [4]
+    # float column + bigint literal: Spark's common type is FLOAT — the
+    # literal is cast (rounds to 2**53) and matches
+    got, _ = store.read_point("t", "f", 2**53 + 1)
+    assert _ids(got) == [4]
+    # float column + double literal the float cast changes: Spark widens
+    # the COLUMN to double, nothing equals 0.1D -> provably empty
+    got, rep = store.read_point("t", "f", 0.1)
+    assert got.count() == 0 and rep["files_read"] == 0
+    # ... while a faithful float literal matches normally
+    got, _ = store.read_point("t", "f", 1.5)
+    assert _ids(got) == [5]
+    # integral column: truncating cast still short-circuits (unchanged)
+    got, rep = store.read_point("t", "id", 2.5)
+    assert got.count() == 0 and rep["files_read"] == 0
+    # every case above equals the full-scan equality filter
+    for c, probe in [("d", nan), ("f", nan), ("d", 0.0), ("d", 2**53 + 1),
+                     ("f", 2**53 + 1), ("f", 0.1), ("f", 1.5)]:
+        got, _ = store.read_point("t", c, probe)
+        assert got.count() == store.read("t").where(F.col(c) == F.lit(probe)).count()
+
+
+def test_bloom_build_is_distributed_and_sidecar_loads_per_column(spark, tmp_path):
+    """VERDICT r7 #1: the bloom-manifest build must not materialize the
+    packed filters on the driver — the grouped-map output is written
+    straight to the parquet sidecar by executors. Pinned by failing ANY
+    driver collect during the build. The sidecar is a parquet directory
+    whose loader reads only the probed column's rows."""
+    import os as _os
+
+    import pyspark.sql.dataframe as _dfmod
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k", "CAST(id % 500 AS INT) AS grp", "CONCAT('u', id % 3000) AS u"
+    )
+    store.write("t", df.repartition(4))
+
+    real_collect = _dfmod.DataFrame.collect
+
+    def _no_collect(self, *a, **kw):
+        raise AssertionError("driver collect() inside the bloom build path")
+
+    _dfmod.DataFrame.collect = _no_collect
+    try:
+        man = store.collect_file_blooms("t", ["u", "grp"])
+    finally:
+        _dfmod.DataFrame.collect = real_collect
+    assert set(man["cols"]) == {"u", "grp"}
+    assert all(rec["files"] for rec in man["cols"].values())
+
+    # sidecar is a DIRECTORY of parquet part files (distributed write)
+    bp = store._bloom_path("t", store._read_meta("t")["current"])
+    assert _os.path.isdir(bp)
+    # selective load: one column's rows only, and absent columns are None
+    rec = TableStore._bloom_load(bp, "u")
+    assert rec is not None and rec["files"] and rec["m"] == man["cols"]["u"]["m"]
+    assert TableStore._bloom_load(bp, "never_indexed") is None
+    # metadata-only listing never touches the blob column
+    assert set(TableStore._bloom_cols(bp)) == {"u", "grp"}
+
+    # a SECOND build call for one old + one new column appends the new
+    # column without rewriting (or losing) the existing rows
+    man2 = store.collect_file_blooms("t", ["u", "k"])
+    assert set(TableStore._bloom_cols(bp)) == {"u", "grp", "k"}
+    assert man2["cols"]["u"]["files"] == man["cols"]["u"]["files"]
+
+    # end to end: lookups prune and match the full scan
+    got, rep = store.read_point("t", "u", "u123")
+    assert got.count() == store.read("t").where("u = 'u123'").count() > 0
+    assert rep["files_read"] < rep["files_total"]
+
+
+def test_bloom_legacy_single_file_sidecar_migrates_on_append(spark, tmp_path):
+    """Pre-r8 sidecars were a single parquet FILE. They must stay readable,
+    and the first append must migrate the file into the directory form by
+    rename (both columns then probe correctly)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 8_000).selectExpr("id AS k", "CAST(id % 97 AS INT) AS grp")
+    store.write("t", df.repartition(4))
+    # build 'grp' normally, then REWRITE the sidecar as the legacy single
+    # file to simulate a pre-r8 store
+    man = store.collect_file_blooms("t", ["grp"])
+    bp = store._bloom_path("t", store._read_meta("t")["current"])
+    rec = man["cols"]["grp"]
+    rows = list(rec["files"].items())
+    t = pa.table(
+        {
+            "col": pa.array(["grp"] * len(rows)),
+            "file": pa.array([r[0] for r in rows]),
+            "m": pa.array([rec["m"]] * len(rows), pa.int64()),
+            "k": pa.array([rec["k"]] * len(rows), pa.int64()),
+            "bloom": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(bp)
+    pq.write_table(t, bp)
+    assert _os.path.isfile(bp)
+
+    # fresh store (no mem cache): legacy file reads fine
+    store2 = TableStore(spark, str(tmp_path))
+    got, rep = store2.read_point("t", "grp", 13)
+    assert got.count() == df.where("grp = 13").count() > 0
+
+    # appending a new column migrates file -> directory, keeping both
+    store2.collect_file_blooms("t", ["k"])
+    assert _os.path.isdir(bp)
+    assert set(TableStore._bloom_cols(bp)) == {"grp", "k"}
+    g2, _ = store2.read_point("t", "k", 4321)
+    assert g2.count() == 1
+    g3, _ = store2.read_point("t", "grp", 13)
+    assert g3.count() == df.where("grp = 13").count()
+
+
+def test_bloom_mem_cache_is_bounded_lru(spark, tmp_path):
+    """ADVICE r7: the in-process bloom cache must not grow without bound in
+    a long-lived driver — it is an LRU over (table, version, col); evicted
+    entries reload from the sidecar transparently."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    cols = [f"c{i}" for i in range(4)]
+    df = spark.range(0, 2_000).selectExpr(
+        "id AS k", *[f"CAST(id % {7 + i} AS INT) AS c{i}" for i in range(4)]
+    )
+    for tbl in ("t1", "t2", "t3", "t4", "t5"):
+        store.write(tbl, df.repartition(2))
+        store.collect_file_blooms(tbl, cols)
+    # 5 tables x 4 cols = 20 built entries > the bound
+    assert len(store._bloom_mem) <= store._BLOOM_MEM_MAX
+    # an evicted early entry still probes correctly (reloaded from disk)
+    got, _ = store.read_point("t1", "c0", 3)
+    assert got.count() == df.where("c0 = 3").count() > 0
+    assert len(store._bloom_mem) <= store._BLOOM_MEM_MAX

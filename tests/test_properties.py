@@ -457,7 +457,9 @@ def test_fs_safe_name_injective_property(a, b):
     """ADVICE r6: the filesystem image of constraint names / txn app_ids
     must be INJECTIVE (distinct names never share a sidecar file) and
     must be the identity on already-safe names (back-compat with stores
-    written before the digest suffix existed)."""
+    written before the digest suffix existed) — EXCEPT (ADVICE r7) safe
+    names that themselves look like a digest-suffixed image, which must
+    also be suffixed or they collide with another name's image."""
     import re
 
     from taico_data_integration_spark.ops.incremental import TableStore
@@ -466,5 +468,19 @@ def test_fs_safe_name_injective_property(a, b):
     if a != b:
         assert fa != fb, (a, b, fa)
     assert re.fullmatch(r"[A-Za-z0-9_.-]+", fa), (a, fa)
-    if re.fullmatch(r"[A-Za-z0-9_.-]+", a):
+    if re.fullmatch(r"[A-Za-z0-9_.-]+", a) and not re.search(r"-[0-9a-f]{8}$", a):
         assert fa == a
+
+
+def test_fs_safe_name_second_preimage_closed():
+    """ADVICE r7's concrete collision: a raw name EQUAL to another name's
+    sanitized-digest8 image used to map to itself, sharing that image."""
+    import hashlib
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    image_of_unsafe = TableStore._fs_safe_name("a:b")
+    assert image_of_unsafe == f"a_b-{hashlib.sha256(b'a:b').hexdigest()[:8]}"
+    # the adversarial twin: a perfectly safe raw name spelled exactly like
+    # that image must NOT map to itself
+    assert TableStore._fs_safe_name(image_of_unsafe) != image_of_unsafe

@@ -43,8 +43,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=20_000_000)
     ap.add_argument("--files", type=int, default=32)
-    ap.add_argument("--store", default="/tmp/taico_bloom_store")
+    ap.add_argument("--store", default=None)
     args = ap.parse_args()
+    if args.store is None:
+        # per-shape store: reusing a cached table built for a DIFFERENT
+        # --rows silently mis-sizes the bloom (saturation, zero skipping)
+        args.store = f"/tmp/taico_bloom_store_{args.rows}x{args.files}"
 
     spark = get_spark("bloom-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,7 +79,11 @@ def main() -> int:
     t_full = time.time() - t0
 
     bp = store._bloom_path("t", store._read_meta("t")["current"])
-    if os.path.exists(bp):
+    if os.path.isdir(bp):  # r8: the distributed writer's sidecar is a dir
+        import shutil
+
+        shutil.rmtree(bp)
+    elif os.path.exists(bp):
         os.remove(bp)
     t0 = time.time()
     df, rep_cold = store.read_point(
@@ -109,7 +117,15 @@ def main() -> int:
                 "files_read_present": rep["files_read"],
                 "files_read_absent": rep_a["files_read"],
                 "skipped_by_bloom_present": rep["skipped_by_bloom"],
-                "manifest_bytes": os.path.getsize(bp),
+                "manifest_bytes": (
+                    sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(bp)
+                        for f in fs
+                    )
+                    if os.path.isdir(bp)
+                    else os.path.getsize(bp)
+                ),
             }
         )
     )
