@@ -301,15 +301,111 @@ FROM events l JOIN events r
 WHERE l.event_type = 'purchase' AND r.event_type = 'click'
 """
 
+def stream_txn_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once txn commit under the driver's gate (VERDICT
+    r7 #3): the batch HLL rollup is gated, but the STREAMING fold — each
+    micro-batch sketched and merged into the TableStore through the Delta
+    txnAppId/txnVersion pattern (``write_with_txn``) — had only pytest
+    evidence. This entry runs the real thing:
+
+    1. two availableNow micro-batches (orders split by key parity) fold
+       through ``streaming.stream_hll_rollup`` with an app_id → exactly
+       two store versions, ``last_txn == 1``;
+    2. FULL REDELIVERY: a fresh checkpoint replays every arrival file from
+       batch id 0 — the txn guard must commit NOTHING (zero new versions,
+       the exactly-once claim, asserted hard);
+    3. the folded sketches' estimates must land within 5% of the exact
+       distincts (lg_k=12 ⇒ ~1.6% rse).
+
+    Returns the EXACT per-priority distinct counts for the hash gate — the
+    sketch math and the txn ledger are validated in-entry; the values the
+    driver hashes are deterministic."""
+    from ..ops.incremental import TableStore
+    from ..ops.rollup import hll_estimate
+    from ..streaming.incremental_stream import stream_hll_rollup
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    )
+    halves = [orders.where(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    work = tempfile.mkdtemp(prefix="taico_stream_txn_")
+    try:
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        store = TableStore(spark, os.path.join(work, "store"))
+
+        def _run(ckpt: str) -> None:
+            stream = (
+                spark.readStream.schema(halves[0].schema)
+                .format("parquet")
+                .load(arrivals)
+            )
+            stream_hll_rollup(
+                stream,
+                store,
+                "rollup",
+                ["o_orderpriority"],
+                "o_custkey",
+                ckpt,
+                app_id="stream_txn_rollup_gate",
+            )
+
+        ckpt = os.path.join(work, "ckpt")
+        _deliver(work, arrivals, halves[0], "batch0")
+        _run(ckpt)
+        _deliver(work, arrivals, halves[1], "batch1")
+        _run(ckpt)
+        n_versions = len(store.history("rollup"))
+        if n_versions != 2 or store.last_txn("rollup", "stream_txn_rollup_gate") != 1:
+            raise RuntimeError(
+                f"stream_txn_rollup_gate: fold shape wrong — {n_versions} versions, "
+                f"last_txn {store.last_txn('rollup', 'stream_txn_rollup_gate')}"
+            )
+        # full redelivery from a FRESH checkpoint: every file re-arrives as
+        # batch 0; the txn ledger (last committed batch id 1) must skip it
+        # without burning a version — exactly-once at the version level
+        _run(os.path.join(work, "ckpt_redelivery"))
+        if len(store.history("rollup")) != 2:
+            raise RuntimeError(
+                "stream_txn_rollup_gate: redelivered batch committed a version "
+                f"({len(store.history('rollup'))} != 2) — exactly-once broken"
+            )
+        est = {
+            r.o_orderpriority: r.n_distinct
+            for r in hll_estimate(store.read("rollup")).collect()
+        }
+        exact = orders.groupBy("o_orderpriority").agg(
+            F.countDistinct("o_custkey").alias("n_distinct")
+        )
+        for r in exact.collect():
+            e = est.get(r.o_orderpriority)
+            if e is None or abs(e - r.n_distinct) / r.n_distinct > 0.05:
+                raise RuntimeError(
+                    f"stream_txn_rollup_gate: estimate {e} off exact "
+                    f"{r.n_distinct} for {r.o_orderpriority}"
+                )
+        return exact.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_TXN_ROLLUP_SQL = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "stream_tumbling_events": stream_tumbling_events,
     "stream_merge_orders": stream_merge_orders,
     "stream_dedup_events": stream_dedup_events,
     "stream_sessionize_events": stream_sessionize_events,
     "stream_interval_join_events": stream_interval_join_events,
+    "stream_txn_rollup_gate": stream_txn_rollup_gate,
 }
 
 ORACLE = {
+    "stream_txn_rollup_gate": STREAM_TXN_ROLLUP_SQL,
     "stream_tumbling_events": STREAM_TUMBLING_SQL,
     "stream_merge_orders": STREAM_MERGE_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
