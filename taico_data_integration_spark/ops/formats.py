@@ -333,17 +333,30 @@ class SqlWarehouseFormat(TableFormat):
             for e in reversed(entry["versions"])
         ]
 
-    def vacuum(self, table: str, keep_latest: int = 1) -> list[int]:
+    def vacuum(
+        self, table: str, keep_latest: int = 1, min_age_seconds: float = 0.0
+    ) -> list[int]:
         """Drop all but the newest ``keep_latest`` version tables (plus the
-        current one) from the catalog."""
+        current one) from the catalog. Parity with TableStore.vacuum
+        (VERDICT r7 #4): ``keep_latest=0`` means "keep only current" (the
+        naive ``[-0:]`` slice would keep EVERYTHING — the same bug r7's
+        lifecycle test caught in TableStore), and ``min_age_seconds`` is
+        the reader-retention horizon: a version is removable only once it
+        has been SUPERSEDED for at least that long, measured from the NEXT
+        version's commit timestamp (the moment it stopped being the
+        default read target), so a reader that pinned the then-current
+        version keeps its table for the whole window."""
         with self._lock:
             meta = self._read_meta()
             entry = meta[table]
-            keep = {e["v"] for e in entry["versions"][-keep_latest:]}
+            versions = entry["versions"]
+            keep = {e["v"] for e in (versions[-keep_latest:] if keep_latest > 0 else [])}
             keep.add(entry["current"])
+            now = time.time()
             removed, remaining = [], []
-            for e in entry["versions"]:
-                if e["v"] in keep:
+            for i, e in enumerate(versions):
+                superseded_at = versions[i + 1]["ts"] if i + 1 < len(versions) else now
+                if e["v"] in keep or now - superseded_at < min_age_seconds:
                     remaining.append(e)
                 else:
                     self.spark.sql(f"DROP TABLE IF EXISTS {self._vt(table, e['v'])}")

@@ -264,6 +264,45 @@ def test_format_lifecycle_conformance(spark, table_format):
     assert removed and fmt.read("t").count() == 5
 
 
+def test_format_vacuum_retention_conformance(spark, table_format):
+    """VERDICT r7 #4: vacuum semantics must be format-portable too —
+    keep_latest=0 means 'keep only current' (the naive [-0:] slice keeps
+    everything), and min_age_seconds is the reader-retention horizon
+    measured from the SUPERSEDING version's commit time, on BOTH formats."""
+    import time as _time
+
+    fmt = table_format
+    df = lambda n: spark.range(n).selectExpr("id", "id * 2 AS v")
+    fmt.write("t", df(3))  # v0
+    fmt.write("t", df(4))  # v1: supersedes v0 NOW
+    _time.sleep(1.2)
+    fmt.write("t", df(5))  # v2 (current): supersedes v1 NOW
+
+    # a generous retention window protects every superseded version
+    assert fmt.vacuum("t", keep_latest=0, min_age_seconds=3600.0) == []
+    assert [h["v"] for h in fmt.history("t")] == [2, 1, 0]
+
+    # a window strictly between the two supersession ages (derived from
+    # the committed timestamps, so no wall-clock assumptions) reclaims v0
+    # — superseded at v1's commit, long enough ago — but still shields v1,
+    # superseded only at v2's commit
+    ts = {h["v"]: h["ts"] for h in fmt.history("t")}
+    now = _time.time()
+    mid_age = ((now - ts[1]) + (now - ts[2])) / 2
+    assert now - ts[1] > mid_age > now - ts[2] > 0
+    assert fmt.vacuum("t", keep_latest=0, min_age_seconds=mid_age) == [0]
+    assert [h["v"] for h in fmt.history("t")] == [2, 1]
+
+    # keep_latest=0 with no retention window keeps ONLY current (the
+    # TableStore slice bug r7 caught — the formats twin lacked the audit)
+    assert fmt.vacuum("t", keep_latest=0) == [1]
+    assert [h["v"] for h in fmt.history("t")] == [2]
+    assert fmt.read("t").count() == 5
+    # the reclaimed version is gone loudly, not readable stale
+    with pytest.raises(Exception):
+        fmt.read("t", version=1).collect()
+
+
 def test_format_read_as_of_time_travel_both_formats(spark, tmp_path):
     """TIMESTAMP AS OF from the seam: a timestamp between two commits reads
     the older version, after the last commit reads current, before the
