@@ -46,3 +46,70 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted_big.join(replicated_small, [*keys, SALT_COL], how).drop(SALT_COL)
+
+
+def detect_skew(
+    df: DataFrame,
+    keys: list[str],
+    hot_threshold: float = 0.2,
+    sample_fraction: float | None = 0.05,
+    top_n: int = 5,
+) -> dict:
+    """Sampling-based skew advisor for a prospective shuffle key (VERDICT
+    r7 #7): measures the mass of the heaviest keys and recommends the
+    mitigation the measured crossover supports, so acting on skew no
+    longer requires the user to know tools/skew_probe.py's result.
+
+    Method: one column-pruned pass over a Bernoulli sample (default 5%;
+    ``sample_fraction=None`` measures exactly) → groupBy(keys).count()
+    (map-side partial aggregation makes this shuffle itself skew-immune,
+    measured in SCALE.md's aggregation twin) → top-N keys + total to the
+    driver: O(top_n) rows, never the data. Key SHARES are ratios, so the
+    sample estimate is unbiased and the absolute sample size only sets the
+    noise floor (at 5% of 10M rows a 30% key's share has σ ≈ 0.07%).
+
+    Recommendation, from the measured crossover (tools/skew_probe.py →
+    SCALE.md: AQE skew-join alone wins at ≤10M rows even with a 30% hot
+    key; salted x16 + AQE wins 2.0-2.4x at 40M rows):
+    - top key share < ``hot_threshold`` → ``"aqe"``: leave it to AQE's
+      runtime skew-join splitting, salting buys nothing.
+    - otherwise → ``"salt"`` with ``salt_buckets`` sized so the hot key's
+      reducer load falls to roughly the average partition's: the next
+      power of two ≥ top_share x spark.sql.shuffle.partitions (the probe's
+      winning x16 at a 30% key on 32 partitions is exactly this formula),
+      clamped to [2, 256]. Feed it straight to :func:`salted_join`.
+
+    Returns ``{"rows_sampled", "top_keys": [{**key, "share"}...],
+    "top_share", "skewed", "recommendation", "salt_buckets"}``.
+    """
+    if not 0.0 < hot_threshold < 1.0:
+        raise ValueError("hot_threshold must be in (0, 1)")
+    probe = df.select(*keys)
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError("sample_fraction must be in (0, 1] or None for exact")
+        probe = probe.sample(fraction=sample_fraction, seed=42)
+    counts = probe.groupBy(*keys).count()
+    top = counts.orderBy(F.desc("count"), *keys).limit(top_n).collect()
+    total = counts.agg(F.sum("count").alias("n")).first().n or 0
+    top_keys = [
+        {**{k: r[k] for k in keys}, "share": round(r["count"] / total, 6)}
+        for r in top
+    ] if total else []
+    top_share = top_keys[0]["share"] if top_keys else 0.0
+    skewed = top_share >= hot_threshold
+    buckets = 0
+    if skewed:
+        import math
+
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        target = max(2, math.ceil(top_share * partitions))
+        buckets = min(256, 1 << (target - 1).bit_length())
+    return {
+        "rows_sampled": int(total),
+        "top_keys": top_keys,
+        "top_share": top_share,
+        "skewed": skewed,
+        "recommendation": "salt" if skewed else "aqe",
+        "salt_buckets": buckets,
+    }

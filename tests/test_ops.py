@@ -2225,3 +2225,52 @@ def test_bloom_mem_cache_is_bounded_lru(spark, tmp_path):
     got, _ = store.read_point("t1", "c0", 3)
     assert got.count() == df.where("c0 = 3").count() > 0
     assert len(store._bloom_mem) <= store._BLOOM_MEM_MAX
+
+
+def test_detect_skew_advisor(spark):
+    """VERDICT r7 #7: the sampling-based skew advisor reports top-key mass
+    and recommends what the measured crossover supports — salting sized to
+    the hot key's share for a pathological key, AQE alone otherwise."""
+    from taico_data_integration_spark.ops.skew import detect_skew, salted_join
+
+    # 30% hot key over 100k rows (the probe's shape, scaled down)
+    hot = spark.range(100_000).selectExpr(
+        "IF(id % 10 < 3, 7777, id) AS k", "id AS payload"
+    )
+    rep = detect_skew(hot, ["k"], hot_threshold=0.2, sample_fraction=0.2)
+    assert rep["skewed"] and rep["recommendation"] == "salt"
+    assert abs(rep["top_share"] - 0.3) < 0.02
+    assert rep["top_keys"][0]["k"] == 7777
+    # buckets = next pow2 >= ceil(top_share x shuffle partitions): at the
+    # probe's 32 partitions this yields its measured x16 winner; the test
+    # session runs fewer, so derive the expectation from the live conf
+    import math as _math
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = max(2, _math.ceil(rep["top_share"] * parts))
+    assert rep["salt_buckets"] == min(256, 1 << (target - 1).bit_length())
+    assert detect_skew.__doc__ and "salt_buckets" in detect_skew.__doc__
+    # the recommendation feeds salted_join directly and preserves results
+    small = spark.range(50).selectExpr("id AS k", "CAST(id AS STRING) AS name")
+    plain = hot.join(small, "k").count()
+    assert (
+        salted_join(hot, small, ["k"], salt_buckets=rep["salt_buckets"]).count()
+        == plain
+    )
+
+    # uniform keys: not skewed, leave it to AQE
+    uni = spark.range(100_000).selectExpr("id % 1000 AS k")
+    rep2 = detect_skew(uni, ["k"], sample_fraction=None)  # exact pass
+    assert not rep2["skewed"] and rep2["recommendation"] == "aqe"
+    assert rep2["salt_buckets"] == 0
+    assert rep2["rows_sampled"] == 100_000
+
+    # exact mode on the hot fixture agrees with the sampled estimate
+    rep3 = detect_skew(hot, ["k"], sample_fraction=None)
+    # (30001/100000: row id=7777 itself also lands on the hot key)
+    assert rep3["skewed"] and abs(rep3["top_share"] - 0.3) < 1e-4
+
+    with pytest.raises(ValueError):
+        detect_skew(hot, ["k"], hot_threshold=1.5)
+    with pytest.raises(ValueError):
+        detect_skew(hot, ["k"], sample_fraction=0.0)
