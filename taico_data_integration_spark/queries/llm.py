@@ -623,6 +623,71 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(e, e.where(F.col("vec_id") < 10), k=5, n_lists=8, nprobe=2)
 
 
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / probe-many IVF (round 8): the index half
+    (llm.similarity.ivf_index — per-vector norm + list assignment, computed
+    exactly once) is PERSISTED to a TableStore partitioned by list_id, then
+    the probe half (ivf_search) runs against the stored table. Hard
+    invariants checked in-entry: the probe's scan plan carries a
+    list_id IN (...) PartitionFilter (only nprobe/n_lists of the
+    directories are read — the serving-time win the 1-5M-vector
+    measurement in SCALE.md motivates), and the result equals the
+    unpersisted single-call pipeline. Same deterministic quantizer as
+    ann_topk_ivf, so the same full-pipeline DuckDB oracle grades it."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm.similarity import ivf_index, ivf_search
+    from ..ops.incremental import TableStore
+
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    index, centroids = ivf_index(e, n_lists=8)
+    work = tempfile.mkdtemp(prefix="taico_ivf_idx_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("ivf_index", index, partition_by=["list_id"])
+        # centroids persist next to the table, as the docstring prescribes
+        cpath = os.path.join(work, "centroids.json")
+        with open(cpath, "w") as fh:
+            _json.dump(centroids, fh)
+        with open(cpath) as fh:
+            stored_centroids = [(int(c), list(map(float, v))) for c, v in _json.load(fh)]
+        stored = store.read("ivf_index")
+        from ..llm.similarity import ivf_assign
+
+        probe_ids = sorted(
+            r.list_id
+            for r in ivf_assign(queries, stored_centroids, nprobe=2)
+            .select("list_id")
+            .distinct()
+            .collect()
+        )
+        pruned = stored.where(F.col("list_id").isin(probe_ids))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or "list_id" not in plan.split(
+            "PartitionFilters:"
+        )[1].splitlines()[0]:
+            raise RuntimeError(
+                "ann_topk_ivf_indexed: list_id probe did not partition-prune"
+            )
+        result = ivf_search(pruned, stored_centroids, queries, k=5, nprobe=2)
+        # materialize BEFORE the finally-block removes the store's files
+        out = result.localCheckpoint()
+        # parity with the unpersisted single-call pipeline (count + except)
+        direct = cosine_topk_ivf(e, queries, k=5, n_lists=8, nprobe=2)
+        if out.exceptAll(direct).count() or direct.exceptAll(out).count():
+            raise RuntimeError(
+                "ann_topk_ivf_indexed: stored-index probe diverged from the "
+                "single-call pipeline"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 ANN_IVF_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (
@@ -1277,6 +1342,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "ann_topk": ann_topk,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_indexed": ann_topk_ivf_indexed,
     "semantic_incremental_probe": semantic_incremental_probe,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "token_frequency": token_frequency,
@@ -1328,6 +1394,7 @@ ORACLE = {
     "embedding_quantization": EMBEDDING_QUANT_SQL,
     "ann_quantized_calibration": ANN_QUANT_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
+    "ann_topk_ivf_indexed": ANN_IVF_SQL,
     "semantic_incremental_probe": SEMANTIC_INCREMENTAL_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
 }

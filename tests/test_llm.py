@@ -893,3 +893,45 @@ def test_connected_components_uses_reliable_checkpoints_when_configured(spark, t
         # localCheckpoint default (tmp_path is deleted after this test)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
     assert sc.getCheckpointDir() is None
+
+
+def test_ivf_index_persist_probe_equals_single_call(spark, tmp_path):
+    """Round 8: the build-once/probe-many IVF split. ivf_search over an
+    ivf_index persisted to a list_id-partitioned TableStore must equal
+    cosine_topk_ivf's single-call result exactly, and the probe's scan of
+    the stored table must partition-prune to the probed lists."""
+    from taico_data_integration_spark.llm.similarity import (
+        cosine_topk_ivf,
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+    from taico_data_integration_spark.llm.synth import synth_embeddings
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    corpus = synth_embeddings(spark, 3_000, n_clusters=16).localCheckpoint()
+    queries = corpus.where(F.col("vec_id") % 500 == 0)
+
+    index, centroids = ivf_index(corpus, n_lists=8)
+    direct = cosine_topk_ivf(corpus, queries, k=5, n_lists=8, nprobe=2)
+
+    # in-memory split equals the single call
+    split = ivf_search(index, centroids, queries, k=5, nprobe=2)
+    assert split.exceptAll(direct).count() == 0
+    assert direct.exceptAll(split).count() == 0
+
+    # persisted split: store partitioned by list_id, probe prunes dirs
+    store = TableStore(spark, str(tmp_path))
+    store.write("idx", index, partition_by=["list_id"])
+    stored = store.read("idx")
+    probe_ids = sorted(
+        r.list_id
+        for r in ivf_assign(queries, centroids, nprobe=2).select("list_id").distinct().collect()
+    )
+    pruned = stored.where(F.col("list_id").isin(probe_ids))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    from_store = ivf_search(pruned, centroids, queries, k=5, nprobe=2)
+    assert from_store.exceptAll(direct).count() == 0
+    assert direct.exceptAll(from_store).count() == 0
