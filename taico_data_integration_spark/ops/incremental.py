@@ -1180,7 +1180,11 @@ class TableStore(TableFormat):
                 )
                 f = key[0]
                 path = unquote(urlparse(f).path) if "://" in f else f
-                rel = _os.path.relpath(path, base)
+                # normalize the base the same way: when the store root is
+                # itself a URI (object store), both sides must drop the
+                # scheme+bucket or relpath degenerates
+                b = unquote(urlparse(base).path) if "://" in base else base
+                rel = _os.path.relpath(path, b)
                 return pd.DataFrame(
                     {
                         "col": [key[1]],
