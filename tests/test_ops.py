@@ -2320,3 +2320,39 @@ def test_manifest_compaction_story(spark, tmp_path):
     got, probe_rep = store.read_point("t", "k", 7)
     assert got.count() == 1 and probe_rep["files_total"] > 0
     assert listing(bdir) == [f"v{rep['version']:04d}.parquet"]
+
+
+def test_read_pruned_nan_bounds_match_spark_ordering(spark, tmp_path):
+    """Companion to the read_point NaN fix: Spark orders NaN ABOVE every
+    double, so a NaN bound is satisfiable (col <= NaN matches everything
+    non-null; col >= NaN matches exactly the NaN rows) while parquet
+    min/max EXCLUDE NaN. _stat_keeps must keep files conservatively on a
+    NaN bound (no finite stat proves absence), leaving the residual to
+    decide — pinned here so a future 'skip when value > max' refactor
+    cannot reintroduce the blindspot."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    nan = float("nan")
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, nan), (2, 1.0), (3, 2.5), (4, nan), (5, None)],
+        "id bigint, d double",
+    )
+    store.write("t", df.repartition(2))
+
+    for lo, hi in ((nan, None), (None, nan), (nan, nan), (2.0, nan)):
+        got, rep = store.read_pruned("t", "d", lo=lo, hi=hi)
+        expect = store.read("t")
+        if lo is not None:
+            expect = expect.where(F.col("d") >= F.lit(lo))
+        if hi is not None:
+            expect = expect.where(F.col("d") <= F.lit(hi))
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        assert got.count() == expect.count()
+    # sanity on the semantics themselves: >= NaN selects exactly NaN rows
+    got, _ = store.read_pruned("t", "d", lo=nan, hi=None)
+    assert sorted(r.id for r in got.collect()) == [1, 4]
+    # <= NaN selects every non-null row
+    got2, _ = store.read_pruned("t", "d", lo=None, hi=nan)
+    assert sorted(r.id for r in got2.collect()) == [1, 2, 3, 4]
