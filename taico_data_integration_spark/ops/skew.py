@@ -89,11 +89,13 @@ def detect_skew(
         if not 0.0 < sample_fraction <= 1.0:
             raise ValueError("sample_fraction must be in (0, 1] or None for exact")
         probe = probe.sample(fraction=sample_fraction, seed=42)
-    counts = probe.groupBy(*keys).count()
-    top = counts.orderBy(F.desc("count"), *keys).limit(top_n).collect()
-    total = counts.agg(F.sum("count").alias("n")).first().n or 0
+    # aliased aggregate, not .count(): a key column literally named
+    # "count" must not collide with the tally column
+    counts = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__skew_n"))
+    top = counts.orderBy(F.desc("__skew_n"), *keys).limit(top_n).collect()
+    total = counts.agg(F.sum("__skew_n").alias("n")).first().n or 0
     top_keys = [
-        {**{k: r[k] for k in keys}, "share": round(r["count"] / total, 6)}
+        {**{k: r[k] for k in keys}, "share": round(r["__skew_n"] / total, 6)}
         for r in top
     ] if total else []
     top_share = top_keys[0]["share"] if top_keys else 0.0

@@ -2275,6 +2275,11 @@ def test_detect_skew_advisor(spark):
     with pytest.raises(ValueError):
         detect_skew(hot, ["k"], sample_fraction=0.0)
 
+    # a key column literally named "count" must not collide with the tally
+    named_count = hot.withColumnRenamed("k", "count")
+    rep4 = detect_skew(named_count, ["count"], sample_fraction=None)
+    assert rep4["skewed"] and rep4["top_keys"][0]["count"] == 7777
+
 
 def test_manifest_compaction_story(spark, tmp_path):
     """VERDICT r7 #8: what bounds sidecar accumulation on a long-lived
