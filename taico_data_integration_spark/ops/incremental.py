@@ -1416,6 +1416,173 @@ class TableStore(TableFormat):
         )
         return df, report
 
+    def read_in(
+        self,
+        table: str,
+        col: str,
+        values: list,
+        version: int | None = None,
+        num_bits: int = 1 << 17,
+        num_hashes: int = 7,
+        expected_items_per_file: int | None = None,
+        fpp: float = 0.01,
+        max_values: int = 10_000,
+    ) -> tuple[DataFrame, dict]:
+        """Batched IN-list point lookup (Delta's IN-list data-skipping
+        analog): rows where ``col`` equals ANY of ``values``, file-pruned
+        by the same stats+bloom machinery as :meth:`read_point` — a file
+        is read only if at least one value's interval test AND bloom
+        membership keep it. The shape GDPR erasure audits and dedup-key
+        batches need: probing N subject ids costs ONE tiny Spark job for
+        all N probe hashes plus a driver-side bitmap walk, never N scans.
+
+        Values must be non-null, mutually same-Python-type (the batch
+        probe hashes them through one typed array; a mixed int/float list
+        would silently coerce — pass floats explicitly instead), and at
+        most ``max_values`` (above that a broadcast semi-join against a
+        values DataFrame is the right plan, not an In-list — loud error,
+        by design). Per-value numeric/temporal cast-fidelity guards are
+        the same as read_point's: a value the cast provably excludes just
+        drops out of the probe set (reported in ``values_pruned``), NaN
+        values bypass the stats stage and probe the bloom. The residual
+        ``col IN (...)`` over column-typed literals is always applied, so
+        a bloom false positive costs one extra file scan, never a wrong
+        row."""
+        import datetime as _dt
+        import math as _math
+
+        if not values:
+            raise ValueError("read_in needs at least one value")
+        if len(values) > max_values:
+            raise ValueError(
+                f"read_in got {len(values)} values (max {max_values}): use a "
+                "broadcast semi-join against a values DataFrame at this size"
+            )
+        if any(v is None for v in values):
+            raise ValueError("read_in(values containing None): IN never matches NULL")
+        types = {type(v) for v in values}
+        if len(types) > 1:
+            raise ValueError(
+                f"read_in values must share one Python type, got {sorted(t.__name__ for t in types)}"
+            )
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
+        stats = self.collect_file_stats(table, [col], version=v)
+        bloom = self._bloom_mem_get(table, v, col)
+        bp = self._bloom_path(table, v)
+        if bloom is None and os.path.exists(bp):
+            bloom = self._bloom_load(bp, col)
+            if bloom is not None:
+                self._bloom_mem_put(table, v, col, bloom)
+        if bloom is None:
+            bloom = self.collect_file_blooms(
+                table,
+                [col],
+                version=v,
+                num_bits=num_bits,
+                num_hashes=num_hashes,
+                expected_items_per_file=expected_items_per_file,
+                fpp=fpp,
+            )["cols"][col]
+        m, k = bloom["m"], bloom["k"]
+        dtype = dict(self.spark.read.parquet(entry["path"]).dtypes).get(col)
+        if dtype is None:
+            raise ValueError(f"column {col} not in {table}")
+        # ONE job hashes every value: explode a typed literal array, cast
+        # each element to the column's own type (same bits read_point
+        # hashes), and emit (raw, cast value, k probe positions) rows
+        cast_el = F.col("__raw").cast(dtype)
+        probes = (
+            self.spark.range(1)
+            .select(F.explode(F.array(*[F.lit(x) for x in values])).alias("__raw"))
+            .select(
+                F.col("__raw"),
+                cast_el.alias("cv"),
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), cast_el), F.lit(m)).alias(f"p{i}")
+                    for i in range(k)
+                ],
+            )
+            .collect()
+        )
+        live: list[tuple] = []  # (value, stats_value, is_nan, positions)
+        values_pruned = 0
+        for val, row in zip(values, probes):
+            if row["cv"] is None:
+                raise ValueError(
+                    f"read_in value {val!r} is not castable to {col}'s type {dtype}"
+                )
+            is_nan = isinstance(val, float) and _math.isnan(val)
+            cast_is_sparks = dtype == "double" or (
+                dtype == "float"
+                and (is_nan or (isinstance(val, int) and not isinstance(val, bool)))
+            )
+            lossy_numeric = (
+                not cast_is_sparks
+                and isinstance(val, (int, float))
+                and not isinstance(val, bool)
+                and isinstance(row["cv"], (int, float))
+                and row["cv"] != val
+            )
+            lossy_temporal = (
+                isinstance(val, _dt.datetime)
+                and isinstance(row["cv"], _dt.date)
+                and not isinstance(row["cv"], _dt.datetime)
+                and val.replace(tzinfo=None) != _dt.datetime.combine(row["cv"], _dt.time())
+            )
+            if lossy_numeric or lossy_temporal:
+                values_pruned += 1  # provably matches nothing — drop it
+                continue
+            sv = row["cv"] if cast_is_sparks else val
+            live.append((val, sv, is_nan, [row[f"p{i}"] for i in range(k)]))
+
+        def bloom_keeps(rel: str, positions: list[int]) -> bool:
+            words = bloom["files"].get(rel)
+            if words is None:
+                return True
+            for pos in positions:
+                w = int.from_bytes(words[(pos >> 6) * 8 : (pos >> 6) * 8 + 8], "little")
+                if not (w >> (pos & 63)) & 1:
+                    return False
+            return True
+
+        keep, by_stats, by_bloom = [], 0, 0
+        for rel, rec in stats["files"].items():
+            cstat = rec.get("cols", {}).get(col, {})
+            stats_kept = [
+                lv
+                for lv in live
+                if lv[2] or self._stat_keeps(cstat, rec, lv[1], lv[1])
+            ]
+            if not stats_kept:
+                by_stats += 1
+                continue
+            if not any(bloom_keeps(rel, lv[3]) for lv in stats_kept):
+                by_bloom += 1
+                continue
+            keep.append(rel)
+        report = {
+            "files_total": len(stats["files"]),
+            "files_read": len(keep),
+            "files_skipped": len(stats["files"]) - len(keep),
+            "skipped_by_stats": by_stats,
+            "skipped_by_bloom": by_bloom,
+            "n_values": len(values),
+            "values_pruned": values_pruned,
+        }
+        if not keep or not live:
+            return self.read(table, version=v).where(F.lit(False)), report
+        pred = F.col(col).isin(*[F.lit(lv[0]).cast(dtype) for lv in live])
+        df = (
+            self.spark.read.option("basePath", entry["path"])
+            .parquet(*[os.path.join(entry["path"], rel) for rel in keep])
+            .where(pred)
+        )
+        return df, report
+
     def read_since(self, table: str, ts_col: str, watermark) -> tuple[DataFrame, dict]:
         """Incremental consumer read: rows with ``ts_col > watermark``,
         file-pruned by the stats manifest. The file-level test keeps any

@@ -301,8 +301,11 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly with the strict residual, and a BLOOM point lookup on the
     UNCLUSTERED key column (where min/max stats span the domain in every
     file) reads at most 2 files for a present key, zero for an absent one,
-    with results exactly the equality residual. Returns the pruned window
-    for the hash gate."""
+    with results exactly the equality residual; a batched IN-list probe
+    (read_in, r8) over one present + two absent keys reads at most the
+    present key's files and equals the full-scan IN residual, and an
+    absent-only list reads nothing. Returns the pruned window for the
+    hash gate."""
     import datetime as dt
 
     orders = T(spark, sf_dir, "orders").select(
@@ -397,6 +400,30 @@ def lifecycle_skipping_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if miss_rep["files_read"] != 0 or miss.count() != 0:
             raise RuntimeError(
                 f"lifecycle_skipping_gate: absent-key lookup read {miss_rep}"
+            )
+        # batched IN-list probe (r8, read_in): one present + two absent
+        # keys must read at most the present key's files and return
+        # exactly the full-scan IN residual; an absent-only list reads 0
+        in_hit, in_rep = store.read_in(
+            "orders_by_date", "o_orderkey", [probe_key, kr.hi + 1, kr.hi + 2]
+        )
+        expect_in = store.read("orders_by_date").where(
+            F.col("o_orderkey").isin([probe_key, kr.hi + 1, kr.hi + 2])
+        )
+        if (
+            in_rep["files_read"] > 2
+            or in_hit.exceptAll(expect_in).count()
+            or expect_in.exceptAll(in_hit).count()
+        ):
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: IN-list probe wrong {in_rep}"
+            )
+        in_miss, in_miss_rep = store.read_in(
+            "orders_by_date", "o_orderkey", [kr.hi + 1, kr.hi + 2]
+        )
+        if in_miss_rep["files_read"] != 0 or in_miss.count() != 0:
+            raise RuntimeError(
+                f"lifecycle_skipping_gate: absent-only IN-list read {in_miss_rep}"
             )
         return _materialize(pruned)
     finally:

@@ -2361,3 +2361,97 @@ def test_read_pruned_nan_bounds_match_spark_ordering(spark, tmp_path):
     # <= NaN selects every non-null row
     got2, _ = store.read_pruned("t", "d", lo=None, hi=nan)
     assert sorted(r.id for r in got2.collect()) == [1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_tablestore_read_in_fuzz_equals_full_scan(spark, tmp_path, seed):
+    """read_in (batched IN-list lookup) == full-scan isin, fuzzed across
+    types, layouts, and mixed present/absent value lists — files may only
+    be over-read (bloom fp), never under-read."""
+    import datetime as dt
+    import random
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    n = rng.randint(800, 3000)
+    df = spark.range(0, n).selectExpr(
+        f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(30, 700)}) AS a",
+        "CONCAT('v', CAST(xxhash64(id) % 400 AS STRING)) AS s",
+        "timestampadd(MINUTE, CAST(id % 9000 AS INT), TIMESTAMP'2022-03-01') AS ts",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(rng.randint(2, 6)))
+    if rng.random() < 0.7:
+        store.optimize_layout("t", [rng.choice(["a", "s", "ts"])], num_files=rng.randint(3, 8))
+
+    for _ in range(6):
+        col = rng.choice(["a", "s", "ts"])
+        nvals = rng.randint(1, 12)
+        vals = []
+        for _ in range(nvals):
+            if rng.random() < 0.6:
+                row = df.where(F.col(col).isNotNull()).orderBy(F.rand(seed)).limit(1).first()
+                vals.append(row[col])
+            elif col == "a":
+                vals.append(rng.randint(-50, 1500))
+            elif col == "s":
+                vals.append(f"v{rng.randint(-500, 500)}")
+            else:
+                vals.append(dt.datetime(2022, 3, 1) + dt.timedelta(minutes=rng.randint(-99, 12000)))
+        got, rep = store.read_in("t", col, vals)
+        want = df.where(F.col(col).isin(vals))
+        g = sorted(r.payload for r in got.collect())
+        w = sorted(r.payload for r in want.collect())
+        assert g == w, f"seed {seed} col {col} vals {vals!r} rep {rep}"
+        assert rep["n_values"] == nvals
+
+
+def test_read_in_edges(spark, tmp_path):
+    """read_in contract edges: absent-only lists touch zero files, lossy
+    values drop out (reported), NaN values match Spark's NaN semantics,
+    and the loud-error contract (empty / None / mixed types / oversized)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr(
+        "id % 100 AS k",
+        "CONCAT('user_', CAST(xxhash64(id) % 15000 AS STRING)) AS u",
+        "CAST(IF(id = 7, 'NaN', CAST(id AS STRING)) AS DOUBLE) AS d",
+        "id AS payload",
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=8)
+
+    # mixed present/absent on the unclustered column: rows exact, and the
+    # absent-only list reads nothing
+    present = [r.u for r in df.where("payload IN (11, 222, 3333)").collect()]
+    got, rep = store.read_in("t", "u", present + ["user_never_a", "user_never_b"])
+    assert got.count() == df.where(F.col("u").isin(present)).count() > 0
+    assert rep["files_read"] < rep["files_total"]
+    got0, rep0 = store.read_in("t", "u", ["user_never_a", "user_never_b"])
+    assert got0.count() == 0 and rep0["files_read"] == 0
+
+    # lossy values drop out of the probe set but exact values still match
+    got2, rep2 = store.read_in("t", "k", [2.5, 3.0, 4.5])
+    assert sorted(set(r.k for r in got2.collect())) == [3]
+    assert rep2["values_pruned"] == 2
+    # an all-lossy list is provably empty without touching files
+    got3, rep3 = store.read_in("t", "k", [2.5, 4.5])
+    assert got3.count() == 0 and rep3["files_read"] == 0
+
+    # NaN inside a double IN-list: Spark treats NaN = NaN as true
+    got4, _ = store.read_in("t", "d", [float("nan"), 100.0])
+    assert sorted(r.payload for r in got4.collect()) == [7, 100]
+
+    with pytest.raises(ValueError, match="at least one"):
+        store.read_in("t", "k", [])
+    with pytest.raises(ValueError, match="NULL"):
+        store.read_in("t", "k", [1, None])
+    with pytest.raises(ValueError, match="one Python type"):
+        store.read_in("t", "k", [1, "x"])
+    with pytest.raises(ValueError, match="broadcast semi-join"):
+        store.read_in("t", "k", list(range(50)), max_values=10)
+    with pytest.raises(ValueError, match="not castable"):
+        store.read_in("t", "d", ["not-a-number"])
