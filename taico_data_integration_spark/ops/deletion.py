@@ -7,6 +7,14 @@ Each table is rewritten as one left-anti join against the (small,
 broadcast) key set and lands as a NEW TableStore version, so the erasure is
 atomic per table and auditable/rollbackable. On date/tenant-partitioned
 storage, add a partition predicate to touch only affected partitions.
+
+For a SINGLE-column key on an unpartitioned TableStore table, prefer
+``TableStore.delete_in`` (round 8): it finds the affected files with the
+stats+bloom manifests and rewrites ONLY those, hard-linking every other
+file into the new version — at 100 TB that is the difference between
+rewriting the table and rewriting the handful of files the subjects
+actually live in. This module remains the general path (multi-column
+keys, partition-dir layouts, any TableFormat).
 """
 
 from __future__ import annotations

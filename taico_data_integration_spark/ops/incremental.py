@@ -1448,6 +1448,41 @@ class TableStore(TableFormat):
         ``col IN (...)`` over column-typed literals is always applied, so
         a bloom false positive costs one extra file scan, never a wrong
         row."""
+        entry, dtype, live, keep, report = self._in_candidates(
+            table, col, values, version, num_bits, num_hashes,
+            expected_items_per_file, fpp, max_values,
+        )
+        v = entry["v"]
+        if not keep or not live:
+            return self.read(table, version=v).where(F.lit(False)), report
+        pred = F.col(col).isin(*[F.lit(lv[0]).cast(dtype) for lv in live])
+        df = (
+            self.spark.read.option("basePath", entry["path"])
+            .parquet(*[os.path.join(entry["path"], rel) for rel in keep])
+            .where(pred)
+        )
+        return df, report
+
+    def _in_candidates(
+        self,
+        table: str,
+        col: str,
+        values: list,
+        version: int | None,
+        num_bits: int,
+        num_hashes: int,
+        expected_items_per_file: int | None,
+        fpp: float,
+        max_values: int,
+    ) -> tuple[dict, str, list, list, dict]:
+        """Shared IN-list probe for :meth:`read_in` and :meth:`delete_in`:
+        ``(version entry, col dtype, live values, candidate files,
+        report)``. ``live`` drops values the column-type cast provably
+        excludes (same Spark-coercion rules as read_point); ``candidate
+        files`` is conservative — every file that MIGHT hold any live
+        value (stats interval OR'd per value, then bloom membership OR'd
+        per value), so readers over-read and deleters over-rewrite on a
+        bloom false positive, never the reverse."""
         import datetime as _dt
         import math as _math
 
@@ -1573,15 +1608,120 @@ class TableStore(TableFormat):
             "n_values": len(values),
             "values_pruned": values_pruned,
         }
-        if not keep or not live:
-            return self.read(table, version=v).where(F.lit(False)), report
-        pred = F.col(col).isin(*[F.lit(lv[0]).cast(dtype) for lv in live])
-        df = (
-            self.spark.read.option("basePath", entry["path"])
-            .parquet(*[os.path.join(entry["path"], rel) for rel in keep])
-            .where(pred)
+        return entry, dtype, live, keep, report
+
+    def delete_in(
+        self,
+        table: str,
+        col: str,
+        values: list,
+        max_values: int = 10_000,
+    ) -> tuple[int, dict]:
+        """File-level copy-on-write DELETE (the Delta ``DELETE WHERE col
+        IN (...)`` shape): remove every row whose ``col`` equals any of
+        ``values`` by rewriting ONLY the files that might contain one —
+        found with the same stats+bloom pruning as :meth:`read_in` — and
+        HARD-LINKING every untouched file into the new version (same
+        inode, zero data movement; vacuum of either version later unlinks
+        only its own directory entry). At 100 TB this is the difference
+        between rewriting the table and rewriting the handful of files a
+        GDPR subject actually lives in; ``ops.deletion.erase_subjects``
+        stays the full-rewrite fallback for multi-column keys. A bloom
+        false positive rewrites a clean file unchanged — cost, never a
+        wrong row. Rows with NULL ``col`` are always kept (IN never
+        matches NULL), and a NaN value deletes NaN rows (Spark NaN = NaN).
+
+        Constraints are NOT re-validated: every surviving row already
+        passed its row-level CHECK when its version committed, and
+        deletion only removes rows.
+
+        Restricted to unpartitioned versions (partition-dir layouts mix
+        linked partition files with root-level rewrites — use the full
+        rewrite path there; loud error). No matching value (all lossy, or
+        nothing in the probe set) is a NO-OP: returns the current version
+        unchanged and burns nothing.
+
+        Returns ``(version, report)`` with files_linked / files_rewritten
+        / rows_deleted."""
+        import shutil
+
+        entry, dtype, live, affected, report = self._in_candidates(
+            table, col, values, None, 1 << 17, 7, None, 0.01, max_values
         )
-        return df, report
+        all_rels = list(
+            self.collect_file_stats(table, [col], version=entry["v"])["files"]
+        )
+        if any(os.sep in rel for rel in all_rels):
+            raise ValueError(
+                f"delete_in: {table} v{entry['v']} is partition-dir laid out; "
+                "use ops.deletion.erase_subjects (full rewrite) for partitioned tables"
+            )
+        if not live or not affected:
+            return entry["v"], {
+                **report,
+                "files_linked": 0,
+                "files_rewritten": 0,
+                "rows_deleted": 0,
+                "noop": True,
+            }
+        version = self._claim_version(table)
+        path = os.path.join(self.root, table, f"v{version:04d}")
+        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
+        try:
+            os.makedirs(staging)
+            untouched = [rel for rel in all_rels if rel not in set(affected)]
+            for rel in untouched:
+                src_f = os.path.join(entry["path"], rel)
+                dst_f = os.path.join(staging, rel)
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:  # cross-device / FS without hard links
+                    shutil.copy2(src_f, dst_f)
+            # one Spark job rewrites the affected files minus the doomed
+            # rows; kept = NULL col (IN never matches NULL) or not-IN
+            from pyspark.sql import Observation
+
+            in_vals = F.col(col).isin(*[F.lit(lv[0]).cast(dtype) for lv in live])
+            src = self.spark.read.option("basePath", entry["path"]).parquet(
+                *[os.path.join(entry["path"], rel) for rel in affected]
+            )
+            obs = Observation(f"delete_in_{table}_{version}")
+            kept = src.where(F.col(col).isNull() | ~in_vals).observe(
+                obs, F.count(F.lit(1)).alias("kept_rows")
+            )
+            rewrite_dir = os.path.join(staging, ".rewrite")
+            kept.write.mode("overwrite").parquet(rewrite_dir)
+            kept_rows = obs.get["kept_rows"]
+            moved = 0
+            for name in sorted(os.listdir(rewrite_dir)):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(rewrite_dir, name),
+                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
+                    )
+                    moved += 1
+            shutil.rmtree(rewrite_dir, ignore_errors=True)
+            stats = self.collect_file_stats(table, [col], version=entry["v"])
+            before = sum(
+                stats["files"][rel].get("rows") or 0 for rel in affected
+            )
+            # the commit marker _read_meta requires (Spark writes it for
+            # write()'s staging; this staging is hand-assembled)
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+            os.rename(staging, path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._write_pointer(table, version)
+        report = {
+            **report,
+            "files_linked": len(untouched),
+            "files_rewritten": len(affected),
+            "rewrite_output_files": moved,
+            "rows_deleted": int(before - kept_rows),
+            "noop": False,
+        }
+        return version, report
 
     def read_since(self, table: str, ts_col: str, watermark) -> tuple[DataFrame, dict]:
         """Incremental consumer read: rows with ``ts_col > watermark``,

@@ -648,7 +648,81 @@ TIMETRAVEL_GATE_SQL = """
 SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey FROM nation
 """
 
+
+def lifecycle_copy_on_write_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level copy-on-write DELETE under the driver's gate (round 8):
+    customers land in a TableStore clustered on c_custkey, then the five
+    SMALLEST keys — all clustered into the first file's range — are
+    deleted via ``delete_in``. Hard invariants: the delete REWRITES fewer
+    files than the version holds and HARD-LINKS at least one untouched
+    file (same inode as the previous version — zero data movement,
+    checked via os.stat), exactly 5 rows are deleted, the pre-delete
+    version stays pinned-readable, and a second delete_in with an
+    absent key is a NO-OP that burns no version. The surviving table is
+    hashed against the plain anti-IN oracle."""
+    import os as _os
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    work = tempfile.mkdtemp(prefix="taico_lcg_cow_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("customers", cust.repartition(4))
+        store.optimize_layout("customers", ["c_custkey"], num_files=8)
+        v_before = store._read_meta("customers")["current"]
+        n_before = store.read("customers").count()
+        doomed = [int(r.c_custkey) for r in cust.orderBy("c_custkey").limit(5).collect()]
+        v_after, rep = store.delete_in("customers", "c_custkey", doomed)
+        if rep["noop"] or rep["rows_deleted"] != 5:
+            raise RuntimeError(f"lifecycle_copy_on_write_delete: wrong delta {rep}")
+        if (
+            rep["files_rewritten"] >= rep["files_total"]
+            or rep["files_linked"] < 1
+            or rep["files_linked"] + rep["files_rewritten"] != rep["files_total"]
+        ):
+            raise RuntimeError(
+                f"lifecycle_copy_on_write_delete: not copy-on-write {rep}"
+            )
+        # zero data movement: linked files share inodes with the old version
+        old_dir = os.path.join(work, "store", "customers", f"v{v_before:04d}")
+        new_dir = os.path.join(work, "store", "customers", f"v{v_after:04d}")
+        old_inodes = {
+            _os.stat(os.path.join(old_dir, f)).st_ino
+            for f in _os.listdir(old_dir)
+            if f.endswith(".parquet")
+        }
+        n_linked = sum(
+            1
+            for f in _os.listdir(new_dir)
+            if f.endswith(".parquet")
+            and _os.stat(os.path.join(new_dir, f)).st_ino in old_inodes
+        )
+        if n_linked != rep["files_linked"]:
+            raise RuntimeError(
+                f"lifecycle_copy_on_write_delete: linked {n_linked} != {rep['files_linked']}"
+            )
+        if store.read("customers", version=v_before).count() != n_before:
+            raise RuntimeError(
+                "lifecycle_copy_on_write_delete: pre-delete version not pinned-readable"
+            )
+        # absent key: NO-OP, no version burned
+        kmax = int(cust.agg(F.max("c_custkey")).first()[0])
+        v_noop, rep_noop = store.delete_in("customers", "c_custkey", [kmax + 10**9])
+        if not rep_noop["noop"] or v_noop != v_after:
+            raise RuntimeError(
+                f"lifecycle_copy_on_write_delete: absent-key delete burned {rep_noop}"
+            )
+        return _materialize(store.read("customers"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+COW_DELETE_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5)
+"""
+
 QUERIES = {
+    "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
     "sink_csv_roundtrip": sink_csv_roundtrip,
@@ -662,6 +736,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lifecycle_copy_on_write_delete": COW_DELETE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
     "sink_csv_roundtrip": CSV_ROUNDTRIP_SQL,

@@ -2455,3 +2455,87 @@ def test_read_in_edges(spark, tmp_path):
         store.read_in("t", "k", list(range(50)), max_values=10)
     with pytest.raises(ValueError, match="not castable"):
         store.read_in("t", "d", ["not-a-number"])
+
+
+def test_delete_in_copy_on_write(spark, tmp_path):
+    """File-level copy-on-write DELETE: only files that might hold a
+    doomed key are rewritten; every other file is HARD-LINKED into the
+    new version (same inode — zero data movement), NULL keys survive, the
+    old version stays pinned-readable, and vacuuming it leaves the linked
+    files alive in the new version."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 40_000).selectExpr(
+        "IF(id % 1000 = 999, NULL, id) AS k", "id AS payload", "id % 100 AS grp"
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=8)  # k-disjoint files
+    n0 = store.read("t").count()
+    v0 = store._read_meta("t")["current"]
+
+    # keys clustered into ONE file's range: the other 7 link through
+    doomed = [100, 101, 102, 250]
+    v1, rep = store.delete_in("t", "k", doomed)
+    assert rep["noop"] is False
+    assert rep["rows_deleted"] == 4
+    assert rep["files_rewritten"] < rep["files_total"]
+    assert rep["files_linked"] == rep["files_total"] - rep["files_rewritten"]
+    got = store.read("t")
+    assert got.count() == n0 - 4
+    assert got.where(F.col("k").isin(doomed)).count() == 0
+    # NULL keys are never deleted by IN
+    assert got.where("k IS NULL").count() == df.where("k IS NULL").count()
+    # full content parity with the logical delete
+    expect = df.where(F.col("k").isNull() | ~F.col("k").isin(doomed))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+    # hard links: at least one surviving file of v1 shares an inode with v0
+    v0_path = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    v1_path = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+    v0_inodes = {_os.stat(_os.path.join(v0_path, f)).st_ino
+                 for f in _os.listdir(v0_path) if f.endswith(".parquet")}
+    linked = [f for f in _os.listdir(v1_path)
+              if f.endswith(".parquet")
+              and _os.stat(_os.path.join(v1_path, f)).st_ino in v0_inodes]
+    assert len(linked) == rep["files_linked"] > 0
+
+    # old version still pinned-readable; vacuum it and the links survive
+    assert store.read("t", version=v0).count() == n0
+    removed = store.vacuum("t", keep_latest=0)  # drops v0 AND the raw pre-optimize version
+    assert v0 in removed
+    assert store.read("t").count() == n0 - 4
+
+    # absent keys are a NO-OP: no new version, nothing burned
+    cur = store._read_meta("t")["current"]
+    v2, rep2 = store.delete_in("t", "k", [10**12, 10**12 + 1])
+    assert v2 == cur and rep2["noop"] is True and rep2["rows_deleted"] == 0
+    assert store._read_meta("t")["current"] == cur
+
+    # partitioned layout is rejected loudly toward the full-rewrite path
+    store.write("p", df.withColumn("part", F.col("grp") % 3), partition_by=["part"])
+    with pytest.raises(ValueError, match="partition"):
+        store.delete_in("p", "k", [1])
+
+
+def test_delete_in_nan_and_versioning(spark, tmp_path):
+    """delete_in honors Spark NaN semantics (a NaN value deletes the NaN
+    rows) and composes with history/rollback like any other version."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    nan = float("nan")
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, nan), (2, 2.0), (3, 3.0), (4, nan), (5, None)],
+        "id bigint, d double",
+    )
+    store.write("t", df.repartition(2))
+    v1, rep = store.delete_in("t", "d", [nan, 3.0])
+    assert rep["rows_deleted"] == 3
+    assert sorted(r.id for r in store.read("t").collect()) == [2, 5]
+    # rollback restores the pre-delete rows (versioned like any write)
+    store.rollback("t", 0)
+    assert store.read("t").count() == 5
