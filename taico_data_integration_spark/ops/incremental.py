@@ -1723,6 +1723,129 @@ class TableStore(TableFormat):
         }
         return version, report
 
+    def merge_in(
+        self,
+        table: str,
+        updates: DataFrame,
+        key_col: str,
+        max_keys: int = 10_000,
+    ) -> tuple[int, dict]:
+        """File-level copy-on-write MERGE (the Delta MERGE fast path for a
+        SMALL update batch): the update keys locate the files that might
+        hold a matching row (same stats+bloom probe as :meth:`read_in`),
+        ONLY those files are rewritten — their non-matching rows kept,
+        every update row unioned in — and every untouched file HARD-LINKS
+        into the new version. Result rows are exactly
+        ``merge_upsert(target, updates, [key_col])`` (updates win, target
+        rows without a match survive, update rows with no match insert) —
+        pinned by test — but a 100-row update batch rewrites the 1-2
+        files its keys live in, not the table. Update keys whose keyspace
+        is entirely new touch nothing: every old file links through and
+        the batch lands as pure new part files (an append).
+
+        Contract: updates must cover the target schema (strict
+        merge_upsert form), carry no NULL keys, and at most ``max_keys``
+        distinct keys — above that the anti-join full rewrite
+        (``write(merge_upsert(...))``) is the right plan; loud error.
+        Same unpartitioned-layout restriction as :meth:`delete_in`.
+
+        Returns ``(version, report)`` with files_linked / files_rewritten
+        / rows_replaced (target rows removed) / rows_written (all update
+        rows — they always land)."""
+        import shutil
+
+        target_cols = self.read(table).columns
+        missing_cols = [c for c in target_cols if c not in updates.columns]
+        if missing_cols:
+            raise ValueError(
+                f"merge_in updates must cover {table}'s schema; missing {missing_cols} "
+                "(use merge_upsert(evolve_schema=True) + write for schema evolution)"
+            )
+        keys = [r[0] for r in updates.select(key_col).distinct().collect()]
+        if any(k is None for k in keys):
+            raise ValueError("merge_in: update keys must be non-null")
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"merge_in got {len(keys)} distinct keys (max {max_keys}): "
+                "use write(merge_upsert(...)) — the anti-join full rewrite — at this size"
+            )
+        entry, dtype, live, affected, probe_report = self._in_candidates(
+            table, key_col, keys, None, 1 << 17, 7, None, 0.01, max_keys
+        )
+        all_rels = list(
+            self.collect_file_stats(table, [key_col], version=entry["v"])["files"]
+        )
+        if any(os.sep in rel for rel in all_rels):
+            raise ValueError(
+                f"merge_in: {table} v{entry['v']} is partition-dir laid out; "
+                "use write(merge_upsert(...)) for partitioned tables"
+            )
+        version = self._claim_version(table)
+        path = os.path.join(self.root, table, f"v{version:04d}")
+        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
+        try:
+            os.makedirs(staging)
+            untouched = [rel for rel in all_rels if rel not in set(affected)]
+            for rel in untouched:
+                src_f = os.path.join(entry["path"], rel)
+                dst_f = os.path.join(staging, rel)
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:
+                    shutil.copy2(src_f, dst_f)
+            from pyspark.sql import Observation
+
+            up = updates.select(*target_cols)
+            if affected and live:
+                in_keys = F.col(key_col).isin(
+                    *[F.lit(lv[0]).cast(dtype) for lv in live]
+                )
+                src = self.spark.read.option("basePath", entry["path"]).parquet(
+                    *[os.path.join(entry["path"], rel) for rel in affected]
+                )
+                kept = src.where(F.col(key_col).isNull() | ~in_keys)
+                out = kept.unionByName(up)
+            else:
+                out = up  # pure insert: nothing to rewrite
+            obs = Observation(f"merge_in_{table}_{version}")
+            out = out.observe(obs, F.count(F.lit(1)).alias("out_rows"))
+            rewrite_dir = os.path.join(staging, ".rewrite")
+            out.write.mode("overwrite").parquet(rewrite_dir)
+            out_rows = obs.get["out_rows"]
+            moved = 0
+            for name in sorted(os.listdir(rewrite_dir)):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(rewrite_dir, name),
+                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
+                    )
+                    moved += 1
+            shutil.rmtree(rewrite_dir, ignore_errors=True)
+            stats = self.collect_file_stats(table, [key_col], version=entry["v"])
+            before_affected = sum(
+                stats["files"][rel].get("rows") or 0 for rel in affected
+            )
+            n_updates = up.count()
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+            os.rename(staging, path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._write_pointer(table, version)
+        # target rows REPLACED by the merge (removed from affected files);
+        # update rows all land, so inserted-vs-updated splits only when
+        # target keys are unique — report the unambiguous quantities
+        replaced = int(before_affected - (out_rows - n_updates))
+        report = {
+            **probe_report,
+            "files_linked": len(untouched),
+            "files_rewritten": len(affected),
+            "rewrite_output_files": moved,
+            "rows_replaced": replaced,
+            "rows_written": int(n_updates),
+        }
+        return version, report
+
     def read_since(self, table: str, ts_col: str, watermark) -> tuple[DataFrame, dict]:
         """Incremental consumer read: rows with ``ts_col > watermark``,
         file-pruned by the stats manifest. The file-level test keeps any

