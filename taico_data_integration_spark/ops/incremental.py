@@ -1795,7 +1795,15 @@ class TableStore(TableFormat):
                     shutil.copy2(src_f, dst_f)
             from pyspark.sql import Observation
 
-            up = updates.select(*target_cols)
+            # cast updates to the TARGET's exact column types: the new part
+            # files must carry the same parquet physical types as the
+            # hard-linked ones (a bigint target updated from an int batch
+            # would otherwise produce a mixed-type version that reads
+            # wrongly under the single-footer schema)
+            target_types = dict(self.read(table).dtypes)
+            up = updates.select(
+                *[F.col(c).cast(target_types[c]).alias(c) for c in target_cols]
+            )
             if affected and live:
                 in_keys = F.col(key_col).isin(
                     *[F.lit(lv[0]).cast(dtype) for lv in live]

@@ -2601,3 +2601,21 @@ def test_merge_in_copy_on_write(spark, tmp_path):
         store.merge_in("t", updates.drop("grp"), "k")
     with pytest.raises(ValueError, match="full rewrite"):
         store.merge_in("t", df.limit(50), "k", max_keys=10)
+
+
+def test_merge_in_casts_updates_to_target_types(spark, tmp_path):
+    """merge_in's new part files must carry the target's exact parquet
+    types: an int-typed update batch against a bigint target is cast, so
+    the mixed linked+rewritten version reads consistently."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS val")
+    store.write("t", df.repartition(3))
+    updates = spark.createDataFrame([(3, 99), (10**7, 77)], "k int, val int")
+    v, rep = store.merge_in("t", updates, "k")
+    got = store.read("t")
+    assert dict(got.dtypes) == {"k": "bigint", "val": "double"}
+    assert got.count() == 5_001
+    assert got.where("k = 3").first().val == 99.0
+    assert got.where("k = 10000000").first().val == 77.0
