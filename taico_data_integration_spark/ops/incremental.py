@@ -497,14 +497,43 @@ class TableStore(TableFormat):
         if last is not None and batch_id <= last:
             return None
         version = self.write(table, df, partition_by, _txn={app_id: batch_id})
-        # belt-and-braces sidecar (see last_txn): written AFTER the commit so
-        # a crash here degrades to the pointer copy, never to a lost batch
+        self._txn_sidecar_commit(table, app_id, batch_id)
+        return version
+
+    def _txn_sidecar_commit(self, table: str, app_id: str, batch_id: int) -> None:
+        """Belt-and-braces sidecar (see last_txn): written AFTER the commit
+        so a crash here degrades to the pointer copy, never to a lost
+        batch."""
         sc = self._txn_sidecar(table, app_id)
         os.makedirs(os.path.dirname(sc), exist_ok=True)
         tmp = f"{sc}.{os.getpid()}.{time.time_ns()}.tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
         os.replace(tmp, sc)
+
+    def merge_in_with_txn(
+        self,
+        table: str,
+        updates: DataFrame,
+        key_col: str,
+        app_id: str,
+        batch_id: int,
+        max_keys: int = 10_000,
+    ) -> int | None:
+        """Exactly-once copy-on-write merge — :meth:`merge_in` under the
+        Delta txnAppId/txnVersion pattern (same contract as
+        :meth:`write_with_txn`): a replayed batch id is skipped entirely
+        (returns None, burns nothing); the txn record rides the version
+        commit's atomic pointer swap. This is the streaming micro-batch
+        fast path: each batch rewrites only the files its keys live in,
+        O(affected files + batch) instead of O(table) per batch."""
+        last = self.last_txn(table, app_id)
+        if last is not None and batch_id <= last:
+            return None
+        version, _ = self.merge_in(
+            table, updates, key_col, max_keys=max_keys, _txn={app_id: batch_id}
+        )
+        self._txn_sidecar_commit(table, app_id, batch_id)
         return version
 
     def exists(self, table: str) -> bool:
@@ -1729,6 +1758,7 @@ class TableStore(TableFormat):
         updates: DataFrame,
         key_col: str,
         max_keys: int = 10_000,
+        _txn: dict | None = None,
     ) -> tuple[int, dict]:
         """File-level copy-on-write MERGE (the Delta MERGE fast path for a
         SMALL update batch): the update keys locate the files that might
@@ -1761,12 +1791,17 @@ class TableStore(TableFormat):
                 f"merge_in updates must cover {table}'s schema; missing {missing_cols} "
                 "(use merge_upsert(evolve_schema=True) + write for schema evolution)"
             )
-        keys = [r[0] for r in updates.select(key_col).distinct().collect()]
+        # limit the collect to the cap + 1: an oversized batch errs loudly
+        # WITHOUT materializing its whole key set on the driver
+        keys = [
+            r[0]
+            for r in updates.select(key_col).distinct().limit(max_keys + 1).collect()
+        ]
         if any(k is None for k in keys):
             raise ValueError("merge_in: update keys must be non-null")
         if len(keys) > max_keys:
             raise ValueError(
-                f"merge_in got {len(keys)} distinct keys (max {max_keys}): "
+                f"merge_in got more than max_keys={max_keys} distinct keys: "
                 "use write(merge_upsert(...)) — the anti-join full rewrite — at this size"
             )
         entry, dtype, live, affected, probe_report = self._in_candidates(
@@ -1839,7 +1874,7 @@ class TableStore(TableFormat):
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        self._write_pointer(table, version)
+        self._write_pointer(table, version, txn=_txn)
         # target rows REPLACED by the merge (removed from affected files);
         # update rows all land, so inserted-vs-updated splits only when
         # target keys are unique — report the unambiguous quantities

@@ -152,6 +152,7 @@ def stream_merge_into(
     keys: list[str],
     checkpoint_dir: str,
     app_id: str | None = None,
+    cow_max_keys: int | None = None,
 ):
     """foreachBatch incremental merge: each micro-batch MERGEs into the
     versioned table store on `keys` — the streaming form of the dbt
@@ -164,14 +165,41 @@ def stream_merge_into(
     detected by its batch id and skipped WITHOUT writing a version, making
     the sink exactly-once at the version level, not merely content-
     idempotent. Without app_id the merge stays content-idempotent (updates
-    win deterministically) but a replay costs a duplicate version."""
+    win deterministically) but a replay costs a duplicate version.
+
+    ``cow_max_keys`` (round 8) enables the copy-on-write fast path for a
+    SINGLE-column key: each micro-batch merges via
+    ``TableStore.merge_in`` — only the files the batch's keys live in are
+    rewritten, the rest hard-link into the new version — so per-batch
+    sink cost is O(affected files + batch) instead of O(table). The very
+    shape a long-running stream needs: without it every micro-batch
+    rewrites the whole (growing) table. Batches that break merge_in's
+    contract (too many distinct keys, NULL keys, partition-dir layout)
+    fall back to the full anti-join merge automatically; results are
+    identical either way (merge_in == merge_upsert row-for-row, pinned in
+    tests)."""
     txn_capable = app_id is not None and hasattr(store, "write_with_txn")
+    cow_capable = (
+        cow_max_keys is not None and len(keys) == 1 and hasattr(store, "merge_in")
+    )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if txn_capable:
             last = store.last_txn(table, app_id)
             if last is not None and batch_id <= last:
                 return  # replayed batch — already committed
+        if store.exists(table) and cow_capable:
+            up = batch_df.select(*store.read(table).columns)
+            try:
+                if txn_capable:
+                    store.merge_in_with_txn(
+                        table, up, keys[0], app_id, batch_id, max_keys=cow_max_keys
+                    )
+                else:
+                    store.merge_in(table, up, keys[0], max_keys=cow_max_keys)
+                return
+            except ValueError:
+                pass  # contract miss (key count/NULLs/layout): full merge below
         if not store.exists(table):
             merged = batch_df
         else:

@@ -513,3 +513,73 @@ def test_stream_hll_rollup_matches_batch(spark, tmp_path):
         r.event_type: r.n_distinct
         for r in hll_estimate(store.read("uniques")).collect()
     } == want
+
+
+def test_stream_merge_cow_fast_path(spark, tmp_path):
+    """Round 8: the copy-on-write micro-batch sink. With cow_max_keys set,
+    each batch after the initial load merges via merge_in — only the files
+    the batch's keys live in rewrite, the rest hard-link — with results
+    identical to the full anti-join merge, replays still exactly-once, and
+    an over-cap batch falling back to the full merge transparently."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+
+    from taico_data_integration_spark.ops.incremental import merge_upsert
+
+    def deliver(arrivals, df, label):
+        staging = str(tmp_path / f"stage_{label}")
+        df.write.parquet(staging)
+        for i, f_ in enumerate(sorted(glob.glob(_os.path.join(staging, "*.parquet")))):
+            _shutil.move(f_, _os.path.join(arrivals, f"{label}_{i:04d}.parquet"))
+        _shutil.rmtree(staging)
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    base = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    update = spark.createDataFrame(
+        [(5, -1.0), (6, -2.0), (10**7, -3.0)], "k bigint, v double"
+    )
+    arrivals = str(tmp_path / "arrivals")
+    _os.makedirs(arrivals)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(base.schema).format("parquet").load(arrivals)
+        stream_merge_into(
+            stream, store, "m", ["k"], str(tmp_path / ckpt),
+            app_id="cow_stream", cow_max_keys=100,
+        )
+
+    deliver(arrivals, base, "b0")
+    run("c1")  # initial load (no table yet: plain write)
+    v0 = store._read_meta("m")["current"]
+    deliver(arrivals, update, "b1")
+    run("c1")  # COW merge batch
+    v1 = store._read_meta("m")["current"]
+    expect = merge_upsert(store.read("m", version=v0), update, ["k"])
+    got = store.read("m")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # the COW batch hard-linked at least one of v0's files
+    d0 = _os.path.join(str(tmp_path / "store"), "m", f"v{v0:04d}")
+    d1 = _os.path.join(str(tmp_path / "store"), "m", f"v{v1:04d}")
+    i0 = {_os.stat(_os.path.join(d0, f)).st_ino
+          for f in _os.listdir(d0) if f.endswith(".parquet")}
+    assert any(
+        _os.stat(_os.path.join(d1, f)).st_ino in i0
+        for f in _os.listdir(d1) if f.endswith(".parquet")
+    )
+
+    # exactly-once: full redelivery from a fresh checkpoint commits nothing
+    n_versions = len(store.history("m"))
+    run("c_redeliver")
+    assert len(store.history("m")) == n_versions
+    assert store.read("m").exceptAll(expect).count() == 0
+
+    # over-cap batch: falls back to the full merge, result still exact
+    big = spark.range(50_000, 50_500).selectExpr("id AS k", "CAST(0.5 AS DOUBLE) AS v")
+    deliver(arrivals, big, "b2")
+    run("c1")
+    expect2 = merge_upsert(expect, big, ["k"])
+    got2 = store.read("m")
+    assert got2.exceptAll(expect2).count() == 0
+    assert expect2.exceptAll(got2).count() == 0
