@@ -1664,6 +1664,11 @@ class TableStore(TableFormat):
         passed its row-level CHECK when its version committed, and
         deletion only removes rows.
 
+        Cost note: the first IN-probe on a version pays the one-pass bloom
+        build for the column (measured 26 s at 60M rows) — still far below
+        a full rewrite, and the manifest is reusable by every subsequent
+        read_point/read_in/delete_in/merge_in on that version.
+
         Restricted to unpartitioned versions (partition-dir layouts mix
         linked partition files with root-level rewrites — use the full
         rewrite path there; loud error). No matching value (all lossy, or
