@@ -1535,46 +1535,22 @@ class TableStore(TableFormat):
         if entry is None:
             raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         stats = self.collect_file_stats(table, [col], version=v)
-        bloom = self._bloom_mem_get(table, v, col)
-        bp = self._bloom_path(table, v)
-        if bloom is None and os.path.exists(bp):
-            bloom = self._bloom_load(bp, col)
-            if bloom is not None:
-                self._bloom_mem_put(table, v, col, bloom)
-        if bloom is None:
-            bloom = self.collect_file_blooms(
-                table,
-                [col],
-                version=v,
-                num_bits=num_bits,
-                num_hashes=num_hashes,
-                expected_items_per_file=expected_items_per_file,
-                fpp=fpp,
-            )["cols"][col]
-        m, k = bloom["m"], bloom["k"]
         dtype = dict(self.spark.read.parquet(entry["path"]).dtypes).get(col)
         if dtype is None:
             raise ValueError(f"column {col} not in {table}")
-        # ONE job hashes every value: explode a typed literal array, cast
-        # each element to the column's own type (same bits read_point
-        # hashes), and emit (raw, cast value, k probe positions) rows
+        # job 1: cast every value to the column's own type (the coercion
+        # guards need the cast image; bloom positions wait until we know
+        # the bloom is worth consulting at all)
         cast_el = F.col("__raw").cast(dtype)
-        probes = (
+        casts = (
             self.spark.range(1)
             .select(F.explode(F.array(*[F.lit(x) for x in values])).alias("__raw"))
-            .select(
-                F.col("__raw"),
-                cast_el.alias("cv"),
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), cast_el), F.lit(m)).alias(f"p{i}")
-                    for i in range(k)
-                ],
-            )
+            .select(F.col("__raw"), cast_el.alias("cv"))
             .collect()
         )
-        live: list[tuple] = []  # (value, stats_value, is_nan, positions)
+        live: list[tuple] = []  # (value, stats_value, is_nan)
         values_pruned = 0
-        for val, row in zip(values, probes):
+        for val, row in zip(values, casts):
             if row["cv"] is None:
                 raise ValueError(
                     f"read_in value {val!r} is not castable to {col}'s type {dtype}"
@@ -1601,33 +1577,97 @@ class TableStore(TableFormat):
                 values_pruned += 1  # provably matches nothing — drop it
                 continue
             sv = row["cv"] if cast_is_sparks else val
-            live.append((val, sv, is_nan, [row[f"p{i}"] for i in range(k)]))
+            live.append((val, sv, is_nan))
 
-        def bloom_keeps(rel: str, positions: list[int]) -> bool:
-            words = bloom["files"].get(rel)
-            if words is None:
-                return True
-            for pos in positions:
-                w = int.from_bytes(words[(pos >> 6) * 8 : (pos >> 6) * 8 + 8], "little")
-                if not (w >> (pos & 63)) & 1:
-                    return False
-            return True
-
-        keep, by_stats, by_bloom = [], 0, 0
+        # STATS FIRST: the interval test is free (manifest already on the
+        # driver). Which values keep which files decides whether the bloom
+        # can even pay for itself.
+        file_live: dict[str, list[int]] = {}
+        by_stats = 0
         for rel, rec in stats["files"].items():
             cstat = rec.get("cols", {}).get(col, {})
-            stats_kept = [
-                lv
-                for lv in live
+            kept_idx = [
+                i
+                for i, lv in enumerate(live)
                 if lv[2] or self._stat_keeps(cstat, rec, lv[1], lv[1])
             ]
-            if not stats_kept:
+            if kept_idx:
+                file_live[rel] = kept_idx
+            else:
                 by_stats += 1
-                continue
-            if not any(bloom_keeps(rel, lv[3]) for lv in stats_kept):
-                by_bloom += 1
-                continue
-            keep.append(rel)
+        # consult the bloom when it is already BUILT (a selective sidecar
+        # read only prunes further), or when stats left too many candidates
+        # to justify skipping it; building one implicitly for a probe that
+        # stats already answered (key-clustered layout) would cost a full
+        # pass for nothing — measured: a layout-matched 60M-row merge_in
+        # spent 8-10s building a (saturated, default-sized) bloom to
+        # confirm the 1 file stats had already isolated
+        bloom = None
+        if live and file_live:
+            bloom = self._bloom_mem_get(table, v, col)
+            bp = self._bloom_path(table, v)
+            if bloom is None and os.path.exists(bp):
+                bloom = self._bloom_load(bp, col)
+                if bloom is not None:
+                    self._bloom_mem_put(table, v, col, bloom)
+            if bloom is None and len(file_live) > max(1, len(stats["files"]) // 8):
+                if expected_items_per_file is None:
+                    # size the implicit build from the table itself — the
+                    # fixed default saturates at high distinct-per-file
+                    total_rows = sum(
+                        rec.get("rows") or 0 for rec in stats["files"].values()
+                    )
+                    if total_rows:
+                        expected_items_per_file = max(
+                            1, total_rows // len(stats["files"])
+                        )
+                bloom = self.collect_file_blooms(
+                    table,
+                    [col],
+                    version=v,
+                    num_bits=num_bits,
+                    num_hashes=num_hashes,
+                    expected_items_per_file=expected_items_per_file,
+                    fpp=fpp,
+                )["cols"][col]
+
+        keep, by_bloom = [], 0
+        if bloom is None:
+            keep = list(file_live)
+        else:
+            # job 2: bloom positions for the live values, hashed with the
+            # bloom's own m/k (only now that we know we will consult it)
+            m, k = bloom["m"], bloom["k"]
+            pos_rows = (
+                self.spark.range(1)
+                .select(
+                    F.explode(F.array(*[F.lit(lv[0]) for lv in live])).alias("__raw")
+                )
+                .select(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(i), cast_el), F.lit(m)).alias(f"p{i}")
+                        for i in range(k)
+                    ]
+                )
+                .collect()
+            )
+            positions = [[r[f"p{i}"] for i in range(k)] for r in pos_rows]
+
+            def bloom_keeps(rel: str, pos: list[int]) -> bool:
+                words = bloom["files"].get(rel)
+                if words is None:
+                    return True
+                for p in pos:
+                    w = int.from_bytes(words[(p >> 6) * 8 : (p >> 6) * 8 + 8], "little")
+                    if not (w >> (p & 63)) & 1:
+                        return False
+                return True
+
+            for rel, kept_idx in file_live.items():
+                if any(bloom_keeps(rel, positions[i]) for i in kept_idx):
+                    keep.append(rel)
+                else:
+                    by_bloom += 1
         report = {
             "files_total": len(stats["files"]),
             "files_read": len(keep),
