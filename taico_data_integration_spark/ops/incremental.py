@@ -1801,6 +1801,113 @@ class TableStore(TableFormat):
         }
         return version, report
 
+    def delete_where(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+    ) -> tuple[int, dict]:
+        """Range-predicate copy-on-write DELETE (the reference's M8
+        delete-by-predicate, file-level): remove every row with ``col``
+        in ``[lo, hi]`` (either side open with None) by rewriting ONLY
+        the files whose stats interval intersects the range — the same
+        conservative :meth:`_stat_keeps` test read_pruned prunes with, so
+        every type hazard (temporal strings, mixed bound types, NaN) is
+        inherited, not re-derived — and hard-linking the rest into the
+        new version. The tenant/date-scoped retention sweep on an
+        UNPARTITIONED layout; partition-dir layouts already have
+        :class:`PartitionedTable`'s scoped swap. Rows with NULL ``col``
+        always survive (a range never matches NULL). A range provably
+        outside every file's stats is a version-free NO-OP. Constraints
+        are not re-validated (row subsets of valid versions stay valid).
+
+        Returns ``(version, report)`` with files_linked / files_rewritten
+        / rows_deleted."""
+        import shutil
+
+        if lo is None and hi is None:
+            raise ValueError(
+                "delete_where with both bounds open would truncate the table; "
+                "write an empty DataFrame explicitly if that is intended"
+            )
+        meta = self._read_meta(table)
+        v = meta["current"]
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"no current version for {table}")
+        stats = self.collect_file_stats(table, [col], version=v)
+        all_rels = list(stats["files"])
+        if any(os.sep in rel for rel in all_rels):
+            raise ValueError(
+                f"delete_where: {table} v{v} is partition-dir laid out; use "
+                "PartitionedTable's scoped overwrite for partitioned tables"
+            )
+        affected = [
+            rel
+            for rel, rec in stats["files"].items()
+            if self._stat_keeps(rec.get("cols", {}).get(col, {}), rec, lo, hi)
+        ]
+        report_base = {
+            "files_total": len(all_rels),
+            "files_rewritten": len(affected),
+            "files_linked": len(all_rels) - len(affected),
+        }
+        if not affected:
+            return v, {**report_base, "rows_deleted": 0, "noop": True}
+        version = self._claim_version(table)
+        path = os.path.join(self.root, table, f"v{version:04d}")
+        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
+        try:
+            os.makedirs(staging)
+            untouched = [rel for rel in all_rels if rel not in set(affected)]
+            for rel in untouched:
+                src_f = os.path.join(entry["path"], rel)
+                dst_f = os.path.join(staging, rel)
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:
+                    shutil.copy2(src_f, dst_f)
+            pred = F.lit(True)
+            if lo is not None:
+                pred = pred & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (F.col(col) <= F.lit(hi))
+            from pyspark.sql import Observation
+
+            src = self.spark.read.option("basePath", entry["path"]).parquet(
+                *[os.path.join(entry["path"], rel) for rel in affected]
+            )
+            obs = Observation(f"delete_where_{table}_{version}")
+            kept = src.where(F.col(col).isNull() | ~pred).observe(
+                obs, F.count(F.lit(1)).alias("kept_rows")
+            )
+            rewrite_dir = os.path.join(staging, ".rewrite")
+            kept.write.mode("overwrite").parquet(rewrite_dir)
+            kept_rows = obs.get["kept_rows"]
+            moved = 0
+            for name in sorted(os.listdir(rewrite_dir)):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(rewrite_dir, name),
+                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
+                    )
+                    moved += 1
+            shutil.rmtree(rewrite_dir, ignore_errors=True)
+            before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+            os.rename(staging, path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._write_pointer(table, version)
+        return version, {
+            **report_base,
+            "rewrite_output_files": moved,
+            "rows_deleted": int(before - kept_rows),
+            "noop": False,
+        }
+
     def merge_in(
         self,
         table: str,

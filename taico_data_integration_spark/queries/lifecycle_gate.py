@@ -767,6 +767,71 @@ def lifecycle_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lifecycle_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate copy-on-write DELETE under the driver's gate
+    (round 8): orders land date-clustered, then a 7-month retention sweep
+    (``delete_where`` on the order date) must rewrite ONLY the files whose
+    stats interval intersects the window (fewer than the version holds,
+    at least one hard-linked with a shared inode), delete exactly the
+    window's rows, and leave an out-of-domain sweep as a version-free
+    no-op. Survivors hash against the NOT-BETWEEN oracle."""
+    import datetime as dt
+    import os as _os
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("o_date")
+    )
+    lo, hi = dt.date(1997, 6, 1), dt.date(1997, 12, 31)
+    work = tempfile.mkdtemp(prefix="taico_lcg_delw_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("orders_by_date", orders)
+        store.optimize_layout("orders_by_date", ["o_date"], num_files=8)
+        v0 = store._read_meta("orders_by_date")["current"]
+        n0 = store.read("orders_by_date").count()
+        in_window = store.read("orders_by_date").where(
+            (F.col("o_date") >= F.lit(lo)) & (F.col("o_date") <= F.lit(hi))
+        ).count()
+        v1, rep = store.delete_where("orders_by_date", "o_date", lo=lo, hi=hi)
+        if rep["noop"] or rep["rows_deleted"] != in_window:
+            raise RuntimeError(f"lifecycle_delete_where: wrong delta {rep} vs {in_window}")
+        if rep["files_rewritten"] >= rep["files_total"] or rep["files_linked"] < 1:
+            raise RuntimeError(f"lifecycle_delete_where: not copy-on-write {rep}")
+        d0 = os.path.join(work, "store", "orders_by_date", f"v{v0:04d}")
+        d1 = os.path.join(work, "store", "orders_by_date", f"v{v1:04d}")
+        i0 = {
+            _os.stat(os.path.join(d0, f)).st_ino
+            for f in _os.listdir(d0)
+            if f.endswith(".parquet")
+        }
+        shared = sum(
+            1
+            for f in _os.listdir(d1)
+            if f.endswith(".parquet") and _os.stat(os.path.join(d1, f)).st_ino in i0
+        )
+        if shared != rep["files_linked"]:
+            raise RuntimeError(
+                f"lifecycle_delete_where: linked {shared} != {rep['files_linked']}"
+            )
+        if store.read("orders_by_date").count() != n0 - in_window:
+            raise RuntimeError("lifecycle_delete_where: survivor count wrong")
+        # out-of-domain sweep: version-free no-op
+        v2, rep2 = store.delete_where(
+            "orders_by_date", "o_date", lo=dt.date(2150, 1, 1), hi=dt.date(2151, 1, 1)
+        )
+        if not rep2["noop"] or v2 != v1:
+            raise RuntimeError(f"lifecycle_delete_where: no-op burned {rep2}")
+        return _materialize(store.read("orders_by_date"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+DELETE_WHERE_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+FROM orders
+WHERE CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1997-06-01' AND DATE '1997-12-31'
+"""
+
 COW_MERGE_SQL = """
 WITH low AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)
 SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
@@ -784,6 +849,7 @@ FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM low)
 QUERIES = {
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_cow_merge": lifecycle_cow_merge,
+    "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
     "sink_csv_roundtrip": sink_csv_roundtrip,
@@ -799,6 +865,7 @@ QUERIES = {
 ORACLE = {
     "lifecycle_copy_on_write_delete": COW_DELETE_SQL,
     "lifecycle_cow_merge": COW_MERGE_SQL,
+    "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
     "sink_csv_roundtrip": CSV_ROUNDTRIP_SQL,

@@ -2619,3 +2619,89 @@ def test_merge_in_casts_updates_to_target_types(spark, tmp_path):
     assert got.count() == 5_001
     assert got.where("k = 3").first().val == 99.0
     assert got.where("k = 10000000").first().val == 77.0
+
+
+@pytest.mark.parametrize("seed", [4, 23])
+def test_delete_where_fuzz_equals_logical_delete(spark, tmp_path, seed):
+    """delete_where == the logical NOT-BETWEEN filter, fuzzed across types
+    (ints with nulls, timestamps, doubles), layouts, and open/closed/
+    out-of-domain ranges; nulls always survive; out-of-domain ranges are
+    version-free no-ops."""
+    import datetime as dt
+    import random
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    n = rng.randint(800, 3000)
+    df = spark.range(0, n).selectExpr(
+        f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(40, 600)}) AS a",
+        "timestampadd(MINUTE, CAST(id % 8000 AS INT), TIMESTAMP'2023-01-01') AS ts",
+        "CAST(id % 89 AS DOUBLE) / 3.0 AS d",
+        "id AS payload",
+    ).localCheckpoint()
+    store.write("t", df.repartition(rng.randint(2, 5)))
+    if rng.random() < 0.7:
+        store.optimize_layout("t", [rng.choice(["a", "ts", "d"])], num_files=rng.randint(3, 8))
+
+    for _ in range(4):
+        col = rng.choice(["a", "ts", "d"])
+        if col == "a":
+            b = sorted(rng.sample(range(-50, 700), 2))
+        elif col == "ts":
+            b = sorted(
+                dt.datetime(2023, 1, 1) + dt.timedelta(minutes=rng.randint(-500, 9000))
+                for _ in range(2)
+            )
+        else:
+            b = sorted(rng.uniform(-5, 35) for _ in range(2))
+        lo, hi = b
+        if rng.random() < 0.3:
+            lo = None
+        elif rng.random() < 0.3:
+            hi = None
+        current = store.read("t").localCheckpoint()
+        v, rep = store.delete_where("t", col, lo=lo, hi=hi)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        expect = current.where(F.col(col).isNull() | ~pred)
+        got = store.read("t")
+        assert got.exceptAll(expect).count() == 0, (seed, col, lo, hi, rep)
+        assert expect.exceptAll(got).count() == 0, (seed, col, lo, hi, rep)
+        assert rep["rows_deleted"] == current.count() - expect.count()
+
+    # out-of-domain range: no-op, no version burned
+    cur = store._read_meta("t")["current"]
+    v, rep = store.delete_where("t", "a", lo=10**9, hi=10**9 + 5)
+    assert rep["noop"] and v == cur
+    with pytest.raises(ValueError, match="truncate"):
+        store.delete_where("t", "a")
+
+
+def test_delete_where_links_untouched_files(spark, tmp_path):
+    """On a range-clustered layout, a narrow range rewrite touches only
+    the overlapping files; the rest hard-link (shared inodes)."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 30_000).selectExpr("id AS k", "id % 7 AS g")
+    store.write("t", df.repartition(3))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v0 = store._read_meta("t")["current"]
+    v1, rep = store.delete_where("t", "k", lo=100, hi=200)
+    assert rep["rows_deleted"] == 101
+    assert 0 < rep["files_rewritten"] < rep["files_total"]
+    d0 = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+    i0 = {_os.stat(_os.path.join(d0, f)).st_ino
+          for f in _os.listdir(d0) if f.endswith(".parquet")}
+    shared = sum(1 for f in _os.listdir(d1)
+                 if f.endswith(".parquet")
+                 and _os.stat(_os.path.join(d1, f)).st_ino in i0)
+    assert shared == rep["files_linked"] > 0
