@@ -1229,12 +1229,39 @@ class TableStore(TableFormat):
             )
             if os.path.isfile(bp):
                 # pre-r8 single-file sidecar: become the first part file of
-                # the directory form (pure renames — no data movement)
+                # the directory form (pure renames — no data movement). Two
+                # processes racing the migration: the rename loser just
+                # proceeds (the winner already moved the file in)
                 legacy = f"{bp}.legacy-{os.getpid()}-{time.time_ns()}"
-                os.rename(bp, legacy)
+                try:
+                    os.rename(bp, legacy)
+                    os.makedirs(bp, exist_ok=True)
+                    os.rename(legacy, os.path.join(bp, "part-legacy.parquet"))
+                except FileNotFoundError:
+                    pass
+            # each build job writes to its OWN staging dir, then renames the
+            # completed part files into the sidecar. A direct mode=append of
+            # two concurrent jobs shares Hadoop's _temporary/0 staging under
+            # the output dir — the first job commit deletes the second job's
+            # in-flight task files (found by test; the classic
+            # FileOutputCommitter limitation). Private staging + per-file
+            # rename keeps concurrent different-column builds safe: readers
+            # only ever see completed files.
+            nonce = f"{os.getpid()}-{time.time_ns()}"
+            build_dir = f"{bp}.build-{nonce}"
+            try:
+                packed.write.mode("overwrite").parquet(build_dir)
                 os.makedirs(bp, exist_ok=True)
-                os.rename(legacy, os.path.join(bp, "part-legacy.parquet"))
-            packed.write.mode("append").parquet(bp)
+                for name in sorted(os.listdir(build_dir)):
+                    if name.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(build_dir, name),
+                            os.path.join(bp, f"build-{nonce}-{name}"),
+                        )
+            finally:
+                import shutil
+
+                shutil.rmtree(build_dir, ignore_errors=True)
 
         manifest: dict = {"cols": {}}
         for c in cols:

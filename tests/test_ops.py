@@ -2705,3 +2705,48 @@ def test_delete_where_links_untouched_files(spark, tmp_path):
                  if f.endswith(".parquet")
                  and _os.stat(_os.path.join(d1, f)).st_ino in i0)
     assert shared == rep["files_linked"] > 0
+
+
+def test_bloom_concurrent_column_builds_both_land(spark, tmp_path):
+    """The append-only sidecar's concurrency claim, pinned: two threads
+    building DIFFERENT columns on the same version concurrently both land
+    (the pre-r8 read-merge-replace could lose one side), and a duplicate
+    same-column build collapses to identical bitmaps at load."""
+    import threading
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 12_000).selectExpr(
+        "id AS k", "CAST(id % 300 AS INT) AS a", "CONCAT('u', id % 900) AS b"
+    )
+    store.write("t", df.repartition(4))
+
+    errs = []
+
+    def build(col):
+        try:
+            # separate store instances: no shared in-process cache
+            TableStore(spark, str(tmp_path)).collect_file_blooms("t", [col])
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errs.append((col, e))
+
+    th = [threading.Thread(target=build, args=(c,)) for c in ("a", "b")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    bp = store._bloom_path("t", store._read_meta("t")["current"])
+    assert set(TableStore._bloom_cols(bp)) >= {"a", "b"}
+    # both columns probe correctly from the shared sidecar
+    got_a, rep_a = store.read_point("t", "a", 17)
+    assert got_a.count() == df.where("a = 17").count() > 0
+    got_b, _ = store.read_point("t", "b", "u123")
+    assert got_b.count() == df.where("b = 'u123'").count() > 0
+
+    # duplicate same-column build: appends identical rows, load collapses
+    rec_before = TableStore._bloom_load(bp, "a")
+    TableStore(spark, str(tmp_path)).collect_file_blooms("t", ["a", "k"])
+    rec_after = TableStore._bloom_load(bp, "a")
+    assert rec_after["files"] == rec_before["files"]
