@@ -2621,11 +2621,107 @@ def test_merge_in_casts_updates_to_target_types(spark, tmp_path):
     assert got.where("k = 10000000").first().val == 77.0
 
 
+def test_fs_safe_name_legacy_lookup_migration(spark, tmp_path):
+    """Regression (ADVICE r8): r8's second-preimage fix suffixes safe
+    names matching '-hhhhhhhh$' (8-digit date suffixes like
+    'etl-20260815' qualify), which orphaned pre-r8 stores' sidecars
+    written under the identity filename. Lookups must probe the legacy
+    name: last_txn finds (and migrates) a legacy txn sidecar,
+    drop_constraint removes a legacy constraint file, and set_constraint
+    doesn't leave a stale legacy duplicate shadowing the update."""
+    import json as _json
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    name = "etl-20260815"
+    assert TableStore._fs_safe_name(name) != name  # the r8 suffix rule
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+
+    # pre-r8 txn sidecar under the identity filename
+    tdir = _os.path.join(str(tmp_path), "t", "_txns")
+    _os.makedirs(tdir, exist_ok=True)
+    with open(_os.path.join(tdir, f"{name}.json"), "w") as f:
+        _json.dump({"batch_id": 7}, f)
+    assert store.last_txn("t", name) == 7  # legacy probe, not invisible
+    # migrated: the current-name file now exists, the legacy one is gone
+    assert _os.path.exists(
+        _os.path.join(tdir, f"{TableStore._fs_safe_name(name)}.json")
+    )
+    assert not _os.path.exists(_os.path.join(tdir, f"{name}.json"))
+    # a replayed batch at/below 7 is still skipped through the sidecar
+    assert store.write_with_txn("t", store.read("t"), name, 7) is None
+
+    # pre-r8 constraint file under the identity filename
+    cdir = _os.path.join(str(tmp_path), "t", "_constraints")
+    _os.makedirs(cdir, exist_ok=True)
+    with open(_os.path.join(cdir, f"{name}.json"), "w") as f:
+        _json.dump({"name": name, "expr": "v >= 0"}, f)
+    assert store.constraints("t") == {name: "v >= 0"}
+    # an update must win over the stale legacy file
+    store.set_constraint("t", name, "v >= 0 AND v IS NOT NULL")
+    assert store.constraints("t") == {name: "v >= 0 AND v IS NOT NULL"}
+    store.drop_constraint("t", name)
+    assert store.constraints("t") == {}
+
+    # drop alone (no prior set) also reaches a legacy-named file
+    with open(_os.path.join(cdir, f"{name}.json"), "w") as f:
+        _json.dump({"name": name, "expr": "v >= 0"}, f)
+    store.drop_constraint("t", name)
+    assert store.constraints("t") == {}
+
+
+def test_merge_in_enforces_check_constraints(spark, tmp_path):
+    """Regression (ADVICE r8 high): merge_in must evaluate the table's
+    registered CHECK constraints on the rows it commits, exactly as
+    write() does — otherwise the COW fast path lets violating update rows
+    land in a committed version whenever the batch qualifies for it,
+    while the same stream's fallback batches (full merge through write())
+    abort. A violating batch aborts with no visible version, no staging
+    residue, and no txn record; a clean batch then commits normally."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS val")
+    store.write("t", df.repartition(3))
+    store.set_constraint("t", "val_nonneg", "val >= 0")
+    v0 = store._read_meta("t")["current"]
+    before = store.read("t").localCheckpoint()
+
+    bad = spark.createDataFrame([(3, -1.0), (10**7, 5.0)], "k bigint, val double")
+    with pytest.raises(ValueError, match="constraint violation"):
+        store.merge_in("t", bad, "k")
+    # table unchanged, no new version visible, no staging residue
+    assert store._read_meta("t")["current"] == v0
+    assert store.read("t").exceptAll(before).count() == 0
+    assert not [
+        d for d in _os.listdir(_os.path.join(str(tmp_path), "t"))
+        if d.startswith(".stage-")
+    ]
+
+    # the txn path inherits the abort: the batch id is NOT recorded, so a
+    # corrected redelivery of the same batch id is applied, not skipped
+    with pytest.raises(ValueError, match="constraint violation"):
+        store.merge_in_with_txn("t", bad, "k", app_id="s1", batch_id=0)
+    assert store.last_txn("t", "s1") is None
+    good = spark.createDataFrame([(3, 99.0), (10**7, 5.0)], "k bigint, val double")
+    v = store.merge_in_with_txn("t", good, "k", app_id="s1", batch_id=0)
+    assert v is not None and store.last_txn("t", "s1") == 0
+    got = store.read("t")
+    assert got.count() == 5_001
+    assert got.where("k = 3").first().val == 99.0
+
+
 @pytest.mark.parametrize("seed", [4, 23])
 def test_delete_where_fuzz_equals_logical_delete(spark, tmp_path, seed):
     """delete_where == the logical NOT-BETWEEN filter, fuzzed across types
-    (ints with nulls, timestamps, doubles), layouts, and open/closed/
-    out-of-domain ranges; nulls always survive; out-of-domain ranges are
+    (ints with nulls, timestamps, doubles WITH planted NaN), layouts, and
+    open/closed/out-of-domain ranges; nulls always survive; NaN doubles
+    always survive regardless of which file they land in (ADVICE r8:
+    NaN-never-in-range, layout-independent); out-of-domain ranges are
     version-free no-ops."""
     import datetime as dt
     import random
@@ -2638,7 +2734,7 @@ def test_delete_where_fuzz_equals_logical_delete(spark, tmp_path, seed):
     df = spark.range(0, n).selectExpr(
         f"IF(id % {rng.randint(3, 9)} = 0, NULL, id % {rng.randint(40, 600)}) AS a",
         "timestampadd(MINUTE, CAST(id % 8000 AS INT), TIMESTAMP'2023-01-01') AS ts",
-        "CAST(id % 89 AS DOUBLE) / 3.0 AS d",
+        "IF(id % 13 = 0, CAST('NaN' AS DOUBLE), CAST(id % 89 AS DOUBLE) / 3.0) AS d",
         "id AS payload",
     ).localCheckpoint()
     store.write("t", df.repartition(rng.randint(2, 5)))
@@ -2668,6 +2764,8 @@ def test_delete_where_fuzz_equals_logical_delete(spark, tmp_path, seed):
             pred = pred & (F.col(col) >= F.lit(lo))
         if hi is not None:
             pred = pred & (F.col(col) <= F.lit(hi))
+        if col == "d":  # NaN-never-in-range contract
+            pred = pred & ~F.isnan(F.col(col))
         expect = current.where(F.col(col).isNull() | ~pred)
         got = store.read("t")
         assert got.exceptAll(expect).count() == 0, (seed, col, lo, hi, rep)
@@ -2680,6 +2778,34 @@ def test_delete_where_fuzz_equals_logical_delete(spark, tmp_path, seed):
     assert rep["noop"] and v == cur
     with pytest.raises(ValueError, match="truncate"):
         store.delete_where("t", "a")
+
+
+def test_delete_where_nan_layout_independent(spark, tmp_path):
+    """ADVICE r8: whether a NaN row survives delete_where must not depend
+    on which file it lives in. Contract: NaN is never in [lo, hi] — NaN
+    rows always survive, in linked and rewritten files alike — and a
+    NaN-holding file's stats are unusable (Spark's writer contaminates
+    bounds with NaN; the collector rejects them), so it is kept
+    conservatively, never pruned."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    # k-clustered layout; NaN planted in BOTH the low-k and high-k files
+    df = spark.range(0, 200).selectExpr(
+        "id AS k",
+        "IF(id IN (5, 105), CAST('NaN' AS DOUBLE), CAST(id AS DOUBLE)) AS d",
+    )
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=2)
+    # NaN-holding files have unusable d-stats -> conservatively affected
+    v, rep = store.delete_where("t", "d", lo=150.0, hi=None)
+    got = store.read("t")
+    assert rep["rows_deleted"] == 50  # finite d in [150, 199]; NaNs survive
+    assert got.where("isnan(d)").count() == 2
+    assert got.where("d >= 150 AND NOT isnan(d)").count() == 0
+    # re-running is idempotent: all remaining NaN rows still survive
+    v2, rep2 = store.delete_where("t", "d", lo=0.0, hi=None)
+    assert store.read("t").where("isnan(d)").count() == 2
 
 
 def test_delete_where_links_untouched_files(spark, tmp_path):
@@ -2705,6 +2831,52 @@ def test_delete_where_links_untouched_files(spark, tmp_path):
                  if f.endswith(".parquet")
                  and _os.stat(_os.path.join(d1, f)).st_ino in i0)
     assert shared == rep["files_linked"] > 0
+
+
+def test_bloom_mixed_sizing_rows_never_false_negative(spark, tmp_path):
+    """Regression (ADVICE r8): two processes concurrently building the
+    SAME column with DIFFERENT sizings both pass the check-then-append
+    existence test and land mixed m/k rows in one sidecar. The loader
+    must not probe one sizing's bitmap with the other's m/k (a false
+    negative = skipped file that HOLDS the value = missed rows / missed
+    deletes): rows whose (m, k) differ from the column's first-seen
+    sizing are dropped, their files fall back to conservative keeps, and
+    every present-value probe still returns its rows."""
+    import os as _os
+    import shutil as _shutil
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id % 777 AS INT) AS a")
+    store.write("t", df.repartition(4))
+    v = store._read_meta("t")["current"]
+    bp = store._bloom_path("t", v)
+
+    # build 1 (sizing A), stash its part files away
+    TableStore(spark, str(tmp_path)).collect_file_blooms(
+        "t", ["a"], num_bits=1 << 12, num_hashes=3
+    )
+    stash = str(tmp_path / "stash")
+    _os.rename(bp, stash)
+    # build 2 (sizing B) sees an empty sidecar — the race's second loser
+    TableStore(spark, str(tmp_path)).collect_file_blooms(
+        "t", ["a"], num_bits=1 << 15, num_hashes=7
+    )
+    # merge: the sidecar now holds BOTH builds' rows, mixed sizings
+    for name in _os.listdir(stash):
+        _os.rename(_os.path.join(stash, name), _os.path.join(bp, f"mix-{name}"))
+    _shutil.rmtree(stash, ignore_errors=True)
+
+    fresh = TableStore(spark, str(tmp_path))  # no in-process bloom cache
+    loaded = fresh._bloom_load(bp, "a")
+    assert all(len(b) == loaded["m"] // 8 for b in loaded["files"].values())
+    # _bloom_cols (conflict check) and _bloom_load agree on the survivor
+    assert TableStore._bloom_cols(bp)["a"] == (loaded["m"], loaded["k"])
+    # no false negatives: every probed present value returns its rows
+    for probe in (0, 5, 123, 776):
+        got, rep = fresh.read_point("t", "a", probe)
+        assert got.count() == df.where(F.col("a") == probe).count() > 0, (probe, rep)
 
 
 def test_bloom_concurrent_column_builds_both_land(spark, tmp_path):

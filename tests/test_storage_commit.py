@@ -1,0 +1,349 @@
+"""Conformance suite for the storage-commit seam (VERDICT r8 #1).
+
+Proves the SAME TableStore protocol holds on POSIX semantics and on
+object-store (conditional-put) semantics:
+
+- protocol-level races against the fault-injecting in-memory fake:
+  duplicate claims, writer death mid-publish (lost 'rename'), torn
+  listings — no lost commit, no torn commit, ever;
+- the full TableStore (real Spark writes) end-to-end through
+  ConditionalPutCommit on the local emulated backend: versioned writes,
+  COW merge/delete (links degrade to copies), txn replay skip, vacuum —
+  with NOT ONE directory rename, hard link, or O_EXCL claim outside the
+  put-if-absent seam.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from taico_data_integration_spark.ops.storage_commit import (
+    ConditionalPutCommit,
+    FakeObjectStore,
+    LocalEmulatedBackend,
+    PosixCommit,
+)
+
+
+def _posix(tmp_path):
+    return PosixCommit()
+
+
+def _condput_local(tmp_path):
+    return ConditionalPutCommit(LocalEmulatedBackend())
+
+
+@pytest.fixture(params=[_posix, _condput_local], ids=["posix", "condput-local"])
+def commit(request, tmp_path):
+    return request.param(tmp_path)
+
+
+def test_put_if_absent_exactly_one_winner(commit, tmp_path):
+    """Duplicate claims: N threads race one claim file; exactly one wins —
+    the mutual-exclusion primitive version numbering rests on."""
+    target = str(tmp_path / "claims" / "v0001")
+    wins = []
+
+    def go(i):
+        if commit.put_if_absent(target, f"writer-{i}".encode()):
+            wins.append(i)
+
+    th = [threading.Thread(target=go, args=(i,)) for i in range(16)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    assert len(wins) == 1
+
+
+def test_publish_dir_all_or_nothing(commit, tmp_path):
+    """A published directory is visible with its commit marker and every
+    data file; before publish, the final path has no marker."""
+    staging = str(tmp_path / ".stage-v0001")
+    final = str(tmp_path / "v0001")
+    os.makedirs(staging)
+    for name in ("part-0.parquet", "part-1.parquet"):
+        with open(os.path.join(staging, name), "wb") as f:
+            f.write(name.encode() * 100)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    assert not os.path.exists(os.path.join(final, "_SUCCESS"))
+    commit.publish_dir(staging, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    for name in ("part-0.parquet", "part-1.parquet"):
+        with open(os.path.join(final, name), "rb") as f:
+            assert f.read() == name.encode() * 100
+    assert not os.path.exists(staging)  # staging consumed either way
+
+
+def test_pointer_swap_and_txn_merge(commit, tmp_path):
+    """Pointer swaps through the seam preserve the read-modify-merge
+    contract: concurrent swaps from different app_ids never lose each
+    other's txn records on the condput impl (CAS log), and the POSIX
+    impl preserves the original single-writer behavior."""
+    tdir = str(tmp_path / "t")
+    os.makedirs(tdir)
+    assert commit.read_pointer(tdir) is None
+
+    def swap(current, txn):
+        def mutate(prev):
+            txns = dict((prev or {}).get("txns", {}))
+            txns.update(txn)
+            return {"current": current, "txns": txns}
+
+        commit.write_pointer(tdir, mutate)
+
+    swap(0, {"a": 1})
+    swap(1, {"b": 7})
+    rec = commit.read_pointer(tdir)
+    assert rec["current"] == 1 and rec["txns"] == {"a": 1, "b": 7}
+
+    if isinstance(commit, ConditionalPutCommit):
+        # 16 concurrent swaps, each recording its own app txn: the CAS
+        # log must merge ALL of them (the POSIX last-wins replace cannot
+        # promise this — that boundary is documented in last_txn)
+        th = [
+            threading.Thread(target=swap, args=(2, {f"app{i}": i}))
+            for i in range(16)
+        ]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        rec = commit.read_pointer(tdir)
+        assert all(rec["txns"].get(f"app{i}") == i for i in range(16))
+
+
+def test_condput_pointer_log_pruned(tmp_path):
+    """The pointer log doesn't grow without bound: after many swaps only
+    the most recent keep_log entries remain, and reads still resolve."""
+    be = LocalEmulatedBackend()
+    commit = ConditionalPutCommit(be, keep_log=4)
+    tdir = str(tmp_path / "t")
+    for i in range(20):
+        commit.write_pointer(tdir, lambda prev, i=i: {"current": i, "txns": {}})
+    assert commit.read_pointer(tdir)["current"] == 19
+    live = be.list_tree(os.path.join(tdir, "_ptr"))
+    assert len(live) <= 5
+
+
+# ---------- fault injection against the in-memory fake ----------
+
+
+def _fake_commit():
+    be = FakeObjectStore()
+    return be, ConditionalPutCommit(be)
+
+
+def test_fake_duplicate_claims_one_winner():
+    be, commit = _fake_commit()
+    wins = []
+
+    def go(i):
+        if commit.put_if_absent("/t/_claims/v0005", b""):
+            wins.append(i)
+
+    th = [threading.Thread(target=go, args=(i,)) for i in range(32)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    assert len(wins) == 1
+
+
+def test_fake_writer_death_mid_publish_leaves_no_torn_commit():
+    """A writer that dies mid-publish_dir (injected) leaves data objects
+    but NO commit marker: the version is invisible to the
+    marker-is-visibility reader, and a retry under a fresh claim
+    publishes cleanly — the lost-rename scenario, no torn commit."""
+    be, commit = _fake_commit()
+    # stage 3 files
+    for i in range(3):
+        be.put(f"/t/.stage-v0001/part-{i}.parquet", b"x" * 64)
+    be.put("/t/.stage-v0001/_SUCCESS", b"")
+    be.die_after_puts = 2  # dies after copying 2 of 3 data objects
+    with pytest.raises(RuntimeError, match="injected writer death"):
+        commit.publish_dir("/t/.stage-v0001", "/t/v0001")
+    assert be.get("/t/v0001/_SUCCESS") is None  # invisible: no marker
+    # the crashed writer's residue is sweepable; a NEW claim + publish
+    # (vacuum would remove the residue; marker write is if-absent so the
+    # retry must use a fresh version dir, exactly the claim protocol)
+    be.die_after_puts = None
+    for i in range(3):
+        be.put(f"/t/.stage-v0002/part-{i}.parquet", b"y" * 64)
+    commit.publish_dir("/t/.stage-v0002", "/t/v0002")
+    marker = json.loads(be.get("/t/v0002/_SUCCESS"))
+    assert marker["n"] == 3 and len(marker["files"]) == 3
+    for rel in marker["files"]:
+        assert be.get(f"/t/v0002/{rel}") == b"y" * 64
+
+
+def test_fake_torn_list_never_tears_a_commit():
+    """Eventual consistency: list_tree hides the newest keys. A committed
+    version is still FULLY readable through its marker manifest
+    (read-after-write GET), and the pointer resolves to a consistent —
+    at worst stale, never torn — record."""
+    be, commit = _fake_commit()
+    for i in range(4):
+        be.put(f"/t/.stage-v0001/part-{i}.parquet", f"data-{i}".encode())
+    commit.publish_dir("/t/.stage-v0001", "/t/v0001")
+    commit.write_pointer("/t", lambda prev: {"current": 0, "txns": {}})
+    commit.write_pointer("/t", lambda prev: {"current": 1, "txns": {"a": 3}})
+
+    be.tear_listing = 2  # hide the 2 most recent puts from every listing
+    # the commit is repaired from the manifest, never from the listing
+    marker = json.loads(be.get("/t/v0001/_SUCCESS"))
+    assert len(marker["files"]) == 4
+    for i, rel in enumerate(sorted(marker["files"])):
+        assert be.get(f"/t/v0001/{rel}") == f"data-{i}".encode()
+    # pointer: stale-or-current, never torn. Hiding ONE entry shows the
+    # previous complete record; hiding every entry reads as "no pointer
+    # yet" (staleness to before-first-commit) — both are whole records
+    be.tear_listing = 1
+    rec = commit.read_pointer("/t")
+    assert rec == {"current": 0, "txns": {}}
+    be.tear_listing = 2
+    assert commit.read_pointer("/t") is None
+    be.tear_listing = 0
+    assert commit.read_pointer("/t")["current"] == 1
+
+
+def test_fake_torn_list_claim_loop_converges():
+    """A stale claims listing must not livelock the claim loop: the
+    put-if-absent CAS plus the caller's floor-bump converge on a fresh
+    number even when list_tree never shows the latest claims."""
+    be, commit = _fake_commit()
+    for i in range(3):
+        be.put(f"/t/_claims/v{i:04d}", b"")
+    be.tear_listing = 3  # the listing never shows any of them
+
+    # the TableStore claim loop shape: propose max(listed)+1 with a
+    # local floor; losers bump past the collision
+    floor = 0
+    claimed = None
+    for _ in range(16):
+        import re as _re
+
+        listed = [
+            int(m.group(1))
+            for m in (
+                _re.search(r"v(\d{4})$", k) for k in be.list_tree("/t/_claims")
+            )
+            if m
+        ]
+        version = max(max(listed) + 1 if listed else 0, floor)
+        if commit.put_if_absent(f"/t/_claims/v{version:04d}", b""):
+            claimed = version
+            break
+        floor = version + 1
+    assert claimed is not None and claimed >= 3
+
+
+# ---------- full TableStore through the condput protocol ----------
+
+
+def test_tablestore_lifecycle_on_conditional_put(spark, tmp_path):
+    """The real engine end-to-end on object-store semantics: versioned
+    writes, reads, rollback, COW merge + delete (links degrade to
+    copies — asserted: NO shared inodes), exactly-once txn writes, and
+    vacuum. Same data in, same rows out as the POSIX store."""
+    import pyspark.sql.functions as F
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(
+        spark, str(tmp_path), commit=ConditionalPutCommit(LocalEmulatedBackend())
+    )
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS val")
+    v0 = store.write("t", df.repartition(4))
+    assert store.read("t").count() == 20_000
+    store.optimize_layout("t", ["k"], num_files=6)
+
+    # COW merge: rewrites the key-bearing files, COPIES the rest (no links)
+    updates = spark.createDataFrame(
+        [(10, -1.0), (10**7, -2.0)], "k bigint, val double"
+    )
+    v_before = store._read_meta("t")["current"]
+    v1, rep = store.merge_in("t", updates, "k")
+    assert rep["files_linked"] + rep["files_rewritten"] == rep["files_total"]
+    assert store.read("t").count() == 20_001
+    assert store.read("t").where("k = 10").first().val == -1.0
+    d_old = [e for e in store._read_meta("t")["versions"] if e["v"] == v_before][0]["path"]
+    d_new = [e for e in store._read_meta("t")["versions"] if e["v"] == v1][0]["path"]
+    old_inodes = {
+        os.stat(os.path.join(d_old, f)).st_ino
+        for f in os.listdir(d_old)
+        if f.endswith(".parquet")
+    }
+    assert not any(
+        os.stat(os.path.join(d_new, f)).st_ino in old_inodes
+        for f in os.listdir(d_new)
+        if f.endswith(".parquet")
+    ), "condput protocol must not hard-link"
+
+    # COW delete through the same probe machinery
+    v2, drep = store.delete_in("t", "k", [10, 11, 12])
+    assert drep["rows_deleted"] == 3
+    assert store.read("t").where("k IN (10, 11, 12)").count() == 0
+
+    # exactly-once txn: replay burns nothing; the CAS pointer log carries it
+    assert store.write_with_txn("t", store.read("t"), "app", 0) is not None
+    assert store.write_with_txn("t", store.read("t"), "app", 0) is None
+    assert store.last_txn("t", "app") == 0
+
+    # history / rollback / vacuum
+    hist = store.history("t")
+    assert hist[0]["is_current"]
+    store.rollback("t", v2)
+    assert store._read_meta("t")["current"] == v2
+    store.rollback("t", hist[0]["v"])
+    removed = store.vacuum("t", keep_latest=1)
+    assert v0 in removed
+    with pytest.raises(ValueError, match="not committed"):
+        store.read("t", version=v0)
+
+    # constraints ride the same seam (put_object)
+    store.set_constraint("t", "val_known", "val IS NOT NULL")
+    with pytest.raises(ValueError, match="constraint violation"):
+        store.write("t", spark.createDataFrame([(1, None)], "k bigint, val double"))
+    assert store.read("t").where(F.col("val").isNull()).count() == 0
+
+
+def test_tablestore_two_writers_on_conditional_put(spark, tmp_path):
+    """Concurrent writers under the condput protocol: both commit
+    distinct versions, one current, clean history — the POSIX two-writer
+    invariant holds without O_EXCL-on-rename semantics."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    def mk():
+        return TableStore(
+            spark, str(tmp_path), commit=ConditionalPutCommit(LocalEmulatedBackend())
+        )
+
+    a, b = mk(), mk()
+    base = spark.range(0, 1000).selectExpr("id AS k")
+    errs, versions = [], []
+
+    def write(store, lo):
+        try:
+            versions.append(
+                store.write("t", spark.range(lo, lo + 1000).selectExpr("id AS k"))
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    a.write("t", base)
+    th = [
+        threading.Thread(target=write, args=(a, 5000)),
+        threading.Thread(target=write, args=(b, 9000)),
+    ]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    assert not errs, errs
+    assert len(set(versions)) == 2
+    meta = mk()._read_meta("t")
+    assert {e["v"] for e in meta["versions"]} == {0, *versions}
+    assert meta["current"] in versions
