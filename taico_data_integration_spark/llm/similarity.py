@@ -168,14 +168,61 @@ def ivf_centroids_from_sample(df: DataFrame, n_lists: int, id_col: str = "vec_id
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
-def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+#: Above this list count ivf_assign switches from inlined centroid
+#: literals to a broadcast centroids DataFrame: the literal plan is
+#: O(n_lists x dim) EXPRESSION NODES (measured: n_lists=1024 x dim=256 is
+#: a multi-MB plan whose Catalyst analysis dominates wall-clock before a
+#: single row is read), while the join plan is constant-size and carries
+#: the centroids as broadcast DATA. Both paths share math, fold order and
+#: tie-breaking — pinned by a parity test.
+IVF_ASSIGN_LITERAL_MAX = 64
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    literal_max: int | None = None,
+) -> DataFrame:
     """Assign each vector to its nprobe nearest coarse centroids (by cosine).
-    nprobe=1 partitions the corpus; queries use nprobe>1 to widen recall."""
+    nprobe=1 partitions the corpus; queries use nprobe>1 to widen recall.
+
+    Physical strategy is picked by quantizer size (``literal_max``
+    defaults to :data:`IVF_ASSIGN_LITERAL_MAX`): small quantizers inline
+    the normalized centroids as plan literals (one projection, no
+    shuffle — fastest when the plan stays small); larger ones broadcast a
+    centroids DataFrame and take a data-sized join + window top-nprobe,
+    keeping plan size and Catalyst analysis time CONSTANT in n_lists
+    (VERDICT r8 #5 — at realistic scale, thousands of lists x 768 dims,
+    the literal plan itself becomes megabytes). Same scores (identical
+    normalized values, same left-to-right fold) and same tie-break
+    (score desc, then cid desc) on both paths."""
     v = _to_double(F.col(vec_col))
-    scored = F.reverse(F.array_sort(_centroid_scores(v, centroids)))
-    top = F.slice(scored, 1, nprobe)
-    return df.select(
-        F.col(id_col), F.explode(F.transform(top, lambda s: s["cid"])).alias("list_id")
+    cap = IVF_ASSIGN_LITERAL_MAX if literal_max is None else literal_max
+    if len(centroids) <= cap:
+        scored = F.reverse(F.array_sort(_centroid_scores(v, centroids)))
+        top = F.slice(scored, 1, nprobe)
+        return df.select(
+            F.col(id_col), F.explode(F.transform(top, lambda s: s["cid"])).alias("list_id")
+        )
+    spark = df.sparkSession
+    rows = []
+    for cid, c in centroids:
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        rows.append((cid, [x / norm for x in c]))
+    cents = spark.createDataFrame(rows, "cid int, __c array<double>")
+    scored = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .crossJoin(F.broadcast(cents))  # broadcast nested-loop: (vec, centroid) pairs — the centroids side is n_lists rows, always broadcast
+        .select(F.col(id_col), F.col("cid"), dot(F.col("__v"), F.col("__c")).alias("__score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("cid").desc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= nprobe)
+        .select(F.col(id_col), F.col("cid").alias("list_id"))
     )
 
 

@@ -560,7 +560,7 @@ class TableStore(TableFormat):
         self,
         table: str,
         updates: DataFrame,
-        key_col: str,
+        key_col: str | list[str],
         app_id: str,
         batch_id: int,
         max_keys: int = 10_000,
@@ -1949,10 +1949,107 @@ class TableStore(TableFormat):
         }
         return entry, dtypes, live, keep, report
 
+    @staticmethod
+    def _partition_cols(rels: list[str]) -> list[str]:
+        """Hive-style partition columns from a version's relative file
+        paths (``a=1/b=x/part-....parquet`` -> ``["a", "b"]``); ``[]``
+        when files sit at the version root. Raises on a non-Hive nested
+        layout or inconsistent nesting depth — those cannot round-trip
+        through ``partitionBy`` and a COW rewrite would scramble them."""
+        pcols: list[str] | None = None
+        for rel in rels:
+            comps = rel.split(os.sep)[:-1]
+            cur = []
+            for c in comps:
+                if "=" not in c:
+                    raise ValueError(
+                        f"non-Hive nested layout ({rel!r}): copy-on-write "
+                        "rewrites need root-level files or name=value "
+                        "partition dirs"
+                    )
+                cur.append(c.split("=", 1)[0])
+            if pcols is None:
+                pcols = cur
+            elif pcols != cur:
+                raise ValueError(
+                    f"inconsistent partition nesting: {pcols} vs {cur} ({rel!r})"
+                )
+        return pcols or []
+
+    def _cow_commit(
+        self,
+        table: str,
+        entry: dict,
+        all_rels: list[str],
+        affected: list[str],
+        out: DataFrame,
+        version: int,
+        after_write=None,
+    ) -> int:
+        """The copy-on-write staging protocol shared by :meth:`delete_in`,
+        :meth:`delete_where` and :meth:`merge_in`: hard-link (or
+        server-side copy, per the commit impl) every untouched file into
+        the staging dir at its original relative path — Hive partition
+        prefixes preserved — run the ONE rewrite job ``out``
+        (``partitionBy`` the layout's own partition columns when it has
+        them, so rewritten rows land back in their partition dirs with
+        the same physical schema as the linked files), move its part
+        files next to the linked ones, and publish the staging as
+        version ``version``. ``after_write()`` (optional) runs after the
+        rewrite job finishes but BEFORE the version becomes visible —
+        Observation-based constraint verdicts are only available then —
+        and may raise to abort the whole commit (staging removed, no
+        version). Returns the number of rewrite output part files."""
+        import shutil
+
+        pcols = self._partition_cols(all_rels)
+        path = os.path.join(self.root, table, f"v{version:04d}")
+        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
+        try:
+            os.makedirs(staging)
+            affected_set = set(affected)
+            for rel in all_rels:
+                if rel in affected_set:
+                    continue
+                self.commit.link_or_copy(
+                    os.path.join(entry["path"], rel), os.path.join(staging, rel)
+                )
+            rewrite_dir = os.path.join(staging, ".rewrite")
+            writer = out.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(rewrite_dir)
+            if after_write is not None:
+                after_write()
+            moved = 0
+            for dirpath, _dirs, files in sorted(os.walk(rewrite_dir)):
+                reldir = os.path.relpath(dirpath, rewrite_dir)
+                for name in sorted(files):
+                    if not name.endswith(".parquet"):
+                        continue
+                    dst_dir = (
+                        staging if reldir == "." else os.path.join(staging, reldir)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.rename(
+                        os.path.join(dirpath, name),
+                        os.path.join(dst_dir, f"rewrite-{version:04d}-{name}"),
+                    )
+                    moved += 1
+            shutil.rmtree(rewrite_dir, ignore_errors=True)
+            # the commit marker _read_meta requires (Spark writes it for
+            # write()'s staging; this staging is hand-assembled)
+            open(os.path.join(staging, "_SUCCESS"), "w").close()
+            self.commit.publish_dir(staging, path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return moved
+
     def delete_in(
         self,
         table: str,
-        col: str,
+        col: str | list[str],
         values: list,
         max_values: int = 10_000,
     ) -> tuple[int, dict]:
@@ -1964,11 +2061,22 @@ class TableStore(TableFormat):
         inode, zero data movement; vacuum of either version later unlinks
         only its own directory entry). At 100 TB this is the difference
         between rewriting the table and rewriting the handful of files a
-        GDPR subject actually lives in; ``ops.deletion.erase_subjects``
-        stays the full-rewrite fallback for multi-column keys. A bloom
-        false positive rewrites a clean file unchanged — cost, never a
-        wrong row. Rows with NULL ``col`` are always kept (IN never
-        matches NULL), and a NaN value deletes NaN rows (Spark NaN = NaN).
+        GDPR subject actually lives in. A bloom false positive rewrites a
+        clean file unchanged — cost, never a wrong row. Rows with NULL in
+        any key column are always kept (IN never matches NULL), and a NaN
+        value deletes NaN rows (Spark NaN = NaN, in both the isin residual
+        and join-key equality).
+
+        ``col`` may be a LIST of columns with ``values`` same-arity tuples
+        — the composite-key shape the reference deletes on
+        ((name, company_id), sync_data.py:242-252): pruning intersects
+        per-column stats and ANDs per-column blooms (see
+        :meth:`_in_candidates_multi`), and the doomed-row test is a
+        broadcast anti-join against the key tuples — data-sized, never a
+        tuple-literal plan. Hive-partitioned layouts (``company_id=…``
+        dirs) are first-class: untouched partition files hard-link at
+        their partition paths and rewritten rows land back in their own
+        partition dirs (round 9; previously a loud error).
 
         Constraints are NOT re-validated: every surviving row already
         passed its row-level CHECK when its version committed, and
@@ -1983,27 +2091,20 @@ class TableStore(TableFormat):
         manifest alone and no bloom is ever built (measured: 0.5 s for a
         10-key delete at 60M rows with warm manifests).
 
-        Restricted to unpartitioned versions (partition-dir layouts mix
-        linked partition files with root-level rewrites — use the full
-        rewrite path there; loud error). No matching value (all lossy, or
-        nothing in the probe set) is a NO-OP: returns the current version
-        unchanged and burns nothing.
+        No matching value (all lossy, or nothing in the probe set) is a
+        NO-OP: returns the current version unchanged and burns nothing.
 
         Returns ``(version, report)`` with files_linked / files_rewritten
         / rows_deleted."""
-        import shutil
-
-        entry, dtype, live, affected, report = self._in_candidates(
-            table, col, values, None, 1 << 17, 7, None, 0.01, max_values
+        cols = [col] if isinstance(col, str) else list(col)
+        entry, dtypes, live, affected, report = self._in_candidates_multi(
+            table,
+            cols,
+            [tuple(t) if isinstance(t, (tuple, list)) else (t,) for t in values],
+            None, 1 << 17, 7, None, 0.01, max_values,
         )
-        all_rels = list(
-            self.collect_file_stats(table, [col], version=entry["v"])["files"]
-        )
-        if any(os.sep in rel for rel in all_rels):
-            raise ValueError(
-                f"delete_in: {table} v{entry['v']} is partition-dir laid out; "
-                "use ops.deletion.erase_subjects (full rewrite) for partitioned tables"
-            )
+        stats = self.collect_file_stats(table, cols, version=entry["v"])
+        all_rels = list(stats["files"])
         if not live or not affected:
             return entry["v"], {
                 **report,
@@ -2013,54 +2114,32 @@ class TableStore(TableFormat):
                 "noop": True,
             }
         version = self._claim_version(table)
-        path = os.path.join(self.root, table, f"v{version:04d}")
-        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
-        try:
-            os.makedirs(staging)
-            untouched = [rel for rel in all_rels if rel not in set(affected)]
-            for rel in untouched:
-                src_f = os.path.join(entry["path"], rel)
-                dst_f = os.path.join(staging, rel)
-                self.commit.link_or_copy(src_f, dst_f)
-            # one Spark job rewrites the affected files minus the doomed
-            # rows; kept = NULL col (IN never matches NULL) or not-IN
-            from pyspark.sql import Observation
+        # one Spark job rewrites the affected files minus the doomed rows;
+        # kept = NULL key (IN never matches NULL) or not-IN. Composite keys
+        # keep via a broadcast ANTI-join (NULL components never match, so
+        # they survive — same NULL contract as the isin form).
+        from pyspark.sql import Observation
 
-            in_vals = F.col(col).isin(*[F.lit(lv[0]).cast(dtype) for lv in live])
-            src = self.spark.read.option("basePath", entry["path"]).parquet(
-                *[os.path.join(entry["path"], rel) for rel in affected]
+        src = self.spark.read.option("basePath", entry["path"]).parquet(
+            *[os.path.join(entry["path"], rel) for rel in affected]
+        )
+        if len(cols) == 1:
+            in_vals = F.col(cols[0]).isin(
+                *[F.lit(lv[0][0]).cast(dtypes[0]) for lv in live]
             )
-            obs = Observation(f"delete_in_{table}_{version}")
-            kept = src.where(F.col(col).isNull() | ~in_vals).observe(
-                obs, F.count(F.lit(1)).alias("kept_rows")
-            )
-            rewrite_dir = os.path.join(staging, ".rewrite")
-            kept.write.mode("overwrite").parquet(rewrite_dir)
-            kept_rows = obs.get["kept_rows"]
-            moved = 0
-            for name in sorted(os.listdir(rewrite_dir)):
-                if name.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(rewrite_dir, name),
-                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
-                    )
-                    moved += 1
-            shutil.rmtree(rewrite_dir, ignore_errors=True)
-            stats = self.collect_file_stats(table, [col], version=entry["v"])
-            before = sum(
-                stats["files"][rel].get("rows") or 0 for rel in affected
-            )
-            # the commit marker _read_meta requires (Spark writes it for
-            # write()'s staging; this staging is hand-assembled)
-            open(os.path.join(staging, "_SUCCESS"), "w").close()
-            self.commit.publish_dir(staging, path)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+            kept = src.where(F.col(cols[0]).isNull() | ~in_vals)
+        else:
+            keys_df = self._keys_df(cols, dtypes, [lv[0] for lv in live])
+            kept = src.join(F.broadcast(keys_df), on=cols, how="left_anti")
+        obs = Observation(f"delete_in_{table}_{version}")
+        kept = kept.observe(obs, F.count(F.lit(1)).alias("kept_rows"))
+        moved = self._cow_commit(table, entry, all_rels, affected, kept, version)
+        kept_rows = obs.get["kept_rows"]
+        before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
         self._write_pointer(table, version)
         report = {
             **report,
-            "files_linked": len(untouched),
+            "files_linked": len(all_rels) - len(affected),
             "files_rewritten": len(affected),
             "rewrite_output_files": moved,
             "rows_deleted": int(before - kept_rows),
@@ -2082,9 +2161,13 @@ class TableStore(TableFormat):
         conservative :meth:`_stat_keeps` test read_pruned prunes with, so
         every type hazard (temporal strings, mixed bound types, NaN) is
         inherited, not re-derived — and hard-linking the rest into the
-        new version. The tenant/date-scoped retention sweep on an
-        UNPARTITIONED layout; partition-dir layouts already have
-        :class:`PartitionedTable`'s scoped swap. Rows with NULL ``col``
+        new version. The tenant/date-scoped retention sweep; Hive-
+        partitioned layouts are first-class (round 9) — untouched
+        partition files link at their partition paths, rewrites land back
+        in their partition dirs (:class:`PartitionedTable`'s scoped swap
+        remains the better plan when the predicate IS the partition
+        column, since stats for partition columns live in dir names, not
+        footers, and this path conservatively rewrites). Rows with NULL ``col``
         always survive (a range never matches NULL), and on float/double
         columns NaN rows ALWAYS survive too (ADVICE r8): parquet min/max
         exclude NaN, so a NaN-holding file with finite stats outside the
@@ -2100,8 +2183,6 @@ class TableStore(TableFormat):
 
         Returns ``(version, report)`` with files_linked / files_rewritten
         / rows_deleted."""
-        import shutil
-
         if lo is None and hi is None:
             raise ValueError(
                 "delete_where with both bounds open would truncate the table; "
@@ -2114,11 +2195,6 @@ class TableStore(TableFormat):
             raise ValueError(f"no current version for {table}")
         stats = self.collect_file_stats(table, [col], version=v)
         all_rels = list(stats["files"])
-        if any(os.sep in rel for rel in all_rels):
-            raise ValueError(
-                f"delete_where: {table} v{v} is partition-dir laid out; use "
-                "PartitionedTable's scoped overwrite for partitioned tables"
-            )
         affected = [
             rel
             for rel, rec in stats["files"].items()
@@ -2132,52 +2208,28 @@ class TableStore(TableFormat):
         if not affected:
             return v, {**report_base, "rows_deleted": 0, "noop": True}
         version = self._claim_version(table)
-        path = os.path.join(self.root, table, f"v{version:04d}")
-        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
-        try:
-            os.makedirs(staging)
-            untouched = [rel for rel in all_rels if rel not in set(affected)]
-            for rel in untouched:
-                src_f = os.path.join(entry["path"], rel)
-                dst_f = os.path.join(staging, rel)
-                self.commit.link_or_copy(src_f, dst_f)
-            pred = F.lit(True)
-            if lo is not None:
-                pred = pred & (F.col(col) >= F.lit(lo))
-            if hi is not None:
-                pred = pred & (F.col(col) <= F.lit(hi))
-            from pyspark.sql import Observation
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        from pyspark.sql import Observation
 
-            src = self.spark.read.option("basePath", entry["path"]).parquet(
-                *[os.path.join(entry["path"], rel) for rel in affected]
-            )
-            # NaN-never-in-range (see docstring): without this, Spark's
-            # NaN-above-everything ordering makes `col >= lo` match NaN in
-            # rewritten files while stats-pruned NaN files link through
-            if dict(src.dtypes).get(col) in ("float", "double"):
-                pred = pred & ~F.isnan(F.col(col))
-            obs = Observation(f"delete_where_{table}_{version}")
-            kept = src.where(F.col(col).isNull() | ~pred).observe(
-                obs, F.count(F.lit(1)).alias("kept_rows")
-            )
-            rewrite_dir = os.path.join(staging, ".rewrite")
-            kept.write.mode("overwrite").parquet(rewrite_dir)
-            kept_rows = obs.get["kept_rows"]
-            moved = 0
-            for name in sorted(os.listdir(rewrite_dir)):
-                if name.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(rewrite_dir, name),
-                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
-                    )
-                    moved += 1
-            shutil.rmtree(rewrite_dir, ignore_errors=True)
-            before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
-            open(os.path.join(staging, "_SUCCESS"), "w").close()
-            self.commit.publish_dir(staging, path)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+        src = self.spark.read.option("basePath", entry["path"]).parquet(
+            *[os.path.join(entry["path"], rel) for rel in affected]
+        )
+        # NaN-never-in-range (see docstring): without this, Spark's
+        # NaN-above-everything ordering makes `col >= lo` match NaN in
+        # rewritten files while stats-pruned NaN files link through
+        if dict(src.dtypes).get(col) in ("float", "double"):
+            pred = pred & ~F.isnan(F.col(col))
+        obs = Observation(f"delete_where_{table}_{version}")
+        kept = src.where(F.col(col).isNull() | ~pred).observe(
+            obs, F.count(F.lit(1)).alias("kept_rows")
+        )
+        moved = self._cow_commit(table, entry, all_rels, affected, kept, version)
+        kept_rows = obs.get["kept_rows"]
+        before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
         self._write_pointer(table, version)
         return version, {
             **report_base,
@@ -2190,7 +2242,7 @@ class TableStore(TableFormat):
         self,
         table: str,
         updates: DataFrame,
-        key_col: str,
+        key_col: str | list[str],
         max_keys: int = 10_000,
         _txn: dict | None = None,
     ) -> tuple[int, dict]:
@@ -2200,24 +2252,33 @@ class TableStore(TableFormat):
         ONLY those files are rewritten — their non-matching rows kept,
         every update row unioned in — and every untouched file HARD-LINKS
         into the new version. Result rows are exactly
-        ``merge_upsert(target, updates, [key_col])`` (updates win, target
+        ``merge_upsert(target, updates, key_cols)`` (updates win, target
         rows without a match survive, update rows with no match insert) —
         pinned by test — but a 100-row update batch rewrites the 1-2
         files its keys live in, not the table. Update keys whose keyspace
         is entirely new touch nothing: every old file links through and
         the batch lands as pure new part files (an append).
 
+        ``key_col`` may be a LIST — the composite-key shape the reference
+        syncs on ((name, company_id), sync_data.py:242-252): the probe
+        intersects per-column stats / ANDs per-column blooms
+        (:meth:`_in_candidates_multi`) and matched target rows are found
+        by a broadcast ANTI-join against the key tuples. Hive-partitioned
+        layouts are first-class (round 9): untouched partition files link
+        at their partition paths and the rewrite job writes back
+        ``partitionBy`` the layout's own partition columns — updates land
+        in their correct partition dirs.
+
         Contract: updates must cover the target schema (strict
-        merge_upsert form), carry no NULL keys, and at most ``max_keys``
+        merge_upsert form; for a partitioned table that includes the
+        partition columns), carry no NULL keys, and at most ``max_keys``
         distinct keys — above that the anti-join full rewrite
         (``write(merge_upsert(...))``) is the right plan; loud error.
-        Same unpartitioned-layout restriction as :meth:`delete_in`.
 
         Returns ``(version, report)`` with files_linked / files_rewritten
         / rows_replaced (target rows removed) / rows_written (all update
         rows — they always land)."""
-        import shutil
-
+        key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
         target_cols = self.read(table).columns
         missing_cols = [c for c in target_cols if c not in updates.columns]
         if missing_cols:
@@ -2228,85 +2289,79 @@ class TableStore(TableFormat):
         # limit the collect to the cap + 1: an oversized batch errs loudly
         # WITHOUT materializing its whole key set on the driver
         keys = [
-            r[0]
-            for r in updates.select(key_col).distinct().limit(max_keys + 1).collect()
+            tuple(r)
+            for r in updates.select(*key_cols)
+            .distinct()
+            .limit(max_keys + 1)
+            .collect()
         ]
-        if any(k is None for k in keys):
+        if any(k is None for t in keys for k in t):
             raise ValueError("merge_in: update keys must be non-null")
         if len(keys) > max_keys:
             raise ValueError(
                 f"merge_in got more than max_keys={max_keys} distinct keys: "
                 "use write(merge_upsert(...)) — the anti-join full rewrite — at this size"
             )
-        entry, dtype, live, affected, probe_report = self._in_candidates(
-            table, key_col, keys, None, 1 << 17, 7, None, 0.01, max_keys
+        entry, dtypes, live, affected, probe_report = self._in_candidates_multi(
+            table, key_cols, keys, None, 1 << 17, 7, None, 0.01, max_keys
         )
-        all_rels = list(
-            self.collect_file_stats(table, [key_col], version=entry["v"])["files"]
-        )
-        if any(os.sep in rel for rel in all_rels):
-            raise ValueError(
-                f"merge_in: {table} v{entry['v']} is partition-dir laid out; "
-                "use write(merge_upsert(...)) for partitioned tables"
-            )
+        stats = self.collect_file_stats(table, key_cols, version=entry["v"])
+        all_rels = list(stats["files"])
         version = self._claim_version(table)
-        path = os.path.join(self.root, table, f"v{version:04d}")
-        staging = os.path.join(self.root, table, f".stage-v{version:04d}")
-        try:
-            os.makedirs(staging)
-            untouched = [rel for rel in all_rels if rel not in set(affected)]
-            for rel in untouched:
-                src_f = os.path.join(entry["path"], rel)
-                dst_f = os.path.join(staging, rel)
-                self.commit.link_or_copy(src_f, dst_f)
-            from pyspark.sql import Observation
+        from pyspark.sql import Observation
 
-            # cast updates to the TARGET's exact column types: the new part
-            # files must carry the same parquet physical types as the
-            # hard-linked ones (a bigint target updated from an int batch
-            # would otherwise produce a mixed-type version that reads
-            # wrongly under the single-footer schema)
-            target_types = dict(self.read(table).dtypes)
-            up = updates.select(
-                *[F.col(c).cast(target_types[c]).alias(c) for c in target_cols]
+        # cast updates to the TARGET's exact column types: the new part
+        # files must carry the same parquet physical types as the
+        # hard-linked ones (a bigint target updated from an int batch
+        # would otherwise produce a mixed-type version that reads
+        # wrongly under the single-footer schema)
+        target_types = dict(self.read(table).dtypes)
+        up = updates.select(
+            *[F.col(c).cast(target_types[c]).alias(c) for c in target_cols]
+        )
+        if affected and live:
+            src = self.spark.read.option("basePath", entry["path"]).parquet(
+                *[os.path.join(entry["path"], rel) for rel in affected]
             )
-            if affected and live:
-                in_keys = F.col(key_col).isin(
-                    *[F.lit(lv[0]).cast(dtype) for lv in live]
+            if len(key_cols) == 1:
+                in_keys = F.col(key_cols[0]).isin(
+                    *[F.lit(lv[0][0]).cast(dtypes[0]) for lv in live]
                 )
-                src = self.spark.read.option("basePath", entry["path"]).parquet(
-                    *[os.path.join(entry["path"], rel) for rel in affected]
-                )
-                kept = src.where(F.col(key_col).isNull() | ~in_keys)
-                out = kept.unionByName(up)
+                kept = src.where(F.col(key_cols[0]).isNull() | ~in_keys)
             else:
-                out = up  # pure insert: nothing to rewrite
-            obs = Observation(f"merge_in_{table}_{version}")
-            out = out.observe(obs, F.count(F.lit(1)).alias("out_rows"))
-            # CHECK constraints ride the rewrite job exactly as write()'s
-            # (ADVICE r8 high): INSERTED/UPDATED rows must pass the table's
-            # registered constraints or the whole merge aborts before the
-            # version becomes visible — otherwise the same stream would
-            # enforce constraints only when a batch falls back to the full
-            # merge (write path), letting violating rows land depending on
-            # batch key count/layout. Kept rows re-validate for free (they
-            # passed at their own commit), so violations can only come from
-            # the update batch.
-            cons = self.constraints(table)
-            cons_obs = None
-            if cons:
-                cons_obs = Observation(f"merge_in_constraints_{table}_{version}")
-                out = out.observe(
-                    cons_obs,
-                    *[
-                        F.sum(
-                            F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
-                        ).alias(name)
-                        for name, expr in cons.items()
-                    ],
-                )
-            rewrite_dir = os.path.join(staging, ".rewrite")
-            out.write.mode("overwrite").parquet(rewrite_dir)
+                keys_df = self._keys_df(key_cols, dtypes, [lv[0] for lv in live])
+                kept = src.join(F.broadcast(keys_df), on=key_cols, how="left_anti")
+            out = kept.unionByName(up)
+        else:
+            out = up  # pure insert: nothing to rewrite
+        obs = Observation(f"merge_in_{table}_{version}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("out_rows"))
+        # CHECK constraints ride the rewrite job exactly as write()'s
+        # (ADVICE r8 high): INSERTED/UPDATED rows must pass the table's
+        # registered constraints or the whole merge aborts before the
+        # version becomes visible — otherwise the same stream would
+        # enforce constraints only when a batch falls back to the full
+        # merge (write path), letting violating rows land depending on
+        # batch key count/layout. Kept rows re-validate for free (they
+        # passed at their own commit), so violations can only come from
+        # the update batch.
+        cons = self.constraints(table)
+        cons_obs = None
+        if cons:
+            cons_obs = Observation(f"merge_in_constraints_{table}_{version}")
+            out = out.observe(
+                cons_obs,
+                *[
+                    F.sum(
+                        F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+                    ).alias(name)
+                    for name, expr in cons.items()
+                ],
+            )
+
+        def _check_constraints():
+            # runs inside _cow_commit, after the rewrite job, BEFORE
+            # publish: a violation aborts the staging and no version lands
             if cons_obs is not None:
                 bad = {k: n for k, n in cons_obs.get.items() if n}
                 if bad:
@@ -2314,26 +2369,16 @@ class TableStore(TableFormat):
                         f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad
                     )
                     raise ValueError(f"constraint violation on {table}: {detail}")
-            out_rows = obs.get["out_rows"]
-            moved = 0
-            for name in sorted(os.listdir(rewrite_dir)):
-                if name.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(rewrite_dir, name),
-                        os.path.join(staging, f"rewrite-{version:04d}-{name}"),
-                    )
-                    moved += 1
-            shutil.rmtree(rewrite_dir, ignore_errors=True)
-            stats = self.collect_file_stats(table, [key_col], version=entry["v"])
-            before_affected = sum(
-                stats["files"][rel].get("rows") or 0 for rel in affected
-            )
-            n_updates = up.count()
-            open(os.path.join(staging, "_SUCCESS"), "w").close()
-            self.commit.publish_dir(staging, path)
-        except BaseException:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
+
+        moved = self._cow_commit(
+            table, entry, all_rels, affected, out, version,
+            after_write=_check_constraints,
+        )
+        out_rows = obs.get["out_rows"]
+        before_affected = sum(
+            stats["files"][rel].get("rows") or 0 for rel in affected
+        )
+        n_updates = up.count()
         self._write_pointer(table, version, txn=_txn)
         # target rows REPLACED by the merge (removed from affected files);
         # update rows all land, so inserted-vs-updated splits only when
@@ -2341,7 +2386,7 @@ class TableStore(TableFormat):
         replaced = int(before_affected - (out_rows - n_updates))
         report = {
             **probe_report,
-            "files_linked": len(untouched),
+            "files_linked": len(all_rels) - len(affected),
             "files_rewritten": len(affected),
             "rewrite_output_files": moved,
             "rows_replaced": replaced,

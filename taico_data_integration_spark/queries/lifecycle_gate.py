@@ -846,9 +846,201 @@ SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus,
 FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM low)
 """
 
+def lifecycle_cow_merge_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key copy-on-write MERGE under the driver's gate
+    (round 9, VERDICT r8 #2): lineitem keyed on its NATURAL composite key
+    ``(l_orderkey, l_linenumber)`` — the same shape as the reference's
+    ``(name, company_id)`` sync keys (sync_data.py:242-252) — lands
+    orderkey-clustered; the update batch reprices the 100 smallest
+    (orderkey, linenumber) pairs and re-inserts them offset into an
+    all-new keyspace. ``merge_in`` with a key LIST must prune with
+    intersected per-column stats (rewriting fewer files than the version
+    holds, hard-linking at least one), replace exactly 100 target rows
+    while writing all 200 update rows, and equal ``merge_upsert``'s
+    anti-join form row-for-row. The merged table hashes against the
+    EXISTS-split oracle."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_cowmc_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("lineitem", li.repartition(4))
+        store.optimize_layout("lineitem", ["l_orderkey"], num_files=8)
+        # the synthetic fixture's (l_orderkey, l_linenumber) is NOT unique
+        # (measured: 100 smallest rows hold 82 distinct pairs) — the update
+        # batch must carry DISTINCT key tuples (one update row per pair, a
+        # merge contract), so aggregate the pair's values deterministically
+        low = (
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("qty").alias("qty"), F.max("price").alias("price"))
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(100)
+            .localCheckpoint()
+        )
+        updates = low.withColumn(
+            "qty", F.col("qty") + F.lit(100.0).cast("double")
+        ).unionByName(
+            low.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10**9))
+        )
+        from ..ops.incremental import merge_upsert
+
+        expect = (
+            merge_upsert(store.read("lineitem"), updates, ["l_orderkey", "l_linenumber"])
+            .select(*store.read("lineitem").columns)
+            .localCheckpoint()
+        )
+        n_matched = (
+            store.read("lineitem")
+            .join(low.select("l_orderkey", "l_linenumber"), ["l_orderkey", "l_linenumber"], "left_semi")
+            .count()
+        )
+        v, rep = store.merge_in("lineitem", updates, ["l_orderkey", "l_linenumber"])
+        if rep["rows_replaced"] != n_matched or rep["rows_written"] != 200:
+            raise RuntimeError(
+                f"lifecycle_cow_merge_composite: wrong delta {rep} (matched {n_matched})"
+            )
+        if (
+            rep["files_rewritten"] >= rep["files_total"]
+            or rep["files_linked"] < 1
+            or rep["files_linked"] + rep["files_rewritten"] != rep["files_total"]
+        ):
+            raise RuntimeError(
+                f"lifecycle_cow_merge_composite: not copy-on-write {rep}"
+            )
+        got = store.read("lineitem")
+        if got.exceptAll(expect).count() or expect.exceptAll(got).count():
+            raise RuntimeError(
+                "lifecycle_cow_merge_composite: merge_in diverged from merge_upsert"
+            )
+        return _materialize(got)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+COW_MERGE_COMPOSITE_SQL = """
+WITH low AS (
+  SELECT l_orderkey, l_linenumber,
+         MAX(CAST(l_quantity AS DOUBLE)) AS qty,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS price
+  FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+  ORDER BY l_orderkey, l_linenumber LIMIT 100
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(l.l_quantity AS DOUBLE) AS qty,
+       CAST(l.l_extendedprice AS DOUBLE) AS price
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM low w
+                  WHERE w.l_orderkey = l.l_orderkey
+                    AND w.l_linenumber = l.l_linenumber)
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       qty + CAST(100 AS DOUBLE) AS qty, price
+FROM low
+UNION ALL
+SELECT l_orderkey + 1000000000 AS l_orderkey, l_linenumber, qty, price
+FROM low
+"""
+
+
+def lifecycle_cow_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout copy-on-write DELETE under the driver's gate
+    (round 9, VERDICT r8 #3): customers land in a TableStore partitioned
+    by ``c_mktsegment`` (the reference's tenant-partitioned shape,
+    sync_data.py:159-164) with custkey-range-clustered files INSIDE each
+    partition dir; the five smallest custkeys are deleted via
+    ``delete_in``. Hard invariants: the delete rewrites only the files
+    whose custkey range holds a doomed key (fewer than the version
+    holds), every untouched PARTITION file hard-links at its exact
+    partition-prefixed relative path (same inode — checked by a
+    recursive walk), exactly 5 rows die, and the pre-delete version
+    stays pinned-readable. Survivors hash against the anti-IN oracle."""
+    import os as _os
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_cowp_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        # 4 custkey ranges × 5 segments: each partition dir holds 4 files,
+        # each spanning one custkey range — stats can isolate the low range
+        store.write(
+            "customers",
+            cust.repartitionByRange(4, "c_custkey"),
+            partition_by=["c_mktsegment"],
+        )
+        v0 = store._read_meta("customers")["current"]
+        n0 = store.read("customers").count()
+        doomed = [
+            int(r.c_custkey)
+            for r in cust.orderBy("c_custkey").limit(5).collect()
+        ]
+        v1, rep = store.delete_in("customers", "c_custkey", doomed)
+        if rep["noop"] or rep["rows_deleted"] != 5:
+            raise RuntimeError(
+                f"lifecycle_cow_delete_partitioned: wrong delta {rep}"
+            )
+        if (
+            rep["files_rewritten"] >= rep["files_total"]
+            or rep["files_linked"] < 1
+        ):
+            raise RuntimeError(
+                f"lifecycle_cow_delete_partitioned: not copy-on-write {rep}"
+            )
+
+        def _inodes(root: str) -> dict:
+            acc = {}
+            for dp, _dirs, files in _os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = _os.path.join(dp, f)
+                        acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
+            return acc
+
+        d0 = os.path.join(work, "store", "customers", f"v{v0:04d}")
+        d1 = os.path.join(work, "store", "customers", f"v{v1:04d}")
+        i0, i1 = _inodes(d0), _inodes(d1)
+        shared = set(i0) & set(i1)
+        if len(shared) != rep["files_linked"]:
+            raise RuntimeError(
+                f"lifecycle_cow_delete_partitioned: linked {len(shared)} "
+                f"!= {rep['files_linked']}"
+            )
+        if not all(i1[i] == i0[i] and _os.sep in i1[i] for i in shared):
+            raise RuntimeError(
+                "lifecycle_cow_delete_partitioned: a linked file lost its "
+                "partition-prefixed relative path"
+            )
+        if store.read("customers", version=v0).count() != n0:
+            raise RuntimeError(
+                "lifecycle_cow_delete_partitioned: pre-delete version not "
+                "pinned-readable"
+            )
+        return _materialize(store.read("customers"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+COW_DELETE_PARTITIONED_SQL = """
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5)
+"""
+
+
 QUERIES = {
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_cow_merge": lifecycle_cow_merge,
+    "lifecycle_cow_merge_composite": lifecycle_cow_merge_composite,
+    "lifecycle_cow_delete_partitioned": lifecycle_cow_delete_partitioned,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -865,6 +1057,8 @@ QUERIES = {
 ORACLE = {
     "lifecycle_copy_on_write_delete": COW_DELETE_SQL,
     "lifecycle_cow_merge": COW_MERGE_SQL,
+    "lifecycle_cow_merge_composite": COW_MERGE_COMPOSITE_SQL,
+    "lifecycle_cow_delete_partitioned": COW_DELETE_PARTITIONED_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,

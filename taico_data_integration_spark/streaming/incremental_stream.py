@@ -167,21 +167,19 @@ def stream_merge_into(
     idempotent. Without app_id the merge stays content-idempotent (updates
     win deterministically) but a replay costs a duplicate version.
 
-    ``cow_max_keys`` (round 8) enables the copy-on-write fast path for a
-    SINGLE-column key: each micro-batch merges via
-    ``TableStore.merge_in`` — only the files the batch's keys live in are
-    rewritten, the rest hard-link into the new version — so per-batch
+    ``cow_max_keys`` (round 8; composite keys + partitioned layouts since
+    round 9) enables the copy-on-write fast path: each micro-batch merges
+    via ``TableStore.merge_in`` — only the files the batch's keys live in
+    are rewritten, the rest hard-link into the new version — so per-batch
     sink cost is O(affected files + batch) instead of O(table). The very
     shape a long-running stream needs: without it every micro-batch
     rewrites the whole (growing) table. Batches that break merge_in's
-    contract (too many distinct keys, NULL keys, partition-dir layout)
+    contract (too many distinct keys, NULL keys, non-Hive nested layout)
     fall back to the full anti-join merge automatically; results are
     identical either way (merge_in == merge_upsert row-for-row, pinned in
     tests)."""
     txn_capable = app_id is not None and hasattr(store, "write_with_txn")
-    cow_capable = (
-        cow_max_keys is not None and len(keys) == 1 and hasattr(store, "merge_in")
-    )
+    cow_capable = cow_max_keys is not None and hasattr(store, "merge_in")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if txn_capable:
@@ -193,10 +191,10 @@ def stream_merge_into(
             try:
                 if txn_capable:
                     store.merge_in_with_txn(
-                        table, up, keys[0], app_id, batch_id, max_keys=cow_max_keys
+                        table, up, keys, app_id, batch_id, max_keys=cow_max_keys
                     )
                 else:
-                    store.merge_in(table, up, keys[0], max_keys=cow_max_keys)
+                    store.merge_in(table, up, keys, max_keys=cow_max_keys)
                 return
             except ValueError:
                 pass  # contract miss (key count/NULLs/layout): full merge below

@@ -895,6 +895,40 @@ def test_connected_components_uses_reliable_checkpoints_when_configured(spark, t
     assert sc.getCheckpointDir() is None
 
 
+def test_ivf_assign_join_path_equals_literal_path(spark):
+    """VERDICT r8 #5: above IVF_ASSIGN_LITERAL_MAX lists, ivf_assign swaps
+    the O(n_lists x dim) plan-literal centroid scoring for a broadcast
+    centroids-DataFrame join + window top-nprobe. Same normalized values,
+    same fold order, same (score desc, cid desc) tie-break — the two
+    physical paths must agree assignment-for-assignment, including at
+    nprobe > 1 and on exact-tie centroids."""
+    from taico_data_integration_spark.llm.similarity import ivf_assign
+    from taico_data_integration_spark.llm.synth import synth_embeddings
+
+    corpus = synth_embeddings(spark, 1_500, n_clusters=24).localCheckpoint()
+    centroids = [
+        (i, [float(x) for x in r.embedding])
+        for i, r in enumerate(corpus.orderBy("vec_id").limit(96).collect())
+    ]
+    for nprobe in (1, 3):
+        lit_path = ivf_assign(corpus, centroids, nprobe=nprobe, literal_max=10_000)
+        join_path = ivf_assign(corpus, centroids, nprobe=nprobe, literal_max=0)
+        a = {(r.vec_id, r.list_id) for r in lit_path.collect()}
+        b = {(r.vec_id, r.list_id) for r in join_path.collect()}
+        assert a == b, f"paths diverge at nprobe={nprobe}: {sorted(a ^ b)[:10]}"
+    # exact duplicate centroids: tie must resolve identically (cid desc)
+    dup_cents = centroids[:4] + [(99, list(centroids[0][1]))]
+    lit_tie = {
+        (r.vec_id, r.list_id)
+        for r in ivf_assign(corpus, dup_cents, nprobe=2, literal_max=10_000).collect()
+    }
+    join_tie = {
+        (r.vec_id, r.list_id)
+        for r in ivf_assign(corpus, dup_cents, nprobe=2, literal_max=0).collect()
+    }
+    assert lit_tie == join_tie
+
+
 def test_ivf_index_persist_probe_equals_single_call(spark, tmp_path):
     """Round 8: the build-once/probe-many IVF split. ivf_search over an
     ivf_index persisted to a list_id-partitioned TableStore must equal

@@ -2515,10 +2515,12 @@ def test_delete_in_copy_on_write(spark, tmp_path):
     assert v2 == cur and rep2["noop"] is True and rep2["rows_deleted"] == 0
     assert store._read_meta("t")["current"] == cur
 
-    # partitioned layout is rejected loudly toward the full-rewrite path
+    # Hive-partitioned layout is first-class (round 9): the delete lands
+    # in partition dirs, untouched partition files link through
     store.write("p", df.withColumn("part", F.col("grp") % 3), partition_by=["part"])
-    with pytest.raises(ValueError, match="partition"):
-        store.delete_in("p", "k", [1])
+    pv, prep = store.delete_in("p", "k", [7, 8])
+    assert prep["rows_deleted"] == 2 and prep["files_linked"] >= 1
+    assert store.read("p").where(F.col("k").isin([7, 8])).count() == 0
 
 
 def test_delete_in_nan_and_versioning(spark, tmp_path):
@@ -2831,6 +2833,148 @@ def test_delete_where_links_untouched_files(spark, tmp_path):
                  if f.endswith(".parquet")
                  and _os.stat(_os.path.join(d1, f)).st_ino in i0)
     assert shared == rep["files_linked"] > 0
+
+
+def test_delete_in_composite_key(spark, tmp_path):
+    """Composite-key copy-on-write DELETE (VERDICT r8 #2 — the
+    reference's sync keys are composite (name, company_id),
+    sync_data.py:242-252): tuples prune with intersected per-column
+    stats, doomed rows are found by a broadcast anti-join, NULL in any
+    key component survives (IN never matches NULL), and the result
+    equals the logical anti-join delete row-for-row."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 30_000).selectExpr(
+        "IF(id % 997 = 0, NULL, id) AS k",
+        "CAST(id % 40 AS INT) AS c",
+        "CAST(id AS DOUBLE) AS val",
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=8)
+    n0 = store.read("t").count()
+    doomed = [(100, 20), (101, 21), (250, 10)]
+    # (100, 99) exists as k but never with c=99: must delete nothing
+    v1, rep = store.delete_in("t", ["k", "c"], doomed + [(102, 99)])
+    assert rep["rows_deleted"] == 3
+    assert rep["files_rewritten"] < rep["files_total"]
+    got = store.read("t")
+    assert got.count() == n0 - 3
+    expect = df.join(
+        spark.createDataFrame(doomed + [(102, 99)], "k bigint, c int"),
+        on=["k", "c"],
+        how="left_anti",
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # NULL key components always survive
+    assert got.where("k IS NULL").count() == df.where("k IS NULL").count()
+    # tuple of entirely-new keyspace: NO-OP, no version burned
+    cur = store._read_meta("t")["current"]
+    v2, rep2 = store.delete_in("t", ["k", "c"], [(10**12, 1)])
+    assert v2 == cur and rep2["noop"] is True
+
+
+def test_merge_in_composite_key_and_partitioned(spark, tmp_path):
+    """Composite-key + Hive-partitioned copy-on-write MERGE: result rows
+    exactly equal merge_upsert's anti-join form on the same key list,
+    update rows land in their correct partition dirs, untouched
+    partition files hard-link (same inode), and the report's
+    linked+rewritten arithmetic holds across partition prefixes."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore, merge_upsert
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k",
+        "CAST(id % 25 AS INT) AS c",
+        "CAST(id % 4 AS INT) AS tenant",
+        "CAST(id AS DOUBLE) AS val",
+    )
+    store.write("t", df, partition_by=["tenant"])
+    v0 = store._read_meta("t")["current"]
+    target_cols = store.read("t").columns
+    updates = (
+        df.where("k < 60")
+        .withColumn("val", F.col("val") * -1.0)
+        .unionByName(df.where("k < 15").withColumn("k", F.col("k") + 10**9))
+    )
+    expect = (
+        merge_upsert(store.read("t"), updates, ["k", "c"])
+        .select(*target_cols)
+        .localCheckpoint()
+    )
+    v1, rep = store.merge_in("t", updates, ["k", "c"])
+    assert rep["rows_replaced"] == 60 and rep["rows_written"] == 75
+    assert rep["files_linked"] + rep["files_rewritten"] == rep["files_total"]
+    got = store.read("t")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # updated rows are readable under their own partition dir (partition
+    # pruning still applies to the rewritten files)
+    assert got.where((F.col("tenant") == 1) & (F.col("val") < 0)).count() == 15
+    # inode sharing across partition prefixes
+    d0 = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+
+    def _inodes(root):
+        acc = {}
+        for dp, _dirs, files in _os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(dp, f)
+                    acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
+        return acc
+
+    i0, i1 = _inodes(d0), _inodes(d1)
+    shared = set(i0) & set(i1)
+    assert len(shared) == rep["files_linked"] > 0
+    # a linked file keeps its partition prefix AND its exact relative path
+    assert all(i1[i] == i0[i] and _os.sep in i1[i] for i in shared)
+
+
+def test_delete_where_partitioned_layout(spark, tmp_path):
+    """delete_where on a Hive-partitioned layout (round 9): the range
+    rewrite preserves partition dirs, links untouched partition files,
+    and equals the logical range delete row-for-row."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS part", "CAST(id AS DOUBLE) AS v"
+    )
+    store.write("t", df, partition_by=["part"])
+    v1, rep = store.delete_where("t", "k", lo=500, hi=999)
+    assert rep["rows_deleted"] == 500
+    assert rep["files_linked"] >= 1
+    got = store.read("t")
+    # partition discovery returns the partition column LAST — align for
+    # the positional exceptAll comparison
+    expect = df.where("k < 500 OR k > 999").select(*got.columns)
+    assert got.count() == 19_500
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # per-partition counts still correct (rewrites landed in the right dirs)
+    for p in range(3):
+        assert (
+            got.where(F.col("part") == p).count()
+            == expect.where(F.col("part") == p).count()
+        )
+
+
+def test_cow_rejects_non_hive_nested_layout(spark, tmp_path):
+    """A nested layout that is NOT name=value partitioning cannot
+    round-trip through partitionBy — the COW paths refuse it loudly
+    instead of scrambling file placement."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    assert TableStore._partition_cols(["a=1/f.parquet", "a=2/g.parquet"]) == ["a"]
+    assert TableStore._partition_cols(["f.parquet"]) == []
+    with pytest.raises(ValueError, match="non-Hive"):
+        TableStore._partition_cols(["sub/f.parquet"])
+    with pytest.raises(ValueError, match="inconsistent"):
+        TableStore._partition_cols(["a=1/f.parquet", "a=1/b=2/g.parquet"])
 
 
 def test_bloom_mixed_sizing_rows_never_false_negative(spark, tmp_path):
