@@ -223,6 +223,18 @@ class TableStore(TableFormat):
     listings on both implementations.
     """
 
+    # full extended surface (see formats.CAPABILITY_METHODS); the
+    # conformance suite asserts declaration == implementation both ways
+    CAPABILITIES = frozenset({
+        "vacuum",
+        "stats-skipping",
+        "bloom-skipping",
+        "cow-mutations",
+        "txn-exactly-once",
+        "check-constraints",
+        "layout-optimize",
+    })
+
     def __init__(self, spark: SparkSession, root: str, commit=None):
         from .storage_commit import PosixCommit
 

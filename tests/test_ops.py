@@ -264,6 +264,30 @@ def test_format_lifecycle_conformance(spark, table_format):
     assert removed and fmt.read("t").count() == 5
 
 
+def test_format_capability_matrix(spark, table_format):
+    """VERDICT r8 #6: the extended-surface asymmetry between the two
+    TableFormat implementations is DECLARED (CAPABILITIES) and the
+    declaration must match the code in both directions — a declared
+    capability with a missing method fails, and an implemented method
+    whose capability is undeclared fails too, so the matrix can never
+    silently drift."""
+    from taico_data_integration_spark.ops.formats import CAPABILITY_METHODS
+
+    fmt = table_format
+    unknown = fmt.CAPABILITIES - set(CAPABILITY_METHODS)
+    assert not unknown, f"undeclared capability keys: {unknown}"
+    for cap, methods in CAPABILITY_METHODS.items():
+        for m in methods:
+            if cap in fmt.CAPABILITIES:
+                assert callable(getattr(fmt, m, None)), (
+                    f"{type(fmt).__name__} declares {cap} but lacks {m}"
+                )
+            else:
+                assert not hasattr(fmt, m), (
+                    f"{type(fmt).__name__} implements {m} without declaring {cap}"
+                )
+
+
 def test_format_vacuum_retention_conformance(spark, table_format):
     """VERDICT r7 #4: vacuum semantics must be format-portable too —
     keep_latest=0 means 'keep only current' (the naive [-0:] slice keeps
