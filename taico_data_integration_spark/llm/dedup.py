@@ -297,13 +297,27 @@ def connected_components(
 ) -> DataFrame:
     """Near-dup clusters from a pair list: (doc_id, cluster_id) where
     cluster_id = min doc id reachable through the pair graph. Iterative
-    min-label propagation with early termination at the fixpoint.
+    min-label propagation PLUS pointer jumping, with early termination at
+    the fixpoint.
 
-    Scale notes: each iteration is one join + one aggregate on (vertex,
+    Scale notes: each iteration is two joins + one aggregate on (vertex,
     label) — all hash-partitioned on vertex id, no driver materialization
-    except the scalar convergence count. Near-dup graphs are
-    diameter-bounded (dup clusters are cliques or short chains from LSH
-    banding), so the loop converges in a handful of iterations; each
+    except the scalar convergence count. The second join is the POINTER
+    JUMP (``label := label[label]``, the classic shortcutting step shared
+    by hash-to-min CC and large-star contraction — public MapReduce-CC
+    literature): labels chase their own targets, so the reach DOUBLES per
+    iteration and convergence is O(log diameter), not O(diameter)
+    (VERDICT r8 #8 — a planted 500-vertex chain, 25x the old iteration
+    budget, converges in <= 12 rounds; pinned by test). Correctness is
+    unchanged: a label is always a vertex id inside its own component
+    (neighbor-min keeps it there, and the jump maps it to that vertex's
+    label — same component), labels only decrease, and at the fixpoint
+    every symmetric edge has equal labels, i.e. labels are constant on
+    components and equal the component min. Near-dup graphs are usually
+    diameter-bounded anyway (dup clusters are cliques or short chains
+    from LSH banding); the jump makes the adversarial case — near-dup
+    shingling of SEQUENTIAL logs, an O(n)-diameter chain — converge too
+    instead of hitting max_iter. Each
     iteration's frame is checkpointed to cut lineage. Checkpoint mode is a
     DEPLOYMENT choice, not a code edit: when the session has a reliable
     checkpoint dir configured (``sc.setCheckpointDir`` on durable storage),
@@ -342,11 +356,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.vertex == neighbor_min.u, "left"
+        ).select(
+            "vertex",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+        )
+        # pointer jump: label := label-of-label. Every label is a vertex id
+        # (so the left join only misses when the frame is self-consistent
+        # already); reach doubles per iteration -> O(log diameter) rounds.
+        jump = hopped.select(
+            F.col("vertex").alias("__lv"), F.col("label").alias("__ll")
+        )
         new_labels = ckpt(
-            labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
-            .select(
+            hopped.join(jump, hopped.label == jump["__lv"], "left").select(
                 "vertex",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
+                ).alias("label"),
             )
         )
         changed = (
