@@ -817,9 +817,16 @@ class TableStore(TableFormat):
         the file is kept conservatively by every pruner. ``null_count`` is
         recorded only when EVERY row group reports it (else ``None`` — an
         undercount must never masquerade as exact). Partition columns live
-        in directory names, not footers, so they record ``None`` here —
-        Spark's own partition-dir pruning (tested in test_sources) covers
-        those. Column chunks are located by the parquet LEAF schema path
+        in directory names, not footers — their stats are parsed from the
+        Hive ``name=value`` path component instead (round 9):
+        ``min = max = value`` (int if the raw string is integral, else the
+        raw string — a typed bound that does not compare keeps the file
+        conservatively via the TypeError path), and a
+        ``__HIVE_DEFAULT_PARTITION__`` dir records the all-null shape, so
+        the COW keep-set walk and read_pruned prune tenant-partitioned
+        layouts on the tenant column exactly — previously every file was
+        kept conservatively and a partition-column delete rewrote the
+        whole table. Column chunks are located by the parquet LEAF schema path
         (``path_in_schema``), never the top-level arrow name list — with
         nested columns present the two disagree and a name-index lookup
         would silently record some other leaf's bounds.
@@ -854,6 +861,27 @@ class TableStore(TableFormat):
             leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
             for c in missing:
                 stat: dict = {"min": None, "max": None, "null_count": None}
+                if c not in leaf_paths:
+                    pv = self._partition_value(rel, c)
+                    if pv is not None:
+                        if pv == "__HIVE_DEFAULT_PARTITION__":
+                            # the null partition: prunable by every
+                            # range/equality predicate (never matches NULL)
+                            stat = {
+                                "min": None,
+                                "max": None,
+                                "null_count": md.num_rows,
+                            }
+                        else:
+                            val: object = pv
+                            if re.fullmatch(r"-?\d+", pv):
+                                val = int(pv)
+                            stat = {
+                                "min": val,
+                                "max": val,
+                                "null_count": 0,
+                                "kind": "plain",
+                            }
                 if c in leaf_paths:
                     idx = leaf_paths.index(c)
                     mins, maxs, nulls = [], [], 0
@@ -1960,6 +1988,21 @@ class TableStore(TableFormat):
             "values_pruned": values_pruned,
         }
         return entry, dtypes, live, keep, report
+
+    @staticmethod
+    def _partition_value(rel: str, col: str) -> str | None:
+        """Raw Hive partition value of ``col`` from a relative file path
+        (``tenant=3/part-x.parquet`` -> ``"3"``), URL-decoded the way
+        Spark encodes special characters into dir names; None when the
+        path carries no such component (unpartitioned, or a different
+        column)."""
+        from urllib.parse import unquote
+
+        for comp in rel.split(os.sep)[:-1]:
+            k, sep, v = comp.partition("=")
+            if sep and k == col:
+                return unquote(v)
+        return None
 
     @staticmethod
     def _partition_cols(rels: list[str]) -> list[str]:

@@ -158,6 +158,60 @@ def test_erase_subjects_across_tables(spark, tmp_path):
         store.read("events_t", version=0)
 
 
+def test_erase_subjects_routes_through_cow_fast_path(spark, tmp_path):
+    """Round 9: GDPR erasure on a COW-capable store takes the file-level
+    fast path automatically — composite keys and tenant-partitioned
+    layouts included — hard-linking every file the subjects don't live
+    in; an oversized subject set falls back to the full rewrite with
+    identical results."""
+    from taico_data_integration_spark.ops.deletion import erase_subjects
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(6_000).selectExpr(
+        "id AS user_id",
+        "CAST(id % 3 AS INT) AS tenant",
+        "CAST(id % 17 AS INT) AS region",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    store.write("events_p", df.repartitionByRange(3, "user_id"), partition_by=["tenant"])
+    store.write("profile_c", df.repartition(3))
+    store.optimize_layout("profile_c", ["user_id"], num_files=6)
+
+    subjects = spark.createDataFrame(
+        [(7, 7 % 17), (8, 8 % 17), (9, 9 % 17)], "subject bigint, sregion int"
+    )
+    report = erase_subjects(
+        store,
+        subjects,
+        {
+            "events_p": {"user_id": "subject"},  # partitioned, single key
+            "profile_c": {"user_id": "subject", "region": "sregion"},  # composite
+        },
+    )
+    for t in ("events_p", "profile_c"):
+        assert report[t]["path"] == "cow-fast", report[t]
+        assert report[t]["deleted"] == 3
+        assert report[t]["files_linked"] >= 1, report[t]
+        assert store.read(t).where(F.col("user_id").isin([7, 8, 9])).count() == 0
+    # pre-erasure version stays addressable (audit contract unchanged)
+    assert store.read("profile_c", version=0).where("user_id = 7").count() == 1
+
+    # oversized subject set: transparent full-rewrite fallback, same result
+    store.write("t_small", df.limit(100))
+    report2 = erase_subjects(
+        store, subjects, {"t_small": {"user_id": "subject"}}, max_fast_keys=1
+    )
+    assert report2["t_small"]["path"] == "full-rewrite"
+    assert report2["t_small"]["deleted"] == 3
+    # all-NULL subject keys: version-free no-op on the fast path
+    nulls = spark.createDataFrame([(None,)], "subject bigint")
+    v_before = store._read_meta("t_small")["current"]
+    report3 = erase_subjects(store, nulls, {"t_small": {"user_id": "subject"}})
+    assert report3["t_small"]["path"] == "noop"
+    assert store._read_meta("t_small")["current"] == v_before
+
+
 def test_zscore_grouped_map_matches_window(spark):
     from taico_data_integration_spark.ops.grouped import zscore_apply_in_pandas, zscore_window
 
@@ -1151,11 +1205,12 @@ def test_tablestore_read_pruned_partitioned_version(spark, tmp_path):
         tuple(sorted(r.asDict().items())) for r in want.collect()
     }
     assert 0 < rep["files_read"] < rep["files_total"], rep
-    # pruning on the PARTITION column itself: no footer stats -> conservative
-    # keep-all, but results stay correct through the residual filter
+    # pruning on the PARTITION column itself (round 9): no footer stats,
+    # but the Hive dir name IS the stat (min = max = value) — the manifest
+    # walk prunes to exactly the matching partition's files
     got2, rep2 = store.read_pruned("t", "region", lo=2, hi=2)
     assert got2.count() == df.where("region = 2").count()
-    assert rep2["files_read"] == rep2["files_total"]
+    assert rep2["files_read"] == rep2["files_total"] // 4, rep2
 
 
 def test_tablestore_bloom_point_lookup(spark, tmp_path):
@@ -2985,6 +3040,132 @@ def test_delete_where_partitioned_layout(spark, tmp_path):
             got.where(F.col("part") == p).count()
             == expect.where(F.col("part") == p).count()
         )
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_cow_composite_fuzz_equals_anti_join_forms(spark, tmp_path, seed):
+    """Fuzz the composite-key COW surfaces against their logical anti-join
+    twins (VERDICT r8 #2): random table sizes, layouts (clustered /
+    random / Hive-partitioned), key arities (1-3, mixed int/string
+    components), NULL-bearing key columns, and update/delete batches that
+    mix present, absent, and duplicate-in-target keys. merge_in must
+    equal merge_upsert and delete_in the anti-join filter, row-for-row,
+    on every draw."""
+    import random
+
+    from taico_data_integration_spark.ops.incremental import TableStore, merge_upsert
+
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path))
+    for case in range(3):
+        n = rng.randint(500, 4_000)
+        df = spark.range(n).selectExpr(
+            "id AS k",
+            "IF(id % 97 = 0, NULL, CAST(id % 23 AS INT)) AS c",
+            f"CONCAT('g', CAST(id % {rng.randint(3, 9)} AS STRING)) AS s",
+            "CAST(id AS DOUBLE) AS val",
+        )
+        t = f"t{seed}_{case}"
+        layout = rng.choice(["clustered", "random", "partitioned"])
+        if layout == "clustered":
+            store.write(t, df.repartition(rng.randint(2, 4)))
+            store.optimize_layout(t, ["k"], num_files=rng.randint(3, 8))
+        elif layout == "random":
+            store.write(t, df.repartition(rng.randint(2, 6)))
+        else:
+            store.write(t, df.repartitionByRange(2, "k"), partition_by=["s"])
+        key_cols = rng.choice([["k"], ["k", "c"], ["k", "s"], ["k", "c", "s"]])
+        target = store.read(t)
+        cols = target.columns
+
+        # --- delete_in: present + absent + (for composite) mismatched tuples
+        base_rows = df.where(f"id % {rng.randint(5, 20)} = 1").limit(30).collect()
+        vals = []
+        for r in base_rows:
+            tup = tuple(r[c] for c in key_cols)
+            if any(x is None for x in tup):
+                continue
+            vals.append(tup if len(key_cols) > 1 else tup[0])
+        if not vals:
+            vals = [(10**9,) * len(key_cols) if len(key_cols) > 1 else 10**9]
+        if len(key_cols) > 1:
+            vals.append(tuple([10**9] + list(vals[0])[1:]))  # absent composite
+        expect_del = target.join(
+            spark.createDataFrame(
+                [v if isinstance(v, tuple) else (v,) for v in vals],
+                target.select(*key_cols).schema,
+            ),
+            on=key_cols,
+            how="left_anti",
+        ).localCheckpoint()
+        _, rep = store.delete_in(t, key_cols if len(key_cols) > 1 else key_cols[0], vals)
+        got = store.read(t).select(*cols)
+        assert got.exceptAll(expect_del.select(*cols)).count() == 0, (layout, key_cols)
+        assert expect_del.select(*cols).exceptAll(got).count() == 0, (layout, key_cols)
+
+        # --- merge_in: reprice a slice + insert an all-new keyspace
+        cur = store.read(t)
+        ups = (
+            cur.where(f"k % {rng.randint(7, 13)} = 2")
+            .limit(40)
+            .withColumn("val", F.col("val") * -1.0)
+            .unionByName(
+                cur.orderBy("k").limit(5).withColumn("k", F.col("k") + 10**9)
+            )
+            # merge_in contract: no NULL key components, distinct tuples
+            .na.drop(subset=key_cols)
+            .dropDuplicates(key_cols)
+            .localCheckpoint()
+        )
+        if ups.count() == 0:
+            continue
+        expect_m = (
+            merge_upsert(cur, ups, key_cols).select(*cols).localCheckpoint()
+        )
+        store.merge_in(t, ups, key_cols if len(key_cols) > 1 else key_cols[0])
+        got = store.read(t).select(*cols)
+        assert got.exceptAll(expect_m).count() == 0, (layout, key_cols)
+        assert expect_m.exceptAll(got).count() == 0, (layout, key_cols)
+
+
+def test_partition_column_stats_from_dir_names(spark, tmp_path):
+    """Round 9: partition columns have no footer stats, but the Hive
+    ``name=value`` dir IS an exact stat (min = max = value). A COW delete
+    keyed on the PARTITION column must rewrite only that partition's
+    files — the tenant-scoped GDPR shape on a tenant-partitioned store —
+    and the ``__HIVE_DEFAULT_PARTITION__`` dir must record the all-null
+    shape (pruned by every range, its rows always surviving)."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(8_000).selectExpr(
+        "id AS k",
+        "IF(id % 100 = 0, NULL, CAST(id % 4 AS INT)) AS tenant",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    store.write("t", df.repartitionByRange(2, "k"), partition_by=["tenant"])
+    stats = store.collect_file_stats("t", ["tenant"])
+    for rel, rec in stats["files"].items():
+        s = rec["cols"]["tenant"]
+        if "__HIVE_DEFAULT_PARTITION__" in rel:
+            assert s["min"] is None and s["null_count"] == rec["rows"]
+        else:
+            val = int(rel.split("=", 1)[1].split(os.sep)[0])
+            assert s["min"] == val == s["max"] and s["null_count"] == 0
+
+    n_null = df.where("tenant IS NULL").count()
+    # delete one tenant: exactly that partition's 2 files rewrite (and the
+    # rewrite emits nothing — the whole partition dies), 8 files link
+    v, rep = store.delete_where("t", "tenant", lo=2, hi=2)
+    assert rep["files_rewritten"] == 2 and rep["files_linked"] == 8, rep
+    assert store.read("t").where("tenant = 2").count() == 0
+    assert store.read("t").where("tenant IS NULL").count() == n_null
+
+    # delete_in on partition values goes through the same exact stats
+    v, rep = store.delete_in("t", "tenant", [0])
+    assert rep["files_rewritten"] == 2 and rep["skipped_by_stats"] == 6, rep
+    assert store.read("t").where("tenant = 0").count() == 0
+    assert store.read("t").where("tenant IS NULL").count() == n_null
 
 
 def test_cow_rejects_non_hive_nested_layout(spark, tmp_path):
