@@ -1884,12 +1884,18 @@ class TableStore(TableFormat):
                 by_stats += 1
         # consult blooms that are already BUILT (a selective sidecar read
         # only prunes further); build one implicitly — leading column only
-        # — when stats left too many candidates to justify skipping it.
-        # Building for a probe stats already answered (key-clustered
-        # layout) would cost a full pass for nothing — measured: a
-        # layout-matched 60M-row merge_in spent 8-10s building a
-        # (saturated, default-sized) bloom to confirm the 1 file stats
-        # had already isolated
+        # — ONLY when stats failed to prune even half the files (the
+        # layout doesn't cluster on the key at all, so the bloom is the
+        # only thing between a point probe and a near-full scan/rewrite,
+        # and it amortizes across every later probe of the version).
+        # Below that, stats already isolated the work and a full-column
+        # build pass cannot pay on the spot — measured (round 9, 60M-row
+        # partitioned lineitem): stats left 7/28 candidate files and the
+        # old files/8 trigger spent ~45s building a table-sized bloom to
+        # maybe shave a handful of ~2M-row file rewrites; the same merge
+        # with the build skipped runs in a few seconds. Callers that will
+        # probe one version repeatedly should collect_file_blooms
+        # explicitly — an existing sidecar is always consulted.
         blooms: dict[int, dict] = {}
         if live and file_live:
             bp = self._bloom_path(table, v)
@@ -1901,7 +1907,7 @@ class TableStore(TableFormat):
                         self._bloom_mem_put(table, v, c, b)
                 if b is not None:
                     blooms[j] = b
-            if not blooms and len(file_live) > max(1, len(stats["files"]) // 8):
+            if not blooms and len(file_live) > max(1, len(stats["files"]) // 2):
                 if expected_items_per_file is None:
                     # size the implicit build from the table itself — the
                     # fixed default saturates at high distinct-per-file
@@ -2137,14 +2143,19 @@ class TableStore(TableFormat):
         passed its row-level CHECK when its version committed, and
         deletion only removes rows.
 
-        Cost note: when the layout does NOT cluster on ``col`` (stats
-        cannot isolate the files), the first IN-probe on a version pays a
-        one-pass bloom build sized from the table (measured 26 s at 60M
-        rows) — still far below a full rewrite, and reusable by every
-        subsequent read_point/read_in/delete_in/merge_in on that version.
-        On a col-clustered layout the stats-first probe answers from the
-        manifest alone and no bloom is ever built (measured: 0.5 s for a
-        10-key delete at 60M rows with warm manifests).
+        Cost note: when the layout does NOT cluster on ``col`` at all
+        (stats keep more than half the files), the first IN-probe on a
+        version pays a one-pass bloom build sized from the table
+        (measured 26-45 s at 60M rows depending on sizing) — reusable by
+        every subsequent read_point/read_in/delete_in/merge_in on that
+        version, but NOT automatically cheaper than a narrow table's full
+        rewrite (measured round 9: a 5-column 60M-row table full-rewrites
+        in ~3 s), so weigh it when the table is narrow and the probe is
+        one-shot. On a col-clustered layout the stats-first probe answers
+        from the manifest alone and no bloom is ever built (measured:
+        0.5 s for a 10-key delete at 60M rows with warm manifests); when
+        stats isolate at least half the files the implicit build is also
+        skipped (round 9 — it could not pay for itself there).
 
         No matching value (all lossy, or nothing in the probe set) is a
         NO-OP: returns the current version unchanged and burns nothing.

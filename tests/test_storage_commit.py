@@ -309,6 +309,25 @@ def test_tablestore_lifecycle_on_conditional_put(spark, tmp_path):
         store.write("t", spark.createDataFrame([(1, None)], "k bigint, val double"))
     assert store.read("t").where(F.col("val").isNull()).count() == 0
 
+    # round 9: composite-key + partitioned COW through the SAME seam —
+    # partition prefixes survive the server-side COPY share path, and the
+    # dir-name partition stats isolate a tenant delete to its own files
+    pdf = spark.range(0, 10_000).selectExpr(
+        "id AS k",
+        "CAST(id % 4 AS INT) AS tenant",
+        "CAST(id % 9 AS INT) AS c",
+        "CAST(id AS DOUBLE) AS val",
+    )
+    store.write("p", pdf.repartitionByRange(2, "k"), partition_by=["tenant"])
+    v, rep = store.delete_in("p", ["k", "c"], [(5, 5), (6, 6)])
+    assert rep["rows_deleted"] == 2 and rep["files_linked"] >= 1
+    assert store.read("p").count() == 9_998
+    v, rep = store.delete_where("p", "tenant", lo=2, hi=2)
+    assert rep["files_rewritten"] == 2, rep
+    assert store.read("p").where("tenant = 2").count() == 0
+    # tenant 1 lost exactly one row — (k=5, c=5) from the composite delete
+    assert store.read("p").where("tenant = 1").count() == 2_499
+
 
 def test_tablestore_two_writers_on_conditional_put(spark, tmp_path):
     """Concurrent writers under the condput protocol: both commit
