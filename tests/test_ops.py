@@ -3154,18 +3154,74 @@ def test_partition_column_stats_from_dir_names(spark, tmp_path):
             assert s["min"] == val == s["max"] and s["null_count"] == 0
 
     n_null = df.where("tenant IS NULL").count()
-    # delete one tenant: exactly that partition's 2 files rewrite (and the
-    # rewrite emits nothing — the whole partition dies), 8 files link
+    n_t2 = df.where("tenant = 2").count()
+    # delete one tenant: that partition's 2 files are DROPPED without being
+    # read (dir-name stats prove every row dies), 8 files link, 0 rewrites
     v, rep = store.delete_where("t", "tenant", lo=2, hi=2)
-    assert rep["files_rewritten"] == 2 and rep["files_linked"] == 8, rep
+    assert rep["files_dropped"] == 2 and rep["files_rewritten"] == 0, rep
+    assert rep["files_linked"] == 8 and rep["rows_deleted"] == n_t2, rep
     assert store.read("t").where("tenant = 2").count() == 0
     assert store.read("t").where("tenant IS NULL").count() == n_null
 
-    # delete_in on partition values goes through the same exact stats
+    # delete_in on partition values goes through the same exact stats —
+    # and the same metadata-only drop
     v, rep = store.delete_in("t", "tenant", [0])
-    assert rep["files_rewritten"] == 2 and rep["skipped_by_stats"] == 6, rep
+    assert rep["files_dropped"] == 2 and rep["files_rewritten"] == 0, rep
+    assert rep["skipped_by_stats"] == 6, rep
     assert store.read("t").where("tenant = 0").count() == 0
     assert store.read("t").where("tenant IS NULL").count() == n_null
+
+
+def test_delete_metadata_only_drop_guard_rails(spark, tmp_path):
+    """The metadata-only file drop (round 9) may fire ONLY when stats
+    PROVE every row dies: a null-bearing file is never dropped (NULL
+    survives any range), a floating column is never dropped (NaN rows
+    must survive and stats can't see them), and results always equal the
+    logical delete. On a range-clustered layout a covering range DROPS
+    the interior files without reading them."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+
+    # clustered ints: files fully inside the range are dropped, boundary
+    # files rewrite, outside files link
+    df = spark.range(0, 8_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v1, rep = store.delete_where("t", "k", lo=1_500, hi=6_500)
+    assert rep["files_dropped"] >= 1, rep
+    assert rep["files_linked"] >= 1, rep
+    got = store.read("t")
+    expect = df.where("k < 1500 OR k > 6500")
+    assert got.count() == expect.count() == 2_999  # [1500, 6500] inclusive
+    assert got.exceptAll(expect).count() == 0
+
+    # null-bearing files: never dropped, NULL rows survive (plain
+    # repartition interleaves the NULLs into every file — a k-clustered
+    # layout would legitimately isolate them instead)
+    dfn = spark.range(0, 4_000).selectExpr(
+        "IF(id % 10 = 0, NULL, id) AS k", "id AS payload"
+    )
+    store.write("tn", dfn.repartition(4))
+    v2, rep2 = store.delete_where("tn", "k", lo=0, hi=10**9)
+    assert rep2["files_dropped"] == 0, rep2  # every file holds NULLs
+    assert store.read("tn").count() == dfn.where("k IS NULL").count()
+
+    # floating key column: never dropped (NaN invisibility)
+    dff = spark.createDataFrame(
+        [(float(i), i) for i in range(100)], "d double, i bigint"
+    )
+    store.write("tf", dff.repartition(1))
+    v3, rep3 = store.delete_where("tf", "d", lo=-1.0, hi=1e9)
+    assert rep3["files_dropped"] == 0, rep3
+    assert store.read("tf").count() == 0  # all rewritten away, correctly
+
+    # delete_in on a single-valued (clustered) file: dropped without a read
+    dfe = spark.range(0, 3_000).selectExpr("CAST(id % 3 AS INT) AS g", "id AS p")
+    store.write("te", dfe.repartitionByRange(3, "g").sortWithinPartitions("g"))
+    v4, rep4 = store.delete_in("te", "g", [1])
+    assert rep4["files_dropped"] >= 1 and rep4["rows_deleted"] == 1_000, rep4
+    assert store.read("te").where("g = 1").count() == 0
 
 
 def test_cow_rejects_non_hive_nested_layout(spark, tmp_path):

@@ -323,7 +323,7 @@ def test_tablestore_lifecycle_on_conditional_put(spark, tmp_path):
     assert rep["rows_deleted"] == 2 and rep["files_linked"] >= 1
     assert store.read("p").count() == 9_998
     v, rep = store.delete_where("p", "tenant", lo=2, hi=2)
-    assert rep["files_rewritten"] == 2, rep
+    assert rep["files_dropped"] == 2 and rep["files_rewritten"] == 0, rep
     assert store.read("p").where("tenant = 2").count() == 0
     # tenant 1 lost exactly one row — (k=5, c=5) from the composite delete
     assert store.read("p").where("tenant = 1").count() == 2_499
