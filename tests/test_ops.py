@@ -3216,9 +3216,17 @@ def test_delete_metadata_only_drop_guard_rails(spark, tmp_path):
     assert rep3["files_dropped"] == 0, rep3
     assert store.read("tf").count() == 0  # all rewritten away, correctly
 
-    # delete_in on a single-valued (clustered) file: dropped without a read
+    # delete_in on a single-valued (clustered) file: dropped without a
+    # read. Hash-repartition ON g with AQE partition-coalescing off —
+    # range sampling, AQE, and Catalyst's coalesce-through-union collapse
+    # all happily merge g values into one file, which then legitimately
+    # cannot drop (measured: 8 buckets separate g in {0,1,2}).
     dfe = spark.range(0, 3_000).selectExpr("CAST(id % 3 AS INT) AS g", "id AS p")
-    store.write("te", dfe.repartitionByRange(3, "g").sortWithinPartitions("g"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        store.write("te", dfe.repartition(8, F.col("g")))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     v4, rep4 = store.delete_in("te", "g", [1])
     assert rep4["files_dropped"] >= 1 and rep4["rows_deleted"] == 1_000, rep4
     assert store.read("te").where("g = 1").count() == 0
