@@ -702,17 +702,44 @@ class TableStore(TableFormat):
         it). At 100 TB small files are the dominant metadata/scan-setup
         cost: streaming micro-batch sinks and per-partition appends
         accumulate thousands of KB-sized files per partition, and compaction
-        restores scan efficiency without changing any row."""
+        restores scan efficiency without changing any row.
+
+        A Hive-partitioned layout is PRESERVED by default (round 9):
+        ``partition_by=None`` detects the current version's partition
+        columns from its dir names and re-partitions by them, so repeated
+        COW merges' per-partition rewrite files compact back to ~one file
+        per partition without the caller re-stating the layout (pass an
+        explicit list to re-partition differently, or ``[]`` to
+        flatten)."""
         import glob
         import math
 
         meta = self._read_meta(table)
         entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
-        files_before = len(glob.glob(os.path.join(entry["path"], "**", "*.parquet"), recursive=True))
+        rels = [
+            os.path.relpath(p, entry["path"])
+            for p in glob.glob(
+                os.path.join(entry["path"], "**", "*.parquet"), recursive=True
+            )
+        ]
+        files_before = len(rels)
+        if partition_by is None:
+            try:
+                partition_by = self._partition_cols(rels) or None
+            except ValueError:
+                partition_by = None  # non-Hive nesting: flatten
+        elif not partition_by:
+            partition_by = None  # explicit [] = flatten
         df = self.read(table)
         n_rows = df.count()
         target = max(1, math.ceil(n_rows / rows_per_file))
-        version = self.write(table, df.repartition(target), partition_by)
+        if partition_by:
+            # hash on the partition columns: each partition value lands in
+            # one task -> one output file per (partition, task) pair
+            shaped = df.repartition(target, *[F.col(c) for c in partition_by])
+        else:
+            shaped = df.repartition(target)
+        version = self.write(table, shaped, partition_by)
         new_entry = next(e for e in self._read_meta(table)["versions"] if e["v"] == version)
         files_after = len(glob.glob(os.path.join(new_entry["path"], "**", "*.parquet"), recursive=True))
         return {

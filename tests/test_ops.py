@@ -998,6 +998,60 @@ def test_tablestore_compact(spark, tmp_path):
     assert store.read("frag", version=0).count() == 10_000
 
 
+def test_tablestore_compact_preserves_partition_layout(spark, tmp_path):
+    """Round 9: compact() with no partition_by detects a Hive-partitioned
+    layout from the dir names and preserves it — the shape a long-running
+    COW-merge stream needs (per-partition rewrite files pile up; the
+    compaction puts each partition back to ~one file without the caller
+    re-stating the layout). An explicit [] flattens."""
+    import glob as _glob
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 12_000).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS tenant", "CAST(id AS DOUBLE) AS v"
+    )
+    store.write("t", df.repartition(8), partition_by=["tenant"])  # 24 files
+    # a couple of COW merges scatter more rewrite files into the partitions
+    for lo in (0, 40):
+        ups = df.where(f"k >= {lo} AND k < {lo + 20}").withColumn(
+            "v", F.col("v") * -1.0
+        )
+        store.merge_in("t", ups, "k")
+    rep = store.compact("t", rows_per_file=1_000_000)
+    assert rep["files_after"] < rep["files_before"], rep
+    new_entry = next(
+        e for e in store._read_meta("t")["versions"] if e["v"] == rep["version"]
+    )
+    files = _glob.glob(
+        _os.path.join(new_entry["path"], "**", "*.parquet"), recursive=True
+    )
+    # layout preserved: every file under a tenant= dir, one file per tenant
+    rels = [_os.path.relpath(f, new_entry["path"]) for f in files]
+    assert all(r.startswith("tenant=") for r in rels), rels
+    assert len(rels) == 3, rels
+    # content identical to the merged state (partition col order differs)
+    expect = store.read("t", version=rep["version"] - 1)
+    got = store.read("t")
+    assert got.exceptAll(expect.select(*got.columns)).count() == 0
+    assert expect.select(*got.columns).exceptAll(got).count() == 0
+    # partition pruning still applies after compaction
+    assert store.read("t").where("tenant = 1").count() == 4_000
+
+    # explicit [] flattens the layout
+    rep2 = store.compact("t", rows_per_file=1_000_000, partition_by=[])
+    e2 = next(
+        e for e in store._read_meta("t")["versions"] if e["v"] == rep2["version"]
+    )
+    rels2 = [
+        _os.path.relpath(f, e2["path"])
+        for f in _glob.glob(_os.path.join(e2["path"], "**", "*.parquet"), recursive=True)
+    ]
+    assert all(_os.sep not in r for r in rels2), rels2
+
+
 def test_tablestore_optimize_layout_disjoint_ranges(spark, tmp_path):
     """After optimize_layout, parquet footers must show pairwise-disjoint
     [min, max] ranges on the cluster key — the property file-skipping
