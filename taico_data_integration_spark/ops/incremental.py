@@ -723,13 +723,7 @@ class TableStore(TableFormat):
             )
         ]
         files_before = len(rels)
-        if partition_by is None:
-            try:
-                partition_by = self._partition_cols(rels) or None
-            except ValueError:
-                partition_by = None  # non-Hive nesting: flatten
-        elif not partition_by:
-            partition_by = None  # explicit [] = flatten
+        partition_by = self._resolve_partition_by(partition_by, rels)
         df = self.read(table)
         n_rows = df.count()
         target = max(1, math.ceil(n_rows / rows_per_file))
@@ -749,11 +743,39 @@ class TableStore(TableFormat):
             "rows": n_rows,
         }
 
+    def _resolve_partition_by(
+        self, partition_by: list[str] | None, rels: list[str]
+    ) -> list[str] | None:
+        """Layout-preserving default shared by compact / optimize_layout /
+        optimize_layout_zorder: ``None`` detects the current version's Hive
+        partition columns from its relative paths (non-Hive nesting
+        degrades to flatten), ``[]`` flattens explicitly, a list is taken
+        as given."""
+        if partition_by is None:
+            try:
+                return self._partition_cols(rels) or None
+            except ValueError:
+                return None
+        return list(partition_by) or None
+
+    def _current_rels(self, table: str) -> list[str]:
+        import glob
+
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        return [
+            os.path.relpath(p, entry["path"])
+            for p in glob.glob(
+                os.path.join(entry["path"], "**", "*.parquet"), recursive=True
+            )
+        ]
+
     def optimize_layout(
         self,
         table: str,
         cluster_by: list[str],
         num_files: int = 8,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Data-clustering rewrite (Delta OPTIMIZE ZORDER analog, 1-D form):
         range-repartition the current version on `cluster_by` and sort rows
@@ -762,12 +784,20 @@ class TableStore(TableFormat):
         DuckDB, Presto) skip whole files/row-groups for selective predicates
         — the property tests/test_ops verifies from the actual footers.
         At 100 TB this is the difference between scanning a partition and
-        scanning the 1-2 files whose range matches the filter."""
+        scanning the 1-2 files whose range matches the filter.
+
+        A Hive-partitioned layout is PRESERVED by default (round 9 — it was
+        silently flattened before): the range partitioning LEADS with the
+        partition columns, so each partition occupies a contiguous task
+        range and its files stay disjoint on the cluster key; ``[]``
+        flattens explicitly."""
+        pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
         df = self.read(table)
-        clustered = df.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(
-            *cluster_by
+        keys = [*(pcols or []), *cluster_by]
+        clustered = df.repartitionByRange(num_files, *keys).sortWithinPartitions(
+            *keys
         )
-        return self.write(table, clustered)
+        return self.write(table, clustered, pcols)
 
     def optimize_layout_zorder(
         self,
@@ -775,6 +805,7 @@ class TableStore(TableFormat):
         cols_with_bounds: dict[str, tuple[float, float]],
         bits: int = 8,
         num_files: int = 8,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Multi-dimensional clustering (Delta OPTIMIZE ZORDER analog, true
         bit-interleaved form): each clustering column is quantized to
@@ -783,7 +814,10 @@ class TableStore(TableFormat):
         that Z-curve. Every file then has a TIGHT bounding box in EVERY
         clustered dimension (verified from parquet footers in test_ops) —
         1-D sorting tightens only the leading column. Bounds are passed in
-        (at 100 TB they come from table stats, not an extra scan)."""
+        (at 100 TB they come from table stats, not an extra scan).
+        Hive-partitioned layouts are preserved by default, the Z-curve
+        applying WITHIN each partition (round 9); ``[]`` flattens."""
+        pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
         df = self.read(table)
         z = zorder_key(
             {c: (F.col(c), lo, hi) for c, (lo, hi) in cols_with_bounds.items()},
@@ -791,11 +825,11 @@ class TableStore(TableFormat):
         )
         clustered = (
             df.withColumn("__z", z)
-            .repartitionByRange(num_files, F.col("__z"))
-            .sortWithinPartitions("__z")
+            .repartitionByRange(num_files, *[F.col(c) for c in (pcols or [])], F.col("__z"))
+            .sortWithinPartitions(*(pcols or []), "__z")
             .drop("__z")
         )
-        return self.write(table, clustered)
+        return self.write(table, clustered, pcols)
 
     def _stats_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, "_stats", f"v{version:04d}.json")

@@ -998,6 +998,49 @@ def test_tablestore_compact(spark, tmp_path):
     assert store.read("frag", version=0).count() == 10_000
 
 
+def test_optimize_layout_preserves_partition_layout(spark, tmp_path):
+    """Round 9: optimize_layout on a Hive-partitioned store used to
+    silently FLATTEN it. It now leads the range partitioning with the
+    partition columns: dirs survive, and within each partition the files
+    have disjoint footer ranges on the cluster key, so a point probe on a
+    tenant reads one file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 24_000).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS tenant", "CAST(id AS DOUBLE) AS v"
+    )
+    store.write("t", df.repartition(6), partition_by=["tenant"])
+    v = store.optimize_layout("t", ["k"], num_files=12)
+    entry = next(e for e in store._read_meta("t")["versions"] if e["v"] == v)
+    by_tenant: dict[str, list[tuple]] = {}
+    for p in _glob.glob(_os.path.join(entry["path"], "**", "*.parquet"), recursive=True):
+        rel = _os.path.relpath(p, entry["path"])
+        assert rel.startswith("tenant="), rel  # layout preserved
+        md = _pq.read_metadata(p)
+        idx = [md.schema.column(i).path for i in range(md.num_columns)].index("k")
+        s = md.row_group(0).column(idx).statistics
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        by_tenant.setdefault(rel.split(_os.sep)[0], []).append((lo, hi))
+    assert set(by_tenant) == {"tenant=0", "tenant=1", "tenant=2"}
+    for t, ranges in by_tenant.items():
+        ranges.sort()
+        for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+            assert ahi < blo, (t, ranges)  # disjoint within the partition
+    # content unchanged, pruning works
+    got = store.read("t")
+    assert got.count() == 24_000
+    assert got.where("tenant = 1 AND k BETWEEN 100 AND 200").count() == df.where(
+        "tenant = 1 AND k BETWEEN 100 AND 200"
+    ).count()
+
+
 def test_tablestore_compact_preserves_partition_layout(spark, tmp_path):
     """Round 9: compact() with no partition_by detects a Hive-partitioned
     layout from the dir names and preserves it — the shape a long-running
