@@ -104,7 +104,14 @@ def erase_subjects(
                 }
                 continue
         cleaned = delete_keys(df, subject_keys, mapping)
-        store.write(table, cleaned)
+        # the full rewrite must preserve a partitioned layout — writing
+        # without partition_by would silently flatten the table
+        pby = (
+            store.current_partition_columns(table) or None
+            if hasattr(store, "current_partition_columns")
+            else None
+        )
+        store.write(table, cleaned, pby)
         after = store.read(table).count()
         report[table] = {
             "before": before,

@@ -770,6 +770,17 @@ class TableStore(TableFormat):
             )
         ]
 
+    def current_partition_columns(self, table: str) -> list[str]:
+        """The current version's Hive partition columns (``[]`` when
+        unpartitioned or non-Hive-nested). The layout-preservation probe
+        every full-rewrite path should consult before ``write`` — a
+        rewrite that omits ``partition_by`` silently flattens the table,
+        losing partition pruning for every downstream reader."""
+        try:
+            return self._partition_cols(self._current_rels(table))
+        except ValueError:
+            return []
+
     def optimize_layout(
         self,
         table: str,

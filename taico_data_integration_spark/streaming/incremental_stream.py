@@ -200,13 +200,22 @@ def stream_merge_into(
                 pass  # contract miss (key count/NULLs/layout): full merge below
         if not store.exists(table):
             merged = batch_df
+            pby = None
         else:
             target = store.read(table)
             merged = merge_upsert(target, batch_df.select(*target.columns), keys)
+            # a full-rewrite fallback must PRESERVE a partitioned layout —
+            # writing without partition_by would silently flatten the
+            # table and lose partition pruning for every later reader
+            pby = (
+                store.current_partition_columns(table) or None
+                if hasattr(store, "current_partition_columns")
+                else None
+            )
         if txn_capable:
-            store.write_with_txn(table, merged, app_id, batch_id)
+            store.write_with_txn(table, merged, app_id, batch_id, partition_by=pby)
         else:
-            store.write(table, merged)
+            store.write(table, merged, pby)
 
     q = (
         events.writeStream.foreachBatch(_merge)

@@ -204,6 +204,16 @@ def test_erase_subjects_routes_through_cow_fast_path(spark, tmp_path):
     )
     assert report2["t_small"]["path"] == "full-rewrite"
     assert report2["t_small"]["deleted"] == 3
+
+    # the full-rewrite fallback PRESERVES a partitioned layout (round 9 —
+    # it used to silently flatten, losing partition pruning)
+    more = spark.createDataFrame([(100, 100 % 17), (101, 101 % 17)], "subject bigint, sregion int")
+    report_p = erase_subjects(
+        store, more, {"events_p": {"user_id": "subject"}}, max_fast_keys=1
+    )
+    assert report_p["events_p"]["path"] == "full-rewrite"
+    assert store.current_partition_columns("events_p") == ["tenant"]
+    assert store.read("events_p").where("tenant = 0").count() > 0
     # all-NULL subject keys: version-free no-op on the fast path
     nulls = spark.createDataFrame([(None,)], "subject bigint")
     v_before = store._read_meta("t_small")["current"]
