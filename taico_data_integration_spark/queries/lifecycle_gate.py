@@ -1036,11 +1036,94 @@ WHERE c_custkey NOT IN
 """
 
 
+def lifecycle_metadata_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DELETE under the driver's gate (round 9): customers
+    land partitioned by ``c_mktsegment``; a ``delete_where`` pinning the
+    BUILDING segment must remove the whole partition WITHOUT reading or
+    writing a single data byte — the partition dir-name stats prove every
+    row dies, so its files are DROPPED from the new version
+    (``files_dropped >= 1``, ``files_rewritten == 0``,
+    ``rewrite_output_files == 0``) while every other partition file
+    hard-links (inode-checked). Delta's partition-predicate metadata
+    DELETE, grading the round-9 ``_stat_dooms`` path end-to-end. The
+    pre-delete version stays pinned-readable; survivors hash against the
+    ``<>`` oracle."""
+    import os as _os
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_mdd_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write(
+            "customers",
+            cust.repartitionByRange(2, "c_custkey"),
+            partition_by=["c_mktsegment"],
+        )
+        v0 = store._read_meta("customers")["current"]
+        n0 = store.read("customers").count()
+        n_doomed = store.read("customers").where(
+            F.col("c_mktsegment") == "BUILDING"
+        ).count()
+        v1, rep = store.delete_where(
+            "customers", "c_mktsegment", lo="BUILDING", hi="BUILDING"
+        )
+        if rep["rows_deleted"] != n_doomed or rep["noop"]:
+            raise RuntimeError(f"lifecycle_metadata_delete_gate: wrong delta {rep}")
+        if (
+            rep["files_dropped"] < 1
+            or rep["files_rewritten"] != 0
+            or rep["rewrite_output_files"] != 0
+        ):
+            raise RuntimeError(
+                f"lifecycle_metadata_delete_gate: not metadata-only {rep}"
+            )
+
+        def _inodes(root: str) -> dict:
+            acc = {}
+            for dp, _dirs, files in _os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = _os.path.join(dp, f)
+                        acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
+            return acc
+
+        d0 = os.path.join(work, "store", "customers", f"v{v0:04d}")
+        d1 = os.path.join(work, "store", "customers", f"v{v1:04d}")
+        i0, i1 = _inodes(d0), _inodes(d1)
+        if len(set(i0) & set(i1)) != rep["files_linked"]:
+            raise RuntimeError(
+                "lifecycle_metadata_delete_gate: linked-inode count mismatch"
+            )
+        if any("c_mktsegment=BUILDING" in rel for rel in i1.values()):
+            raise RuntimeError(
+                "lifecycle_metadata_delete_gate: a doomed partition file survived"
+            )
+        if store.read("customers", version=v0).count() != n0:
+            raise RuntimeError(
+                "lifecycle_metadata_delete_gate: pre-delete version not pinned"
+            )
+        return _materialize(store.read("customers"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+METADATA_DELETE_SQL = """
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+FROM customer
+WHERE c_mktsegment <> 'BUILDING'
+"""
+
+
 QUERIES = {
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_cow_merge": lifecycle_cow_merge,
     "lifecycle_cow_merge_composite": lifecycle_cow_merge_composite,
     "lifecycle_cow_delete_partitioned": lifecycle_cow_delete_partitioned,
+    "lifecycle_metadata_delete_gate": lifecycle_metadata_delete_gate,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -1059,6 +1142,7 @@ ORACLE = {
     "lifecycle_cow_merge": COW_MERGE_SQL,
     "lifecycle_cow_merge_composite": COW_MERGE_COMPOSITE_SQL,
     "lifecycle_cow_delete_partitioned": COW_DELETE_PARTITIONED_SQL,
+    "lifecycle_metadata_delete_gate": METADATA_DELETE_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
