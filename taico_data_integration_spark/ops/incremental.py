@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 from .formats import TableFormat
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A conflict-checked pointer swap lost the optimistic-concurrency
+    race: the version it was computed against is no longer current
+    (Delta's ConcurrentModificationException analog). The loser's version
+    is committed but never becomes current — re-read and retry."""
+
+
 def zorder_key(cols: dict[str, tuple[Column, float, float]], bits: int = 8) -> Column:
     """Bit-interleaved Z-curve value from quantized columns.
 
@@ -199,7 +206,18 @@ class TableStore(TableFormat):
       other's history rows.
     - With N concurrent promotes, all N commit distinct versions and the
       LAST pointer swap decides current (each promote validates what is
-      current at its own validation time). Tested boundary (tests/
+      current at its own validation time). COW MUTATIONS and maintenance
+      rewrites (delete_in / delete_where / merge_in / compact /
+      optimize_layout*) are stricter (round 9): their pointer swap is
+      conflict-CHECKED against the version they were computed from —
+      losing the race raises :class:`ConcurrentWriteError` instead of
+      silently dropping the winner's changes (a racing delete must never
+      resurrect rows the winner deleted; Delta's
+      ConcurrentModificationException analog). The loser's version stays
+      committed-but-unpointed for forensics; the caller re-reads and
+      retries. On ConditionalPutCommit the check rides the pointer CAS
+      loop (linearizable); on PosixCommit it is check-then-replace with
+      the standard single-FS window. Tested boundary (tests/
       test_ops.py): the two-writer race on one table runs BOTH as threads
       in one interpreter AND as two real OS processes each with its own
       SparkSession/JVM (VERDICT r5 #2) — distinct versions, one current,
@@ -288,11 +306,40 @@ class TableStore(TableFormat):
         current = rec.get("current") if rec else None
         return {"current": current, "versions": versions}
 
-    def _write_pointer(self, table: str, current: int, txn: dict | None = None) -> None:
+    def _write_pointer(
+        self,
+        table: str,
+        current: int,
+        txn: dict | None = None,
+        expect_base: int | None = None,
+    ) -> None:
+        """Pointer swap, optionally CONFLICT-CHECKED (round 9): with
+        ``expect_base``, the swap succeeds only while the table's current
+        version is still the one the new version was COMPUTED AGAINST —
+        otherwise :class:`ConcurrentWriteError`. This is what makes the
+        COW mutations and maintenance rewrites safe against the
+        last-pointer-wins race: a delete/merge/compact that lost the race
+        would silently resurrect the winner's deleted rows or drop its
+        changes. On ConditionalPutCommit the check rides the CAS loop
+        (mutate re-runs against the winner's record — linearizable); on
+        PosixCommit it is check-then-replace with a small window, the
+        standard single-FS caveat the storage_commit docstrings carry.
+        The loser's committed version stays on disk unpointed (forensics;
+        vacuum sweeps it) and the caller retries against the new
+        current."""
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
 
         def mutate(prev: dict | None) -> dict:
+            if expect_base is not None:
+                prev_cur = (prev or {}).get("current")
+                if prev_cur is not None and prev_cur != expect_base:
+                    raise ConcurrentWriteError(
+                        f"{table}: version v{current} was computed against "
+                        f"v{expect_base} but v{prev_cur} is now current — "
+                        "pointing it would drop the concurrent writer's "
+                        "changes; re-read the table and retry the operation"
+                    )
             txns = dict((prev or {}).get("txns", {}))
             if txn:
                 txns.update(txn)
@@ -328,6 +375,7 @@ class TableStore(TableFormat):
         df: DataFrame,
         partition_by: list[str] | None = None,
         _txn: dict | None = None,
+        _expect_base: int | None = None,
     ) -> int:
         # self-sufficient on a vanilla session: the runtime confs include
         # TIMESTAMP_MICROS output (INT96 would strip timestamp stats and
@@ -374,7 +422,7 @@ class TableStore(TableFormat):
                 detail = ", ".join(f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad)
                 raise ValueError(f"constraint violation on {table}: {detail}")
         self.commit.publish_dir(staging, path)
-        self._write_pointer(table, version, txn=_txn)
+        self._write_pointer(table, version, txn=_txn, expect_base=_expect_base)
         return version
 
     @staticmethod
@@ -733,7 +781,9 @@ class TableStore(TableFormat):
             shaped = df.repartition(target, *[F.col(c) for c in partition_by])
         else:
             shaped = df.repartition(target)
-        version = self.write(table, shaped, partition_by)
+        # conflict-checked: a compaction racing a delete/merge must not
+        # resurrect its base snapshot over the mutation's result
+        version = self.write(table, shaped, partition_by, _expect_base=entry["v"])
         new_entry = next(e for e in self._read_meta(table)["versions"] if e["v"] == version)
         files_after = len(glob.glob(os.path.join(new_entry["path"], "**", "*.parquet"), recursive=True))
         return {
@@ -802,13 +852,14 @@ class TableStore(TableFormat):
         partition columns, so each partition occupies a contiguous task
         range and its files stay disjoint on the cluster key; ``[]``
         flattens explicitly."""
+        base = self._read_meta(table)["current"]
         pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
         df = self.read(table)
         keys = [*(pcols or []), *cluster_by]
         clustered = df.repartitionByRange(num_files, *keys).sortWithinPartitions(
             *keys
         )
-        return self.write(table, clustered, pcols)
+        return self.write(table, clustered, pcols, _expect_base=base)
 
     def optimize_layout_zorder(
         self,
@@ -828,6 +879,7 @@ class TableStore(TableFormat):
         (at 100 TB they come from table stats, not an extra scan).
         Hive-partitioned layouts are preserved by default, the Z-curve
         applying WITHIN each partition (round 9); ``[]`` flattens."""
+        base = self._read_meta(table)["current"]
         pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
         df = self.read(table)
         z = zorder_key(
@@ -840,7 +892,7 @@ class TableStore(TableFormat):
             .sortWithinPartitions(*(pcols or []), "__z")
             .drop("__z")
         )
-        return self.write(table, clustered, pcols)
+        return self.write(table, clustered, pcols, _expect_base=base)
 
     def _stats_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, "_stats", f"v{version:04d}.json")
@@ -2354,7 +2406,7 @@ class TableStore(TableFormat):
             kept_rows = obs.get["kept_rows"]
         before = sum(stats["files"][rel].get("rows") or 0 for rel in rewrite)
         dropped_rows = sum(stats["files"][rel].get("rows") or 0 for rel in dropped)
-        self._write_pointer(table, version)
+        self._write_pointer(table, version, expect_base=entry["v"])
         report = {
             **report,
             "files_linked": len(all_rels) - len(affected),
@@ -2480,7 +2532,7 @@ class TableStore(TableFormat):
             kept_rows = obs.get["kept_rows"]
         before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
         dropped_rows = sum(stats["files"][rel].get("rows") or 0 for rel in dropped)
-        self._write_pointer(table, version)
+        self._write_pointer(table, version, expect_base=entry["v"])
         return version, {
             **report_base,
             "rewrite_output_files": moved,
@@ -2629,7 +2681,7 @@ class TableStore(TableFormat):
             stats["files"][rel].get("rows") or 0 for rel in affected
         )
         n_updates = up.count()
-        self._write_pointer(table, version, txn=_txn)
+        self._write_pointer(table, version, txn=_txn, expect_base=entry["v"])
         # target rows REPLACED by the merge (removed from affected files);
         # update rows all land, so inserted-vs-updated splits only when
         # target keys are unique — report the unambiguous quantities

@@ -3279,6 +3279,65 @@ def test_partition_column_stats_from_dir_names(spark, tmp_path):
     assert store.read("t").where("tenant IS NULL").count() == n_null
 
 
+def test_cow_mutations_detect_concurrent_writer(spark, tmp_path):
+    """Round 9: COW mutations and maintenance rewrites are
+    conflict-checked (Delta's ConcurrentModificationException analog).
+    Without the check, last-pointer-wins would let a delete that raced
+    another delete silently RESURRECT the winner's deleted rows. A
+    deterministic interleaving (a competing delete commits between the
+    loser's probe and its pointer swap) must raise ConcurrentWriteError,
+    leave the winner's result current, keep the loser's version
+    unpointed, and succeed on retry."""
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    class Racer(TableStore):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.raced = False
+
+        def _cow_commit(self, table, *a, **k):
+            if not self.raced:
+                self.raced = True
+                TableStore(self.spark, self.root).delete_in(table, "k", [5])
+            return super()._cow_commit(table, *a, **k)
+
+    store = Racer(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=4)
+    v_base = store._read_meta("t")["current"]
+
+    with pytest.raises(ConcurrentWriteError, match="computed against"):
+        store.delete_in("t", "k", [6])
+    # the WINNER's delete is current; the loser's rows are untouched
+    assert store.read("t").where("k = 5").count() == 0
+    assert store.read("t").where("k = 6").count() == 1
+    # the loser's version committed but never became current (it claimed
+    # its number BEFORE the winner, so it sits below current, unpointed)
+    meta = store._read_meta("t")
+    cur = meta["current"]
+    assert cur == v_base + 2  # the winner's version
+    assert v_base + 1 in {e["v"] for e in meta["versions"]}  # loser, unpointed
+    # loser still pinned-readable for forensics: its own delete applied
+    # (k=6 gone) but the winner's is missing (k=5 present) — exactly why
+    # pointing it would have been a lost update
+    loser = store.read("t", version=v_base + 1)
+    assert loser.where("k = 6").count() == 0
+    assert loser.where("k = 5").count() == 1
+    # retry against the new current applies cleanly
+    v2, rep = store.delete_in("t", "k", [6])
+    assert store.read("t").where("k IN (5, 6)").count() == 0
+    assert store.read("t").count() == 4_998
+
+    # a stale maintenance rewrite is rejected the same way: compact
+    # computed against v_base must not swallow the deletes
+    with pytest.raises(ConcurrentWriteError):
+        store._write_pointer("t", v_base, expect_base=v_base)
+
+
 def test_delete_metadata_only_drop_guard_rails(spark, tmp_path):
     """The metadata-only file drop (round 9) may fire ONLY when stats
     PROVE every row dies: a null-bearing file is never dropped (NULL
