@@ -329,6 +329,44 @@ def test_tablestore_lifecycle_on_conditional_put(spark, tmp_path):
     assert store.read("p").where("tenant = 1").count() == 2_499
 
 
+def test_cow_conflict_detection_on_conditional_put(spark, tmp_path):
+    """The round-9 conflict-checked pointer swap on OBJECT-STORE semantics:
+    the check rides the pointer CAS loop, so a mutation that lost the race
+    sees the winner's record when its CAS retries and raises —
+    linearizable, no check-then-replace window. Winner's delete is
+    current; retry applies cleanly."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    backend = LocalEmulatedBackend()
+
+    class Racer(TableStore):
+        raced = False
+
+        def _cow_commit(self, table, *a, **k):
+            if not self.raced:
+                self.raced = True
+                TableStore(
+                    self.spark, self.root, commit=ConditionalPutCommit(backend)
+                ).delete_in(table, "k", [5])
+            return super()._cow_commit(table, *a, **k)
+
+    store = Racer(spark, str(tmp_path), commit=ConditionalPutCommit(backend))
+    df = spark.range(0, 4_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(3))
+    store.optimize_layout("t", ["k"], num_files=3)
+    with pytest.raises(ConcurrentWriteError, match="computed against"):
+        store.delete_in("t", "k", [6])
+    assert store.read("t").where("k = 5").count() == 0
+    assert store.read("t").where("k = 6").count() == 1
+    store.delete_in("t", "k", [6])
+    assert store.read("t").where("k IN (5, 6)").count() == 0
+
+
 def test_tablestore_two_writers_on_conditional_put(spark, tmp_path):
     """Concurrent writers under the condput protocol: both commit
     distinct versions, one current, clean history — the POSIX two-writer
