@@ -222,6 +222,31 @@ def test_erase_subjects_routes_through_cow_fast_path(spark, tmp_path):
     assert store._read_meta("t_small")["current"] == v_before
 
 
+def test_erase_subjects_non_cow_store_falls_back(spark, tmp_path):
+    """A store WITHOUT the cow-mutations capability (SqlWarehouseFormat)
+    takes the anti-join full rewrite — same rows out, path recorded."""
+    from taico_data_integration_spark.ops.deletion import erase_subjects
+    from taico_data_integration_spark.ops.formats import SqlWarehouseFormat
+
+    fmt = SqlWarehouseFormat(
+        spark, f"erase_{abs(hash(str(tmp_path))) % 10**8}", str(tmp_path / "wh")
+    )
+    try:
+        fmt.write("t", spark.createDataFrame(
+            [Row(uid=u, v=u * 2) for u in range(20)]
+        ))
+        report = erase_subjects(
+            fmt,
+            spark.createDataFrame([Row(subject=3), Row(subject=7)]),
+            {"t": {"uid": "subject"}},
+        )
+        assert report["t"]["path"] == "full-rewrite"
+        assert report["t"]["deleted"] == 2
+        assert fmt.read("t").where("uid IN (3, 7)").count() == 0
+    finally:
+        fmt.drop_namespace()
+
+
 def test_zscore_grouped_map_matches_window(spark):
     from taico_data_integration_spark.ops.grouped import zscore_apply_in_pandas, zscore_window
 
