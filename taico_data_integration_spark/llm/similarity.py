@@ -213,12 +213,17 @@ def ivf_assign(
         norm = math.sqrt(sum(x * x for x in c)) or 1.0
         rows.append((cid, [x / norm for x in c]))
     cents = spark.createDataFrame(rows, "cid int, __c array<double>")
+    # window over a per-ROW key, not id_col: with duplicate ids the literal
+    # path emits nprobe lists per input row, so the broadcast path must too
+    # (ADVICE r9 — a row_number partitioned by id_col interleaves duplicate
+    # ids and emits nprobe per DISTINCT id)
     scored = (
         df.select(F.col(id_col), v.alias("__v"))
+        .withColumn("__rowid", F.monotonically_increasing_id())
         .crossJoin(F.broadcast(cents))  # broadcast nested-loop: (vec, centroid) pairs — the centroids side is n_lists rows, always broadcast
-        .select(F.col(id_col), F.col("cid"), dot(F.col("__v"), F.col("__c")).alias("__score"))
+        .select(F.col(id_col), F.col("__rowid"), F.col("cid"), dot(F.col("__v"), F.col("__c")).alias("__score"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col("cid").desc())
+    w = Window.partitionBy("__rowid").orderBy(F.col("__score").desc(), F.col("cid").desc())
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= nprobe)

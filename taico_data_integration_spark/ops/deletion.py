@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .formats import TableFormat
+from .incremental import CowContractError
 
 
 def delete_keys(df: DataFrame, keys: DataFrame, key_cols: dict[str, str]) -> DataFrame:
@@ -90,8 +91,14 @@ def erase_subjects(
                     vals,
                     max_values=max_fast_keys,
                 )
-            except ValueError:
-                pass  # contract miss (layout/typing): full rewrite below
+            except CowContractError:
+                # documented contract miss (non-Hive layout, uncastable
+                # key): full rewrite below. Plain ValueErrors (wrong
+                # column name in table_key_cols, arity mismatch) are
+                # programming errors and PROPAGATE (ADVICE r9 — the old
+                # blanket except masked them and leaked a claimed version
+                # per swallow)
+                pass
             else:
                 after = store.read(table).count()
                 report[table] = {

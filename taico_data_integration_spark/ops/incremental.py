@@ -38,6 +38,18 @@ class ConcurrentWriteError(RuntimeError):
     is committed but never becomes current — re-read and retry."""
 
 
+class CowContractError(ValueError):
+    """The file-level copy-on-write fast path cannot serve this table /
+    key set for a DOCUMENTED contract reason — a non-Hive nested layout,
+    inconsistent partition nesting, or a key value that does not cast to
+    its column's type. Callers with a general fallback (e.g.
+    ``deletion.erase_subjects``'s broadcast-anti-join full rewrite) catch
+    exactly this class; plain ``ValueError``s from the same surfaces
+    (wrong column name, arity mismatch, NULL keys) are programming errors
+    and propagate (ADVICE r9 — a blanket ``except ValueError`` masked
+    them and silently paid a full rewrite per mistake)."""
+
+
 def zorder_key(cols: dict[str, tuple[Column, float, float]], bits: int = 8) -> Column:
     """Bit-interleaved Z-curve value from quantized columns.
 
@@ -1873,7 +1885,9 @@ class TableStore(TableFormat):
           cost, never a wrong row.) Already-built filters are always
           consulted; an implicit build (same sizing rules as the
           single-column probe) happens only on the LEADING column, and
-          only when stats left more than files/8 candidates.
+          only when stats left more than files/2 candidates (retuned
+          round 9 — below that the build cannot pay for itself; see the
+          trigger at the ``len(file_live) > files // 2`` check).
         """
         import datetime as _dt
         import math as _math
@@ -1953,7 +1967,7 @@ class TableStore(TableFormat):
             for j in range(nc):
                 val, cv, dtype = t[j], cvs[j], dtypes[j]
                 if cv is None:
-                    raise ValueError(
+                    raise CowContractError(
                         f"read_in value {val!r} is not castable to "
                         f"{cols[j]}'s type {dtype}"
                     )
@@ -2147,7 +2161,7 @@ class TableStore(TableFormat):
             cur = []
             for c in comps:
                 if "=" not in c:
-                    raise ValueError(
+                    raise CowContractError(
                         f"non-Hive nested layout ({rel!r}): copy-on-write "
                         "rewrites need root-level files or name=value "
                         "partition dirs"
@@ -2156,7 +2170,7 @@ class TableStore(TableFormat):
             if pcols is None:
                 pcols = cur
             elif pcols != cur:
-                raise ValueError(
+                raise CowContractError(
                     f"inconsistent partition nesting: {pcols} vs {cur} ({rel!r})"
                 )
         return pcols or []

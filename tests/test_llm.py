@@ -955,6 +955,20 @@ def test_ivf_assign_join_path_equals_literal_path(spark):
         for r in ivf_assign(corpus, dup_cents, nprobe=2, literal_max=0).collect()
     }
     assert lit_tie == join_tie
+    # ADVICE r9: DUPLICATE ids must emit nprobe assignments per input ROW
+    # on both paths — the join path's window partitions by a per-row key,
+    # not id_col (partitioning by id_col interleaves duplicate-id rows
+    # and emits nprobe per DISTINCT id)
+    dup_rows = corpus.limit(5).union(corpus.limit(5)).localCheckpoint()
+    lit_dup = sorted(
+        (r.vec_id, r.list_id)
+        for r in ivf_assign(dup_rows, centroids, nprobe=2, literal_max=10_000).collect()
+    )
+    join_dup = sorted(
+        (r.vec_id, r.list_id)
+        for r in ivf_assign(dup_rows, centroids, nprobe=2, literal_max=0).collect()
+    )
+    assert len(lit_dup) == 20 and lit_dup == join_dup
 
 
 def test_ivf_index_persist_probe_equals_single_call(spark, tmp_path):

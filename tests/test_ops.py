@@ -222,6 +222,37 @@ def test_erase_subjects_routes_through_cow_fast_path(spark, tmp_path):
     assert store._read_meta("t_small")["current"] == v_before
 
 
+def test_erase_subjects_contract_miss_vs_misuse(spark, tmp_path):
+    """ADVICE r9: the fast path's fallback catches ONLY documented
+    contract misses (CowContractError: uncastable key, non-Hive layout) —
+    a wrong column name in table_key_cols is a programming error and
+    propagates instead of silently paying a full rewrite per call."""
+    import pytest as _pt
+
+    from taico_data_integration_spark.ops.deletion import erase_subjects
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.createDataFrame([Row(uid=u, v=u * 2) for u in range(20)]))
+    # misuse: column not in the table -> propagates
+    with _pt.raises(ValueError, match="column nope not in t"):
+        erase_subjects(
+            store,
+            spark.createDataFrame([Row(subject=3)]),
+            {"t": {"nope": "subject"}},
+        )
+    # contract miss: key value uncastable to the column type -> transparent
+    # full-rewrite fallback, castable keys still erased via the anti-join
+    report = erase_subjects(
+        store,
+        spark.createDataFrame([Row(subject="not-a-number"), Row(subject="3")]),
+        {"t": {"uid": "subject"}},
+    )
+    assert report["t"]["path"] == "full-rewrite"
+    assert report["t"]["deleted"] == 1
+    assert store.read("t").where("uid = 3").count() == 0
+
+
 def test_erase_subjects_non_cow_store_falls_back(spark, tmp_path):
     """A store WITHOUT the cow-mutations capability (SqlWarehouseFormat)
     takes the anti-join full rewrite — same rows out, path recorded."""
