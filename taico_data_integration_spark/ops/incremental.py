@@ -196,9 +196,11 @@ class TableStore(TableFormat):
     protocol methods — promote_with_validation, diff, exists — are inherited
     from the seam and shared with SqlWarehouseFormat).
 
-    Layout: root/<table>/v<NNN>/ parquet + root/<table>/_meta.json holding
-    the current-version POINTER only. write() creates a new version;
-    rollback() repoints. Cheap O(1) metadata swap, like Delta's log commit.
+    Layout: root/<table>/v<NNN>/ parquet + root/<table>/_ptr/ holding
+    the current-version POINTER log only (pre-r10 stores' ``_meta.json``
+    reads transparently and migrates on first swap). write() creates a
+    new version; rollback() repoints. Cheap O(1) metadata swap, like
+    Delta's log commit.
 
     Concurrent-writer contract (VERDICT r4 #6) — optimistic, Delta-style:
     - **Version claim is a CAS**: a writer claims its version number by
@@ -211,11 +213,11 @@ class TableStore(TableFormat):
       uncommitted directory that history/read never see and vacuum removes
       (requires ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` left
       at its default ``true``).
-    - **Pointer swap is atomic**: ``_meta.json`` is written to a temp name
-      and ``os.replace``d, so readers see the old or the new current,
-      never a torn file. Version history is derived from the filesystem,
-      NOT stored in the pointer — concurrent committers cannot lose each
-      other's history rows.
+    - **Pointer swap is atomic**: a put-if-absent CAS log entry
+      (``_ptr/ptr-<seq>.json``), so readers see the old or the new
+      current, never a torn record, and concurrent swaps MERGE. Version
+      history is derived from the filesystem, NOT stored in the pointer
+      — concurrent committers cannot lose each other's history rows.
     - With N concurrent promotes, all N commit distinct versions and the
       LAST pointer swap decides current (each promote validates what is
       current at its own validation time). COW MUTATIONS and maintenance
@@ -227,9 +229,11 @@ class TableStore(TableFormat):
       resurrect rows the winner deleted; Delta's
       ConcurrentModificationException analog). The loser's version stays
       committed-but-unpointed for forensics; the caller re-reads and
-      retries. On ConditionalPutCommit the check rides the pointer CAS
-      loop (linearizable); on PosixCommit it is check-then-replace with
-      the standard single-FS window. Tested boundary (tests/
+      retries. The check rides the pointer CAS loop on BOTH commit
+      impls (round 10 — the put-if-absent log is the one pointer
+      implementation, O_EXCL on POSIX), so it is linearizable
+      everywhere; the pre-r10 POSIX check-then-replace window is gone.
+      Tested boundary (tests/
       test_ops.py): the two-writer race on one table runs BOTH as threads
       in one interpreter AND as two real OS processes each with its own
       SparkSession/JVM (VERDICT r5 #2) — distinct versions, one current,
@@ -297,9 +301,6 @@ class TableStore(TableFormat):
         while len(self._bloom_mem) > self._BLOOM_MEM_MAX:
             self._bloom_mem.popitem(last=False)
 
-    def _meta_path(self, table: str) -> str:
-        return os.path.join(self.root, table, "_meta.json")
-
     def _read_meta(self, table: str) -> dict:
         """{current, versions} where ``versions`` is DERIVED from committed
         version directories (commit marker present) — the filesystem is the
@@ -332,10 +333,10 @@ class TableStore(TableFormat):
         COW mutations and maintenance rewrites safe against the
         last-pointer-wins race: a delete/merge/compact that lost the race
         would silently resurrect the winner's deleted rows or drop its
-        changes. On ConditionalPutCommit the check rides the CAS loop
-        (mutate re-runs against the winner's record — linearizable); on
-        PosixCommit it is check-then-replace with a small window, the
-        standard single-FS caveat the storage_commit docstrings carry.
+        changes. The check rides the shared put-if-absent CAS loop on
+        BOTH commit impls (round 10): ``mutate`` re-runs against the
+        winner's record on every lost race, so the check is linearizable
+        — no check-then-replace window anywhere.
         The loser's committed version stays on disk unpointed (forensics;
         vacuum sweeps it) and the caller retries against the new
         current."""
@@ -574,13 +575,12 @@ class TableStore(TableFormat):
     def last_txn(self, table: str, app_id: str) -> int | None:
         """Last batch id committed for `app_id`, or None (Delta
         ``txnAppId``/``txnVersion`` analog). Reads the MAX of the pointer
-        record and the per-app sidecar: the pointer copy is atomic with the
-        commit but can be clobbered by a concurrent MAINTENANCE write's
-        read-modify-merge of the txn map; the sidecar is a per-app file no
-        other writer touches. Together: a replay is missed only if a crash
-        lands in the swap→sidecar window AND a concurrent maintenance write
-        interleaves the pointer in that same window — and even then the
-        re-applied merge is content-idempotent."""
+        record and the per-app sidecar. Since round 10 the pointer swap
+        is a CAS-log merge on both commit impls, so a concurrent
+        maintenance write can no longer clobber the txn map; the sidecar
+        stays as belt-and-braces for pre-r10 stores and for forensic
+        recovery of a hand-edited pointer log — and the re-applied merge
+        is content-idempotent in any case."""
         best = None
         rec = self.commit.read_pointer(os.path.join(self.root, table))
         if rec is not None:
@@ -609,11 +609,9 @@ class TableStore(TableFormat):
         record rides the SAME atomic pointer swap as the version commit, so
         there is no window where the version is current but the txn is
         unrecorded. Txn tracking assumes one writer per app_id (a streaming
-        query is exactly that — Delta's model too): concurrent pointer
-        swaps from OTHER app_ids merge last-wins and cannot drop this one's
-        record only if they read the meta after this swap; same-table
-        concurrent promotes remain safe for versioning but do not
-        serialize txn reads."""
+        query is exactly that — Delta's model too); concurrent pointer
+        swaps from OTHER app_ids ride the CAS log (round 10) and can
+        never drop this one's record."""
         last = self.last_txn(table, app_id)
         if last is not None and batch_id <= last:
             return None

@@ -16,17 +16,19 @@ TableStore's correctness needs exactly four primitives (VERDICT r8 #1):
 3. **share an unchanged file into a new version** (POSIX: hard link,
    zero data movement; object stores: server-side COPY — no inode
    sharing, but no data crosses the network either).
-4. **swap the current pointer** (POSIX: write-temp + ``os.replace``;
-   object stores: a monotonic put-if-absent POINTER LOG — each swap
-   writes ``_ptr/ptr-<seq+1>.json`` conditionally, a real CAS loop, so
-   concurrent read-modify-merge swaps can never lose each other's txn
-   records — strictly stronger than the POSIX last-wins replace).
+4. **swap the current pointer** — a monotonic put-if-absent POINTER
+   LOG on BOTH impls (round 10): each swap writes
+   ``_ptr/ptr-<seq+1>.json`` conditionally (POSIX: ``O_EXCL``; object
+   stores: conditional PUT), a real CAS loop, so concurrent
+   read-modify-merge swaps can never lose each other's txn records and
+   ``expect_base`` conflict checks are linearizable everywhere. Pre-r10
+   POSIX tables carrying a ``_meta.json`` pointer are read
+   transparently and migrated to the log on first swap.
 
 What each implementation ASSUMES of its storage:
 
 - :class:`PosixCommit`: POSIX/HDFS — O_EXCL create, atomic rename
   (file and directory), hard links (degrades to copy cross-device).
-  This is the current TableStore behavior, bit for bit.
 - :class:`ConditionalPutCommit`: an object store offering only
   (a) atomic single-object PUT (readers see the whole object or none —
   S3/GCS/Azure all guarantee this), (b) conditional PUT-if-absent,
@@ -107,7 +109,23 @@ def _fs_put_if_absent(path: str, data: bytes = b"") -> bool:
 
 class StorageCommit(ABC):
     """The four commit primitives plus the small single-object writes
-    that ride them (constraint files, stats manifests, txn sidecars)."""
+    that ride them (constraint files, stats manifests, txn sidecars).
+
+    The pointer swap is IMPLEMENTATION-SHARED (round 10): both impls run
+    the same monotonic put-if-absent CAS log (``_ptr/ptr-<seq>.json``)
+    over their own small-object primitives, so ``expect_base`` conflict
+    checks are linearizable everywhere — the r9 POSIX
+    check-then-replace window (ADVICE r9: two COW mutations computed
+    from the same base could both pass the check and the last
+    ``os.replace`` silently dropped the other's delete) no longer
+    exists. Legacy tables whose pointer is a pre-r10 ``_meta.json`` are
+    read transparently and MIGRATED into the log on their first swap."""
+
+    #: CAS log entries kept after a successful swap (older entries are
+    #: dead: max() of what remains is unaffected)
+    keep_log: int = 16
+
+    _PTR = re.compile(r"ptr-(\d{12})\.json$")
 
     @abstractmethod
     def put_if_absent(self, path: str, data: bytes = b"") -> bool:
@@ -137,28 +155,118 @@ class StorageCommit(ABC):
         """Share ``src`` into a new version at ``dst`` without rewriting
         data through the engine. Returns ``"link"`` or ``"copy"``."""
 
-    @abstractmethod
-    def read_pointer(self, table_dir: str) -> dict | None:
-        """The table's pointer record ({current, txns}), or None."""
+    # ---- small-object primitives the shared pointer log runs on ----
 
     @abstractmethod
+    def _obj_get(self, path: str) -> bytes | None:
+        """Read a small object, or None if absent."""
+
+    @abstractmethod
+    def _obj_list(self, prefix: str) -> list[str]:
+        """Keys under ``prefix`` (may be stale/torn — the log only uses
+        it to find the max seq, and a torn list degrades to a STALE
+        pointer for readers, never a torn or lost one)."""
+
+    @abstractmethod
+    def _obj_delete(self, path: str) -> None:
+        """Delete a small object (idempotent)."""
+
+    # ---- pointer log, shared by BOTH implementations (round 10) ----
+
+    def _ptr_dir(self, table_dir: str) -> str:
+        return os.path.join(table_dir, "_ptr")
+
+    def _legacy_pointer(self, table_dir: str) -> dict | None:
+        """Pre-r10 pointer file (``_meta.json``): still readable so
+        existing stores open unchanged; superseded by the log from the
+        first post-migration swap on."""
+        raw = self._obj_get(os.path.join(table_dir, "_meta.json"))
+        return json.loads(raw) if raw is not None else None
+
+    def _latest(self, table_dir: str) -> tuple[int, dict | None]:
+        seqs = []
+        for key in self._obj_list(self._ptr_dir(table_dir)):
+            m = self._PTR.search(key)
+            if m:
+                seqs.append(int(m.group(1)))
+        for seq in sorted(seqs, reverse=True):
+            raw = self._obj_get(
+                os.path.join(self._ptr_dir(table_dir), f"ptr-{seq:012d}.json")
+            )
+            if raw is not None:  # pruned between list and get — take the next
+                return seq, json.loads(raw)
+        return -1, self._legacy_pointer(table_dir)
+
+    def read_pointer(self, table_dir: str) -> dict | None:
+        """The table's pointer record ({current, txns}), or None."""
+        return self._latest(table_dir)[1]
+
     def write_pointer(self, table_dir: str, mutate) -> dict:
         """Swap the pointer: ``mutate(prev: dict | None) -> dict`` is
         applied to the latest record and the result made current.
-        Returns the record written."""
+        Returns the record written.
+
+        A CAS loop on the monotonic put-if-absent log
+        (``_ptr/ptr-<seq>.json``): each swap reads the latest record,
+        applies ``mutate``, and conditionally writes seq+1; a lost race
+        re-reads (picking up the winner's record — this is what makes
+        ``mutate``-raised conflict checks linearizable) and retries.
+        Concurrent swaps therefore MERGE (no lost txn records). After a
+        successful swap the log is pruned to the most recent
+        ``keep_log`` entries and any legacy ``_meta.json`` is retired —
+        old entries are dead: max() of what remains is unaffected."""
+        while True:
+            seq, prev = self._latest(table_dir)
+            rec = mutate(prev)
+            key = os.path.join(self._ptr_dir(table_dir), f"ptr-{seq + 1:012d}.json")
+            if self.put_if_absent(key, json.dumps(rec).encode()):
+                for old in range(max(0, seq + 1 - self.keep_log)):
+                    self._obj_delete(
+                        os.path.join(self._ptr_dir(table_dir), f"ptr-{old:012d}.json")
+                    )
+                if seq == -1:
+                    # first post-migration swap: the legacy file is now
+                    # dead weight — retire it so a stale copy can never
+                    # be mistaken for the pointer by out-of-band tooling
+                    self._obj_delete(os.path.join(table_dir, "_meta.json"))
+                return rec
+            # lost the CAS: re-read (picks up the winner's record) and retry
 
 
 class PosixCommit(StorageCommit):
     """POSIX/HDFS semantics — the original TableStore protocol:
     O_EXCL claims, atomic (directory) rename, hard links with a
-    cross-device copy fallback, write-temp + ``os.replace`` pointer.
-    Pointer swaps are last-wins (concurrent swaps serialize on the
-    rename; the txns map merge is read-modify-write — the documented
-    boundary in :meth:`TableStore.last_txn`, backstopped by per-app
-    sidecars)."""
+    cross-device copy fallback. The pointer swap is the SHARED
+    put-if-absent CAS log (round 10, over O_EXCL): concurrent swaps
+    merge and ``expect_base`` conflict checks are linearizable — same
+    assertions as the conditional-put impl, no POSIX caveat. Pre-r10
+    ``_meta.json`` pointers are read transparently and migrated to the
+    log on the table's first swap."""
+
+    def __init__(self, keep_log: int = 16):
+        self.keep_log = keep_log
 
     def put_if_absent(self, path: str, data: bytes = b"") -> bool:
         return _fs_put_if_absent(path, data)
+
+    def _obj_get(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
+            return None
+
+    def _obj_list(self, prefix: str) -> list[str]:
+        try:
+            return [os.path.join(prefix, n) for n in os.listdir(prefix)]
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def _obj_delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def put_object(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -183,23 +291,6 @@ class PosixCommit(StorageCommit):
             shutil.copy2(src, dst)
             return "copy"
 
-    def read_pointer(self, table_dir: str) -> dict | None:
-        mp = os.path.join(table_dir, "_meta.json")
-        if not os.path.exists(mp):
-            return None
-        with open(mp) as f:
-            return json.load(f)
-
-    def write_pointer(self, table_dir: str, mutate) -> dict:
-        rec = mutate(self.read_pointer(table_dir))
-        os.makedirs(table_dir, exist_ok=True)
-        tmp = os.path.join(table_dir, f"_meta.{os.getpid()}.{time.time_ns()}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, os.path.join(table_dir, "_meta.json"))  # atomic on POSIX
-        return rec
-
-
 class ConditionalPutCommit(StorageCommit):
     """Object-store semantics: everything is built from atomic
     single-object PUT, conditional PUT-if-absent, GET, COPY, and an
@@ -212,18 +303,12 @@ class ConditionalPutCommit(StorageCommit):
       writer dying mid-copy leaves marker-less residue that
       history()/read() never see and vacuum sweeps (the exact POSIX
       killed-writer invariant, without the rename).
-    - ``write_pointer`` is a CAS loop on a monotonic put-if-absent log
-      (``_ptr/ptr-<seq>.json``): each swap reads the latest record,
-      applies ``mutate``, and conditionally writes seq+1; a lost race
-      re-reads and retries. Concurrent swaps therefore MERGE (no
-      lost txn records), and readers take the highest listed entry —
-      under a torn list that is a STALE pointer (monotonic staleness),
-      never a torn one. After a successful swap the log is pruned to
-      the most recent ``keep_log`` entries (old entries are dead: max()
-      of what remains is unaffected).
+    - ``write_pointer`` is the shared CAS log over the backend's
+      conditional PUT (see :meth:`StorageCommit.write_pointer`):
+      concurrent swaps MERGE, and readers take the highest listed entry
+      — under a torn list that is a STALE pointer (monotonic staleness),
+      never a torn one.
     """
-
-    _PTR = re.compile(r"ptr-(\d{12})\.json$")
 
     def __init__(self, backend, keep_log: int = 16):
         self.backend = backend
@@ -231,6 +316,15 @@ class ConditionalPutCommit(StorageCommit):
 
     def put_if_absent(self, path: str, data: bytes = b"") -> bool:
         return self.backend.put_if_absent(path, data)
+
+    def _obj_get(self, path: str) -> bytes | None:
+        return self.backend.get(path)
+
+    def _obj_list(self, prefix: str) -> list[str]:
+        return self.backend.list_tree(prefix)
+
+    def _obj_delete(self, path: str) -> None:
+        self.backend.delete(path)
 
     def put_object(self, path: str, data: bytes) -> None:
         self.backend.put(path, data)
@@ -259,43 +353,6 @@ class ConditionalPutCommit(StorageCommit):
     def link_or_copy(self, src: str, dst: str) -> str:
         self.backend.copy(src, dst)  # server-side COPY: no engine rewrite
         return "copy"
-
-    def _ptr_dir(self, table_dir: str) -> str:
-        return os.path.join(table_dir, "_ptr")
-
-    def _latest(self, table_dir: str) -> tuple[int, dict | None]:
-        seqs = []
-        for key in self.backend.list_tree(self._ptr_dir(table_dir)):
-            m = self._PTR.search(key)
-            if m:
-                seqs.append(int(m.group(1)))
-        for seq in sorted(seqs, reverse=True):
-            raw = self.backend.get(
-                os.path.join(self._ptr_dir(table_dir), f"ptr-{seq:012d}.json")
-            )
-            if raw is not None:  # pruned between list and get — take the next
-                return seq, json.loads(raw)
-        return -1, None
-
-    def read_pointer(self, table_dir: str) -> dict | None:
-        return self._latest(table_dir)[1]
-
-    def write_pointer(self, table_dir: str, mutate) -> dict:
-        while True:
-            seq, prev = self._latest(table_dir)
-            rec = mutate(prev)
-            key = os.path.join(self._ptr_dir(table_dir), f"ptr-{seq + 1:012d}.json")
-            if self.backend.put_if_absent(key, json.dumps(rec).encode()):
-                # prune entries the CAS has superseded; max() of what
-                # remains is unaffected, so concurrent readers at worst
-                # GET a pruned key and fall back to the next (see _latest)
-                for old in range(max(0, seq + 1 - self.keep_log)):
-                    self.backend.delete(
-                        os.path.join(self._ptr_dir(table_dir), f"ptr-{old:012d}.json")
-                    )
-                return rec
-            # lost the CAS: re-read (picks up the winner's record) and retry
-
 
 class LocalEmulatedBackend:
     """The object-store API emulated on a local directory, for running

@@ -1652,9 +1652,12 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
 
 
 def test_tablestore_txn_survives_pointer_clobber(spark, tmp_path):
-    """Regression (review finding): a maintenance write that loses the
-    pointer's txn map (the read-modify-merge race) must not resurrect a
-    replayed batch — the per-app sidecar still remembers it."""
+    """Regression (review finding): a pointer record that lost its txn
+    map (since r10 no live race can cause this — the CAS log merges —
+    but a hand-edited or corrupted log entry still can) must not
+    resurrect a replayed batch — the per-app sidecar still remembers
+    it."""
+    import glob as _glob
     import json as _json
 
     from taico_data_integration_spark.ops.incremental import TableStore
@@ -1662,8 +1665,9 @@ def test_tablestore_txn_survives_pointer_clobber(spark, tmp_path):
     store = TableStore(spark, str(tmp_path))
     df = spark.range(5)
     assert store.write_with_txn("t", df, "app", 0) == 0
-    # simulate the lost update: rewrite the pointer without the txn map
-    mp = store._meta_path("t")
+    # simulate the lost txn map: rewrite the LATEST pointer-log entry
+    # without it
+    mp = sorted(_glob.glob(str(tmp_path / "t" / "_ptr" / "ptr-*.json")))[-1]
     meta = _json.load(open(mp))
     meta["txns"] = {}
     _json.dump(meta, open(mp, "w"))

@@ -79,9 +79,9 @@ def test_publish_dir_all_or_nothing(commit, tmp_path):
 
 def test_pointer_swap_and_txn_merge(commit, tmp_path):
     """Pointer swaps through the seam preserve the read-modify-merge
-    contract: concurrent swaps from different app_ids never lose each
-    other's txn records on the condput impl (CAS log), and the POSIX
-    impl preserves the original single-writer behavior."""
+    contract on BOTH impls (round 10 — the CAS log is the one pointer
+    implementation): concurrent swaps from different app_ids never lose
+    each other's txn records."""
     tdir = str(tmp_path / "t")
     os.makedirs(tdir)
     assert commit.read_pointer(tdir) is None
@@ -99,20 +99,38 @@ def test_pointer_swap_and_txn_merge(commit, tmp_path):
     rec = commit.read_pointer(tdir)
     assert rec["current"] == 1 and rec["txns"] == {"a": 1, "b": 7}
 
-    if isinstance(commit, ConditionalPutCommit):
-        # 16 concurrent swaps, each recording its own app txn: the CAS
-        # log must merge ALL of them (the POSIX last-wins replace cannot
-        # promise this — that boundary is documented in last_txn)
-        th = [
-            threading.Thread(target=swap, args=(2, {f"app{i}": i}))
-            for i in range(16)
-        ]
-        for t in th:
-            t.start()
-        for t in th:
-            t.join()
-        rec = commit.read_pointer(tdir)
-        assert all(rec["txns"].get(f"app{i}") == i for i in range(16))
+    # 16 concurrent swaps, each recording its own app txn: the CAS log
+    # must merge ALL of them — the same linearizable assertion on POSIX
+    # and condput (pre-r10, POSIX was last-wins check-then-replace and
+    # this branch was condput-only)
+    th = [
+        threading.Thread(target=swap, args=(2, {f"app{i}": i}))
+        for i in range(16)
+    ]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
+    rec = commit.read_pointer(tdir)
+    assert all(rec["txns"].get(f"app{i}") == i for i in range(16))
+
+
+def test_pointer_legacy_meta_migrates_to_log(tmp_path):
+    """A pre-r10 table whose pointer is a bare ``_meta.json``: reads see
+    it transparently, the first swap seeds the CAS log from it and
+    retires the legacy file, and subsequent reads resolve from the log."""
+    tdir = str(tmp_path / "t")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "_meta.json"), "w") as f:
+        json.dump({"current": 3, "txns": {"legacy": 9}}, f)
+    commit = PosixCommit()
+    assert commit.read_pointer(tdir) == {"current": 3, "txns": {"legacy": 9}}
+    commit.write_pointer(
+        tdir,
+        lambda prev: {"current": 4, "txns": dict((prev or {}).get("txns", {}))},
+    )
+    assert not os.path.exists(os.path.join(tdir, "_meta.json"))
+    assert commit.read_pointer(tdir) == {"current": 4, "txns": {"legacy": 9}}
 
 
 def test_condput_pointer_log_pruned(tmp_path):
@@ -327,6 +345,43 @@ def test_tablestore_lifecycle_on_conditional_put(spark, tmp_path):
     assert store.read("p").where("tenant = 2").count() == 0
     # tenant 1 lost exactly one row — (k=5, c=5) from the composite delete
     assert store.read("p").where("tenant = 1").count() == 2_499
+
+
+def test_cow_conflict_detection_on_posix_default(spark, tmp_path):
+    """ADVICE r9 (medium): on the DEFAULT PosixCommit the r9 conflict
+    check was read-then-mutate-then-replace — two COW mutations computed
+    from the same base could both pass ``expect_base`` and the last
+    replace silently dropped the other's delete. Since r10 the POSIX
+    pointer is the same put-if-absent CAS log (O_EXCL), so the loser's
+    ``mutate`` re-runs against the winner's record and raises: the
+    row-resurrection anomaly is impossible, same assertion as the
+    condput twin below."""
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    class Racer(TableStore):
+        raced = False
+
+        def _cow_commit(self, table, *a, **k):
+            if not self.raced:
+                self.raced = True
+                # a second, independent store instance sneaks its own
+                # delete in AFTER this mutation picked its base version
+                TableStore(self.spark, self.root).delete_in(table, "k", [5])
+            return super()._cow_commit(table, *a, **k)
+
+    store = Racer(spark, str(tmp_path))
+    df = spark.range(0, 4_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(3))
+    store.optimize_layout("t", ["k"], num_files=3)
+    with pytest.raises(ConcurrentWriteError, match="computed against"):
+        store.delete_in("t", "k", [6])
+    assert store.read("t").where("k = 5").count() == 0  # winner's delete kept
+    assert store.read("t").where("k = 6").count() == 1  # loser never pointed
+    store.delete_in("t", "k", [6])  # retry applies cleanly
+    assert store.read("t").where("k IN (5, 6)").count() == 0
 
 
 def test_cow_conflict_detection_on_conditional_put(spark, tmp_path):
