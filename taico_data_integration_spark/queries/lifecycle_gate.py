@@ -650,16 +650,18 @@ SELECT n_nationkey, lower(n_name) AS n_name, n_regionkey FROM nation
 
 
 def lifecycle_copy_on_write_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-level copy-on-write DELETE under the driver's gate (round 8):
-    customers land in a TableStore clustered on c_custkey, then the five
-    SMALLEST keys — all clustered into the first file's range — are
-    deleted via ``delete_in``. Hard invariants: the delete REWRITES fewer
-    files than the version holds and HARD-LINKS at least one untouched
-    file (same inode as the previous version — zero data movement,
-    checked via os.stat), exactly 5 rows are deleted, the pre-delete
-    version stays pinned-readable, and a second delete_in with an
-    absent key is a NO-OP that burns no version. The surviving table is
-    hashed against the plain anti-IN oracle."""
+    """File-level copy-on-write DELETE under the driver's gate (round 8;
+    share-by-reference since round 10): customers land in a TableStore
+    clustered on c_custkey, then the five SMALLEST keys — all clustered
+    into the first file's range — are deleted via ``delete_in``. Hard
+    invariants: the delete REWRITES fewer files than the version holds
+    and REFERENCES at least one untouched file (the manifest lists it
+    against the previous version; the new dir physically holds only
+    rewrite outputs — zero data movement, zero copy requests), exactly
+    5 rows are deleted, the pre-delete version stays pinned-readable,
+    and a second delete_in with an absent key is a NO-OP that burns no
+    version. The surviving table is hashed against the plain anti-IN
+    oracle."""
     import os as _os
 
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
@@ -682,23 +684,20 @@ def lifecycle_copy_on_write_delete(spark: SparkSession, sf_dir: str) -> DataFram
             raise RuntimeError(
                 f"lifecycle_copy_on_write_delete: not copy-on-write {rep}"
             )
-        # zero data movement: linked files share inodes with the old version
-        old_dir = os.path.join(work, "store", "customers", f"v{v_before:04d}")
+        # zero data movement AND zero copy requests (round 10): untouched
+        # files appear in the new version's manifest BY REFERENCE to the
+        # old version; the new dir physically holds only rewrite outputs
         new_dir = os.path.join(work, "store", "customers", f"v{v_after:04d}")
-        old_inodes = {
-            _os.stat(os.path.join(old_dir, f)).st_ino
-            for f in _os.listdir(old_dir)
-            if f.endswith(".parquet")
-        }
-        n_linked = sum(
-            1
-            for f in _os.listdir(new_dir)
-            if f.endswith(".parquet")
-            and _os.stat(os.path.join(new_dir, f)).st_ino in old_inodes
+        fm_new = store._version_filemap(
+            "customers", {"v": v_after, "path": new_dir}
         )
-        if n_linked != rep["files_linked"]:
+        n_linked = sum(1 for vp in fm_new.values() if vp == v_before)
+        n_phys = sum(1 for f in _os.listdir(new_dir) if f.endswith(".parquet"))
+        if n_linked != rep["files_linked"] or n_phys != rep["rewrite_output_files"]:
             raise RuntimeError(
-                f"lifecycle_copy_on_write_delete: linked {n_linked} != {rep['files_linked']}"
+                f"lifecycle_copy_on_write_delete: shared {n_linked} != "
+                f"{rep['files_linked']} or physical {n_phys} != "
+                f"{rep['rewrite_output_files']}"
             )
         if store.read("customers", version=v_before).count() != n_before:
             raise RuntimeError(
@@ -797,21 +796,12 @@ def lifecycle_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(f"lifecycle_delete_where: wrong delta {rep} vs {in_window}")
         if rep["files_rewritten"] >= rep["files_total"] or rep["files_linked"] < 1:
             raise RuntimeError(f"lifecycle_delete_where: not copy-on-write {rep}")
-        d0 = os.path.join(work, "store", "orders_by_date", f"v{v0:04d}")
         d1 = os.path.join(work, "store", "orders_by_date", f"v{v1:04d}")
-        i0 = {
-            _os.stat(os.path.join(d0, f)).st_ino
-            for f in _os.listdir(d0)
-            if f.endswith(".parquet")
-        }
-        shared = sum(
-            1
-            for f in _os.listdir(d1)
-            if f.endswith(".parquet") and _os.stat(os.path.join(d1, f)).st_ino in i0
-        )
+        fm1 = store._version_filemap("orders_by_date", {"v": v1, "path": d1})
+        shared = sum(1 for vp in fm1.values() if vp == v0)
         if shared != rep["files_linked"]:
             raise RuntimeError(
-                f"lifecycle_delete_where: linked {shared} != {rep['files_linked']}"
+                f"lifecycle_delete_where: shared {shared} != {rep['files_linked']}"
             )
         if store.read("orders_by_date").count() != n0 - in_window:
             raise RuntimeError("lifecycle_delete_where: survivor count wrong")
@@ -995,28 +985,25 @@ def lifecycle_cow_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
                 f"lifecycle_cow_delete_partitioned: not copy-on-write {rep}"
             )
 
-        def _inodes(root: str) -> dict:
-            acc = {}
-            for dp, _dirs, files in _os.walk(root):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        p = _os.path.join(dp, f)
-                        acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
-            return acc
-
         d0 = os.path.join(work, "store", "customers", f"v{v0:04d}")
         d1 = os.path.join(work, "store", "customers", f"v{v1:04d}")
-        i0, i1 = _inodes(d0), _inodes(d1)
-        shared = set(i0) & set(i1)
+        fm0 = store._version_filemap("customers", {"v": v0, "path": d0})
+        fm1 = store._version_filemap("customers", {"v": v1, "path": d1})
+        shared = {rel for rel, vp in fm1.items() if vp == v0}
         if len(shared) != rep["files_linked"]:
             raise RuntimeError(
-                f"lifecycle_cow_delete_partitioned: linked {len(shared)} "
+                f"lifecycle_cow_delete_partitioned: shared {len(shared)} "
                 f"!= {rep['files_linked']}"
             )
-        if not all(i1[i] == i0[i] and _os.sep in i1[i] for i in shared):
+        if not all(
+            rel in fm0
+            and _os.sep in rel
+            and _os.path.exists(os.path.join(d0, rel))
+            for rel in shared
+        ):
             raise RuntimeError(
-                "lifecycle_cow_delete_partitioned: a linked file lost its "
-                "partition-prefixed relative path"
+                "lifecycle_cow_delete_partitioned: a referenced file lost "
+                "its partition-prefixed relative path or its physical bytes"
             )
         if store.read("customers", version=v0).count() != n0:
             raise RuntimeError(
@@ -1082,23 +1069,25 @@ def lifecycle_metadata_delete_gate(spark: SparkSession, sf_dir: str) -> DataFram
                 f"lifecycle_metadata_delete_gate: not metadata-only {rep}"
             )
 
-        def _inodes(root: str) -> dict:
-            acc = {}
-            for dp, _dirs, files in _os.walk(root):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        p = _os.path.join(dp, f)
-                        acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
-            return acc
-
-        d0 = os.path.join(work, "store", "customers", f"v{v0:04d}")
         d1 = os.path.join(work, "store", "customers", f"v{v1:04d}")
-        i0, i1 = _inodes(d0), _inodes(d1)
-        if len(set(i0) & set(i1)) != rep["files_linked"]:
+        fm1 = store._version_filemap("customers", {"v": v1, "path": d1})
+        if sum(1 for vp in fm1.values() if vp == v0) != rep["files_linked"]:
             raise RuntimeError(
-                "lifecycle_metadata_delete_gate: linked-inode count mismatch"
+                "lifecycle_metadata_delete_gate: shared-reference count mismatch"
             )
-        if any("c_mktsegment=BUILDING" in rel for rel in i1.values()):
+        # a metadata-only delete must move ZERO bytes: the new version dir
+        # physically holds no parquet at all (round 10 — even the survivor
+        # files are references, not links)
+        if any(
+            f.endswith(".parquet")
+            for _dp, _dirs, files in _os.walk(d1)
+            for f in files
+        ):
+            raise RuntimeError(
+                "lifecycle_metadata_delete_gate: bytes moved on a "
+                "metadata-only delete"
+            )
+        if any("c_mktsegment=BUILDING" in rel for rel in fm1):
             raise RuntimeError(
                 "lifecycle_metadata_delete_gate: a doomed partition file survived"
             )
@@ -1109,6 +1098,102 @@ def lifecycle_metadata_delete_gate(spark: SparkSession, sf_dir: str) -> DataFram
         return _materialize(store.read("customers"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def lifecycle_sharedref_commit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-by-reference commit ECONOMICS on object-store semantics
+    (round 10, VERDICT r9 #1 'Done' criterion): the full COW lifecycle
+    runs through ConditionalPutCommit on a request-counting backend, and
+    every mutation is proven O(changed files) in COPY REQUESTS — a
+    delete on an 8-file table publishes only its rewrite outputs (the
+    pre-r10 protocol server-side-COPYed every untouched file: N-1
+    requests and the table's full size in bytes per commit). Also
+    gated: vacuum under references tombstones the still-referenced base
+    version (leaves history, keeps the shared bytes), and the surviving
+    table hashes against the delete+merge oracle."""
+    from ..ops.storage_commit import ConditionalPutCommit, LocalEmulatedBackend
+
+    class _Counting(LocalEmulatedBackend):
+        parquet_copies = 0
+        parquet_bytes = 0
+
+        def copy(self, src, dst):
+            if src.endswith(".parquet"):
+                _Counting.parquet_copies += 1
+                _Counting.parquet_bytes += os.path.getsize(src)
+            super().copy(src, dst)
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_sharedref_")
+    try:
+        backend = _Counting()
+        _Counting.parquet_copies = _Counting.parquet_bytes = 0
+        store = TableStore(
+            spark, os.path.join(work, "store"), commit=ConditionalPutCommit(backend)
+        )
+        store.write("customers", cust.repartition(4))
+        store.optimize_layout("customers", ["c_custkey"], num_files=8)
+        v_base = store._read_meta("customers")["current"]
+        low = [int(r.c_custkey) for r in cust.orderBy("c_custkey").limit(8).collect()]
+        doomed, upd_keys = low[:5], low[5:8]
+
+        _Counting.parquet_copies = _Counting.parquet_bytes = 0
+        v1, rep = store.delete_in("customers", "c_custkey", doomed)
+        if rep["rows_deleted"] != 5 or rep["files_linked"] < 1:
+            raise RuntimeError(f"lifecycle_sharedref_commit_gate: bad delete {rep}")
+        if _Counting.parquet_copies != rep["rewrite_output_files"]:
+            raise RuntimeError(
+                "lifecycle_sharedref_commit_gate: delete commit copied "
+                f"{_Counting.parquet_copies} parquet objects, expected only "
+                f"the {rep['rewrite_output_files']} rewrite outputs — "
+                "untouched files must share by reference"
+            )
+
+        updates = (
+            store.read("customers")
+            .where(F.col("c_custkey").isin(upd_keys))
+            .withColumn("c_acctbal", F.lit(-1.0))
+        )
+        _Counting.parquet_copies = 0
+        v2, mrep = store.merge_in("customers", updates, "c_custkey")
+        if _Counting.parquet_copies != mrep["rewrite_output_files"]:
+            raise RuntimeError(
+                "lifecycle_sharedref_commit_gate: merge commit copied "
+                f"{_Counting.parquet_copies} parquet objects, expected "
+                f"{mrep['rewrite_output_files']}"
+            )
+
+        # vacuum under references: the base version is still referenced
+        # by the current one — it must TOMBSTONE (leave history, keep
+        # the shared bytes) and the current version must read complete
+        n_now = store.read("customers").count()
+        store.vacuum("customers", keep_latest=1)
+        hist = [e["v"] for e in store.history("customers")]
+        if v_base in hist or v1 in hist:
+            raise RuntimeError(
+                f"lifecycle_sharedref_commit_gate: vacuum left {hist}"
+            )
+        if store.read("customers").count() != n_now:
+            raise RuntimeError(
+                "lifecycle_sharedref_commit_gate: vacuum broke the live set"
+            )
+        return _materialize(store.read("customers"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SHAREDREF_COMMIT_SQL = """
+WITH low8 AS (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 8),
+doomed AS (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5)
+SELECT c_custkey, c_name,
+       CAST(CASE WHEN c_custkey IN (SELECT c_custkey FROM low8)
+                  AND c_custkey NOT IN (SELECT c_custkey FROM doomed)
+                 THEN -1.0 ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM doomed)
+"""
 
 
 METADATA_DELETE_SQL = """
@@ -1124,6 +1209,7 @@ QUERIES = {
     "lifecycle_cow_merge_composite": lifecycle_cow_merge_composite,
     "lifecycle_cow_delete_partitioned": lifecycle_cow_delete_partitioned,
     "lifecycle_metadata_delete_gate": lifecycle_metadata_delete_gate,
+    "lifecycle_sharedref_commit_gate": lifecycle_sharedref_commit_gate,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -1143,6 +1229,7 @@ ORACLE = {
     "lifecycle_cow_merge_composite": COW_MERGE_COMPOSITE_SQL,
     "lifecycle_cow_delete_partitioned": COW_DELETE_PARTITIONED_SQL,
     "lifecycle_metadata_delete_gate": METADATA_DELETE_SQL,
+    "lifecycle_sharedref_commit_gate": SHAREDREF_COMMIT_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,

@@ -483,18 +483,22 @@ def stream_cow_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"last_txn {store.last_txn('orders', 'stream_cow_merge_gate')}"
             )
 
-        def _inodes(v: int) -> set:
+        def _physfiles(v: int) -> set:
+            """(physical version, rel) pairs the version resolves to —
+            share-by-reference form (round 10): consecutive COW batches
+            must RESOLVE to overlapping physical files; a full rewrite
+            would make every entry self-physical."""
             root = os.path.join(work, "store", "orders", f"v{v:04d}")
             return {
-                _os.stat(os.path.join(dp, f_)).st_ino
-                for dp, _dirs, files in _os.walk(root)
-                for f_ in files
-                if f_.endswith(".parquet")
+                (vp, rel)
+                for rel, vp in store._version_filemap(
+                    "orders", {"v": v, "path": root}
+                ).items()
             }
 
         vs = sorted(v for v in versions if v >= v_seed)
         for prev, cur in zip(vs, vs[1:]):
-            if not _inodes(prev) & _inodes(cur):
+            if not _physfiles(prev) & _physfiles(cur):
                 raise RuntimeError(
                     f"stream_cow_merge_gate: v{cur} shares no file with v{prev} "
                     "— the COW fast path silently fell back to a full rewrite"

@@ -2705,10 +2705,11 @@ def test_read_in_edges(spark, tmp_path):
 
 def test_delete_in_copy_on_write(spark, tmp_path):
     """File-level copy-on-write DELETE: only files that might hold a
-    doomed key are rewritten; every other file is HARD-LINKED into the
-    new version (same inode — zero data movement), NULL keys survive, the
-    old version stays pinned-readable, and vacuuming it leaves the linked
-    files alive in the new version."""
+    doomed key are rewritten; every other file is SHARED BY REFERENCE
+    into the new version (round 10 — the manifest lists it against its
+    physical holder; zero data movement AND zero copy requests), NULL
+    keys survive, the old version stays pinned-readable, and vacuuming
+    it leaves the referenced files alive for the new version."""
     import os as _os
 
     from taico_data_integration_spark.ops.incremental import TableStore
@@ -2739,15 +2740,16 @@ def test_delete_in_copy_on_write(spark, tmp_path):
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
 
-    # hard links: at least one surviving file of v1 shares an inode with v0
-    v0_path = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    # share-by-reference: untouched files appear in v1's manifest against
+    # their PHYSICAL version (v0), and v1's directory physically holds
+    # ONLY the rewrite outputs — nothing was linked or copied
     v1_path = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
-    v0_inodes = {_os.stat(_os.path.join(v0_path, f)).st_ino
-                 for f in _os.listdir(v0_path) if f.endswith(".parquet")}
-    linked = [f for f in _os.listdir(v1_path)
-              if f.endswith(".parquet")
-              and _os.stat(_os.path.join(v1_path, f)).st_ino in v0_inodes]
-    assert len(linked) == rep["files_linked"] > 0
+    fm1 = store._version_filemap("t", {"v": v1, "path": v1_path})
+    shared = [rel for rel, vp in fm1.items() if vp == v0]
+    assert len(shared) == rep["files_linked"] > 0
+    phys = [f for f in _os.listdir(v1_path) if f.endswith(".parquet")]
+    assert len(phys) == rep["rewrite_output_files"]
+    assert all(f.startswith(f"rewrite-{v1:04d}-") for f in phys)
 
     # old version still pinned-readable; vacuum it and the links survive
     assert store.read("t", version=v0).count() == n0
@@ -2820,15 +2822,15 @@ def test_merge_in_copy_on_write(spark, tmp_path):
     assert rep["rows_replaced"] == 3 and rep["rows_written"] == 5
     assert 0 < rep["files_rewritten"] < rep["files_total"]
     assert rep["files_linked"] == rep["files_total"] - rep["files_rewritten"]
-    # hard links actually shared
-    v0_dir = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
+    # references actually shared: v1's manifest lists untouched files
+    # against v0, and v1's dir physically holds only rewrite outputs
     v1_dir = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
-    v0_inodes = {_os.stat(_os.path.join(v0_dir, f)).st_ino
-                 for f in _os.listdir(v0_dir) if f.endswith(".parquet")}
-    shared = sum(1 for f in _os.listdir(v1_dir)
-                 if f.endswith(".parquet")
-                 and _os.stat(_os.path.join(v1_dir, f)).st_ino in v0_inodes)
+    fm1 = store._version_filemap("t", {"v": v1, "path": v1_dir})
+    shared = sum(1 for vp in fm1.values() if vp == v0)
     assert shared == rep["files_linked"] > 0
+    assert sum(1 for f in _os.listdir(v1_dir) if f.endswith(".parquet")) == rep[
+        "rewrite_output_files"
+    ]
 
     # all-new-keys batch: pure append — every old file links through
     fresh = spark.createDataFrame(
@@ -3058,7 +3060,8 @@ def test_delete_where_nan_layout_independent(spark, tmp_path):
 
 def test_delete_where_links_untouched_files(spark, tmp_path):
     """On a range-clustered layout, a narrow range rewrite touches only
-    the overlapping files; the rest hard-link (shared inodes)."""
+    the overlapping files; the rest share by reference (manifest entries
+    against their physical version — zero copies)."""
     import os as _os
 
     from taico_data_integration_spark.ops.incremental import TableStore
@@ -3071,14 +3074,13 @@ def test_delete_where_links_untouched_files(spark, tmp_path):
     v1, rep = store.delete_where("t", "k", lo=100, hi=200)
     assert rep["rows_deleted"] == 101
     assert 0 < rep["files_rewritten"] < rep["files_total"]
-    d0 = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
     d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
-    i0 = {_os.stat(_os.path.join(d0, f)).st_ino
-          for f in _os.listdir(d0) if f.endswith(".parquet")}
-    shared = sum(1 for f in _os.listdir(d1)
-                 if f.endswith(".parquet")
-                 and _os.stat(_os.path.join(d1, f)).st_ino in i0)
+    fm1 = store._version_filemap("t", {"v": v1, "path": d1})
+    shared = sum(1 for vp in fm1.values() if vp == v0)
     assert shared == rep["files_linked"] > 0
+    assert sum(1 for f in _os.listdir(d1) if f.endswith(".parquet")) == rep[
+        "rewrite_output_files"
+    ]
 
 
 def test_delete_in_composite_key(spark, tmp_path):
@@ -3160,24 +3162,20 @@ def test_merge_in_composite_key_and_partitioned(spark, tmp_path):
     # updated rows are readable under their own partition dir (partition
     # pruning still applies to the rewritten files)
     assert got.where((F.col("tenant") == 1) & (F.col("val") < 0)).count() == 15
-    # inode sharing across partition prefixes
+    # reference sharing across partition prefixes: untouched files keep
+    # their exact partition-prefixed rel and point at v0 physically
     d0 = _os.path.join(str(tmp_path), "t", f"v{v0:04d}")
     d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
-
-    def _inodes(root):
-        acc = {}
-        for dp, _dirs, files in _os.walk(root):
-            for f in files:
-                if f.endswith(".parquet"):
-                    p = _os.path.join(dp, f)
-                    acc[_os.stat(p).st_ino] = _os.path.relpath(p, root)
-        return acc
-
-    i0, i1 = _inodes(d0), _inodes(d1)
-    shared = set(i0) & set(i1)
+    fm0 = store._version_filemap("t", {"v": v0, "path": d0})
+    fm1 = store._version_filemap("t", {"v": v1, "path": d1})
+    shared = {rel for rel, vp in fm1.items() if vp == v0}
     assert len(shared) == rep["files_linked"] > 0
-    # a linked file keeps its partition prefix AND its exact relative path
-    assert all(i1[i] == i0[i] and _os.sep in i1[i] for i in shared)
+    # a referenced file keeps its partition prefix AND its exact relative
+    # path, and the physical file exists where the reference points
+    assert all(
+        rel in fm0 and _os.sep in rel and _os.path.exists(_os.path.join(d0, rel))
+        for rel in shared
+    )
 
 
 def test_delete_where_partitioned_layout(spark, tmp_path):
@@ -3561,3 +3559,139 @@ def test_bloom_concurrent_column_builds_both_land(spark, tmp_path):
     TableStore(spark, str(tmp_path)).collect_file_blooms("t", ["a", "k"])
     rec_after = TableStore._bloom_load(bp, "a")
     assert rec_after["files"] == rec_before["files"]
+
+
+def test_cow_all_dropped_version_stays_readable(spark, tmp_path):
+    """ADVICE r9 (medium): a delete that dooms EVERY row used to publish
+    a version holding only _SUCCESS — unreadable ('unable to infer
+    schema'). The manifest now records the schema, so the empty version
+    reads as an empty DataFrame with the right columns, and later
+    mutations keep working."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    v1, rep = store.delete_where("t", "k", lo=0, hi=10**9)
+    got = store.read("t")
+    assert got.count() == 0
+    assert got.columns == ["k", "v"]
+    assert [f.dataType.simpleString() for f in got.schema.fields] == ["bigint", "double"]
+    # the empty version behaves: merge inserts into it, stats aggregate
+    up = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    store.merge_in("t", up, "k")
+    assert store.read("t").count() == 1
+    # same through delete_in's metadata-only path on a partitioned layout
+    pdf = spark.range(0, 300).selectExpr("CAST(id % 2 AS INT) AS tenant", "id AS k")
+    store.write("p", pdf, partition_by=["tenant"])
+    store.delete_where("p", "tenant", lo=0, hi=1)
+    assert store.read("p").count() == 0
+    assert set(store.read("p").columns) == {"k", "tenant"}
+
+
+def test_vacuum_reference_counting_and_tombstones(spark, tmp_path):
+    """Share-by-reference vacuum (round 10): removing a version another
+    live version still references TOMBSTONES it — it leaves history()
+    but its referenced physical files survive until the last referencing
+    version is vacuumed; unreferenced files reclaim immediately; the
+    orphan sweep never mistakes a tombstone for a crashed writer's
+    residue."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 30_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=10)  # v1: 10 files
+    v1 = store._read_meta("t")["current"]
+    store.delete_in("t", "k", [3])  # v2: 9 refs -> v1 + 1 rewrite
+    v2 = store._read_meta("t")["current"]
+    n2 = store.read("t").count()
+
+    removed = store.vacuum("t", keep_latest=1)
+    assert v1 in removed and 0 in removed
+    d0 = _os.path.join(str(tmp_path), "t", "v0000")
+    d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+    # v0: nothing references it -> fully reclaimed; v1: referenced -> tombstone
+    assert not _os.path.exists(d0)
+    assert _os.path.exists(_os.path.join(d1, "_VACUUMED"))
+    assert not _os.path.exists(_os.path.join(d1, "_SUCCESS"))
+    # history no longer lists v1, pinned read raises the documented error
+    assert [e["v"] for e in store.history("t")] == [v2]
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read("t", version=v1)
+    # the current version still reads completely through its references
+    assert store.read("t").count() == n2
+    # the rewritten file of v1 was NOT referenced by v2 -> reclaimed;
+    # the 9 referenced files survive
+    live = [
+        f for _dp, _dirs, fs in _os.walk(d1) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(live) == 9
+    # a later vacuum (after compact rewrites everything physical)
+    # reclaims the tombstone directory entirely
+    store.compact("t")
+    store.vacuum("t", keep_latest=1)
+    assert not _os.path.exists(d1)
+    assert store.read("t").count() == n2
+
+
+def test_cow_reference_chains_stay_depth_one(spark, tmp_path):
+    """References always point at the PHYSICAL holder: stacking many COW
+    mutations never builds ref->ref chains — every manifest entry's
+    version directory physically contains the file."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    for key in (5, 1005, 2005, 3005, 4005):
+        store.merge_in(
+            "t",
+            spark.createDataFrame([(key, -1.0)], "k bigint, v double"),
+            "k",
+        )
+    meta = store._read_meta("t")
+    entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+    fm = store._version_filemap("t", entry)
+    assert len({vp for vp in fm.values()}) > 2  # genuinely chained history
+    for rel, vp in fm.items():
+        p = _os.path.join(str(tmp_path), "t", f"v{vp:04d}", rel)
+        assert _os.path.exists(p), f"ref ({rel}, v{vp}) is not physical"
+    # and the table still equals the logical result
+    assert store.read("t").where("v = -1.0").count() == 5
+    assert store.read("t").count() == 20_000
+
+
+def test_legacy_store_without_manifests_still_works(spark, tmp_path):
+    """A pre-r10 store (version dirs with no _MANIFEST.json, _meta.json
+    pointer) reads transparently, and the FIRST COW mutation on top of
+    it produces a manifest version whose references point into the
+    legacy directory."""
+    import json as _json
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    # build the legacy layout by hand: Spark writes the parquet + marker,
+    # the pointer is a bare _meta.json
+    tdir = tmp_path / "t"
+    df = spark.range(0, 10_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df.repartition(4).write.parquet(str(tdir / "v0000"))
+    (tdir / "_meta.json").write_text(_json.dumps({"current": 0, "txns": {}}))
+
+    store = TableStore(spark, str(tmp_path))
+    assert store.read("t").count() == 10_000
+    v1, rep = store.delete_in("t", "k", [7])
+    assert rep["rows_deleted"] == 1 and rep["files_linked"] >= 1
+    fm = store._version_filemap(
+        "t", {"v": v1, "path": str(tdir / f"v{v1:04d}")}
+    )
+    assert sum(1 for vp in fm.values() if vp == 0) == rep["files_linked"]
+    assert store.read("t").count() == 9_999
+    # legacy version itself has no manifest and still reads
+    assert store.read("t", version=0).count() == 10_000

@@ -559,15 +559,11 @@ def test_stream_merge_cow_fast_path(spark, tmp_path):
     got = store.read("m")
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
-    # the COW batch hard-linked at least one of v0's files
-    d0 = _os.path.join(str(tmp_path / "store"), "m", f"v{v0:04d}")
+    # the COW batch shared at least one of v0's files by reference
+    # (round 10: the manifest lists it against v0 — no link, no copy)
     d1 = _os.path.join(str(tmp_path / "store"), "m", f"v{v1:04d}")
-    i0 = {_os.stat(_os.path.join(d0, f)).st_ino
-          for f in _os.listdir(d0) if f.endswith(".parquet")}
-    assert any(
-        _os.stat(_os.path.join(d1, f)).st_ino in i0
-        for f in _os.listdir(d1) if f.endswith(".parquet")
-    )
+    fm1 = store._version_filemap("m", {"v": v1, "path": d1})
+    assert any(vp == v0 for vp in fm1.values())
 
     # exactly-once: full redelivery from a fresh checkpoint commits nothing
     n_versions = len(store.history("m"))

@@ -16,7 +16,15 @@ each), then times:
                the fast paths are supposed to beat.
 
 Usage: python tools/cow_partitioned_probe.py [sf10_dir] [store_dir]
-Defaults: /tmp/taico_sf10  /tmp/taico_cowp_store (reused if present).
+       python tools/cow_partitioned_probe.py --condput [sf10_dir] [store_dir]
+Defaults: /tmp/taico_sf10  /tmp/taico_cowp_store (reused if present;
+condput mode defaults to /tmp/taico_cowp_condput).
+``--condput`` runs the SAME lifecycle through ConditionalPutCommit on
+the local emulated object backend (VERDICT r9 #7) and reports the
+object-store REQUEST/BYTE accounting per mutation — with round-10
+share-by-reference manifests a COW commit copies only its rewrite
+outputs, so the parquet_copies column is the proof that commit cost is
+O(changed files) in requests, not just bytes.
 Run alone — concurrent load inflates every number.
 """
 
@@ -33,15 +41,74 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from taico_data_integration_spark.ops.incremental import TableStore, merge_upsert  # noqa: E402
+from taico_data_integration_spark.ops.storage_commit import (  # noqa: E402
+    ConditionalPutCommit,
+    LocalEmulatedBackend,
+)
 from taico_data_integration_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/taico_sf10"
-STORE = sys.argv[2] if len(sys.argv) > 2 else "/tmp/taico_cowp_store"
+ARGS = [a for a in sys.argv[1:] if a != "--condput"]
+CONDPUT = "--condput" in sys.argv[1:]
+SF_DIR = ARGS[0] if len(ARGS) > 0 else "/tmp/taico_sf10"
+STORE = ARGS[1] if len(ARGS) > 1 else (
+    "/tmp/taico_cowp_condput" if CONDPUT else "/tmp/taico_cowp_store"
+)
+
+
+class _CountingBackend(LocalEmulatedBackend):
+    """Counts object-store requests/bytes per mutation window."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.copies = 0
+        self.copy_bytes = 0
+        self.parquet_copies = 0
+        self.puts = 0
+
+    def snapshot(self) -> dict:
+        return {
+            "copies": self.copies,
+            "parquet_copies": self.parquet_copies,
+            "copy_mb": round(self.copy_bytes / 1e6, 1),
+            "puts": self.puts,
+        }
+
+    def copy(self, src, dst):
+        self.copies += 1
+        try:
+            self.copy_bytes += os.path.getsize(src)
+        except OSError:
+            pass
+        if src.endswith(".parquet"):
+            self.parquet_copies += 1
+        super().copy(src, dst)
+
+    def put(self, key, data):
+        self.puts += 1
+        super().put(key, data)
+
+    def put_if_absent(self, key, data=b""):
+        self.puts += 1
+        return super().put_if_absent(key, data)
 
 
 def main() -> None:
     spark = get_spark()
-    store = TableStore(spark, STORE)
+    backend = _CountingBackend() if CONDPUT else None
+    store = TableStore(
+        spark,
+        STORE,
+        commit=ConditionalPutCommit(backend) if CONDPUT else None,
+    )
+
+    def io_snapshot() -> dict:
+        if backend is None:
+            return {}
+        snap = backend.snapshot()
+        backend.reset()
+        return {"io": snap}
     t0 = time.time()
     if not store.exists("li"):
         li = (
@@ -56,6 +123,8 @@ def main() -> None:
         )
         store.write("li", li.repartitionByRange(4, "l_orderkey"), partition_by=["tenant"])
         print(f"load: {time.time() - t0:.1f}s")
+    if backend is not None:
+        backend.reset()
     n = store.read("li").count()
     stats = store.collect_file_stats("li", ["l_orderkey", "tenant"])
     print(f"rows {n}, files {len(stats['files'])}")
@@ -68,6 +137,7 @@ def main() -> None:
     dt = time.time() - t0
     results["tenant_delete_where"] = {
         "secs": round(dt, 2),
+        **io_snapshot(),
         "files_rewritten": rep["files_rewritten"],
         "files_linked": rep["files_linked"],
         "rows_deleted": rep["rows_deleted"],
@@ -90,6 +160,7 @@ def main() -> None:
     dt = time.time() - t0
     results["key_delete_in_10"] = {
         "secs": round(dt, 2),
+        **io_snapshot(),
         "files_rewritten": rep["files_rewritten"],
         "files_linked": rep["files_linked"],
         "rows_deleted": rep["rows_deleted"],
@@ -116,6 +187,7 @@ def main() -> None:
     dt = time.time() - t0
     results["composite_merge_100"] = {
         "secs": round(dt, 2),
+        **io_snapshot(),
         "files_rewritten": rep["files_rewritten"],
         "files_linked": rep["files_linked"],
         "rows_replaced": rep["rows_replaced"],
@@ -128,7 +200,7 @@ def main() -> None:
     cleaned = store.read("li").where(~F.col("l_orderkey").isin(keys))
     store.write("li_full", cleaned, partition_by=["tenant"])
     dt = time.time() - t0
-    results["full_rewrite_baseline"] = {"secs": round(dt, 2)}
+    results["full_rewrite_baseline"] = {"secs": round(dt, 2), **io_snapshot()}
     print(f"full: {dt:.2f}s")
     shutil.rmtree(os.path.join(STORE, "li_full"), ignore_errors=True)
 
