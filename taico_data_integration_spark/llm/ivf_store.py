@@ -1,0 +1,225 @@
+"""Version-pinned, incrementally-maintained persisted IVF index
+(VERDICT r9 #6).
+
+The build-once/probe-many IVF pipeline (:func:`.similarity.ivf_index` /
+:func:`.similarity.ivf_search`) is only sound while the corpus it was
+built from does not change: a ``merge_in`` / ``delete_in`` on the
+underlying vectors silently stales the index, and a stale index serves
+WRONG neighbors without any error. This module closes that hole:
+
+- :func:`build` persists the index into a :class:`TableStore` table
+  partitioned by ``list_id`` AND records a metadata sidecar — the
+  centroids plus the corpus table's CURRENT VERSION the index was built
+  from (the pin).
+- :func:`probe` REFUSES (:class:`IvfStaleIndexError`) whenever the
+  corpus's current version differs from the pin — a mutated corpus can
+  never serve a stale index silently.
+- :func:`append` is the incremental maintenance path: vectors added
+  since the pin are assigned to the EXISTING centroids and merged into
+  the index as a pure insert (``merge_in`` — with share-by-reference
+  manifests every untouched index file is referenced, so the append
+  costs O(new vectors), not a rebuild), then the pin advances. Appends
+  require the corpus change to actually BE an append: a deleted id, or
+  (with ``verify_unchanged``) an id whose embedding changed, raises
+  :class:`IvfStaleIndexError` telling the caller to rebuild — assigning
+  only the new vectors would leave deleted neighbors in the index and
+  updated vectors under their old coordinates.
+
+Scale shape: the pin check is one pointer read (O(1)); append's
+new-vector detection is an anti-join on the id column (shuffle on ids,
+same class as the index build's own join); ``verify_unchanged`` adds one
+corpus∧index equi-join comparing stored vs current vectors — O(corpus)
+compute but zero rewrite, paid per APPEND, never per probe.
+
+Reference parity note: the reference has no ANN index maintenance story
+(no ANN at all — this suite is the beyond-reference LLM-pipeline
+surface); the contract here mirrors FAISS's add()-only IndexIVF plus an
+explicit staleness error instead of silent drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import ivf_assign, ivf_index, ivf_search, with_norm
+
+__all__ = ["IvfStaleIndexError", "build", "append", "probe", "pin_info"]
+
+
+class IvfStaleIndexError(RuntimeError):
+    """The corpus changed in a way the persisted index does not cover:
+    probe on a moved pin, or append over deletions/updates. Rebuild (or
+    append, when the message says the change is append-shaped)."""
+
+
+def _meta_path(store, index_table: str) -> str:
+    return os.path.join(store.root, index_table, "_ivf.json")
+
+
+def pin_info(store, index_table: str) -> dict:
+    """The recorded metadata: corpus_table, corpus_version (the pin),
+    centroids, n_lists, id_col, vec_col."""
+    with open(_meta_path(store, index_table)) as f:
+        rec = json.load(f)
+    rec["centroids"] = [(int(c), [float(x) for x in v]) for c, v in rec["centroids"]]
+    return rec
+
+
+def _write_pin(store, index_table: str, rec: dict) -> None:
+    store.commit.put_object(
+        _meta_path(store, index_table), json.dumps(rec).encode()
+    )
+
+
+def build(
+    store,
+    corpus_table: str,
+    index_table: str,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 0,
+) -> dict:
+    """Build the IVF index over ``store.read(corpus_table)``'s CURRENT
+    version, persist it partitioned by ``list_id``, and pin that corpus
+    version in the metadata sidecar. Returns the recorded metadata."""
+    corpus_version = store._read_meta(corpus_table)["current"]
+    corpus = store.read(corpus_table, version=corpus_version)
+    index, centroids = ivf_index(
+        corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col,
+        refine_iterations=refine_iterations,
+    )
+    store.write(index_table, index, partition_by=["list_id"])
+    rec = {
+        "corpus_table": corpus_table,
+        "corpus_version": corpus_version,
+        "n_lists": n_lists,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": centroids,
+    }
+    _write_pin(store, index_table, rec)
+    return rec
+
+
+def _new_and_missing(
+    corpus: DataFrame, index: DataFrame, id_col: str
+) -> tuple[DataFrame, int]:
+    """(corpus rows whose id is not yet indexed, count of indexed ids no
+    longer in the corpus)."""
+    idx_ids = index.select(F.col("neighbor_id").alias(id_col)).distinct()
+    new_rows = corpus.join(idx_ids, on=id_col, how="left_anti")
+    missing = idx_ids.join(
+        corpus.select(id_col).distinct(), on=id_col, how="left_anti"
+    ).count()
+    return new_rows, missing
+
+
+def append(
+    store,
+    index_table: str,
+    verify_unchanged: bool = True,
+    max_keys: int = 10_000,
+) -> dict:
+    """Advance the index over an APPEND-shaped corpus change: assign the
+    new vectors to the pinned centroids, merge them into the index (pure
+    insert — untouched index files share by reference), re-pin. Raises
+    :class:`IvfStaleIndexError` when the change is not an append
+    (deleted ids; with ``verify_unchanged``, changed embeddings)."""
+    rec = pin_info(store, index_table)
+    corpus_table, id_col, vec_col = (
+        rec["corpus_table"], rec["id_col"], rec["vec_col"],
+    )
+    current = store._read_meta(corpus_table)["current"]
+    if current == rec["corpus_version"]:
+        return rec  # nothing to do; pin already current
+    corpus = store.read(corpus_table)
+    index = store.read(index_table)
+    new_rows, n_missing = _new_and_missing(corpus, index, id_col)
+    if n_missing:
+        raise IvfStaleIndexError(
+            f"{index_table}: {n_missing} indexed ids no longer exist in "
+            f"{corpus_table} — the change is not an append; rebuild the index"
+        )
+    if verify_unchanged:
+        changed = (
+            with_norm(corpus, vec_col)
+            .select(F.col(id_col).alias("neighbor_id"), F.col("__vec_d").alias("__now"))
+            .join(index.select("neighbor_id", "c_vec"), "neighbor_id")
+            .where(F.col("__now") != F.col("c_vec"))
+            .count()
+        )
+        if changed:
+            raise IvfStaleIndexError(
+                f"{index_table}: {changed} indexed vectors' embeddings "
+                f"changed in {corpus_table} — rebuild the index"
+            )
+    assigned = ivf_assign(
+        new_rows, rec["centroids"], id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    additions = (
+        with_norm(new_rows, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__vec_d").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+        .join(
+            assigned.select(F.col(id_col).alias("neighbor_id"), "list_id"),
+            "neighbor_id",
+        )
+    )
+    n_new = additions.count()
+    if n_new:
+        if n_new <= max_keys:
+            store.merge_in(index_table, additions, "neighbor_id", max_keys=max_keys)
+        else:  # oversized batch: the documented full-merge fallback
+            from ..ops.incremental import merge_upsert
+
+            store.write(
+                index_table,
+                merge_upsert(index, additions, ["neighbor_id"]),
+                partition_by=["list_id"],
+            )
+    rec["corpus_version"] = current
+    _write_pin(store, index_table, rec)
+    rec["appended"] = n_new
+    return rec
+
+
+def probe(
+    store,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Serve top-k from the persisted index — after proving the pin is
+    current. A corpus mutated since build/append raises
+    :class:`IvfStaleIndexError` instead of silently serving stale
+    neighbors."""
+    rec = pin_info(store, index_table)
+    current = store._read_meta(rec["corpus_table"])["current"]
+    if current != rec["corpus_version"]:
+        raise IvfStaleIndexError(
+            f"{index_table} was built from {rec['corpus_table']} "
+            f"v{rec['corpus_version']} but v{current} is now current — "
+            "append() (append-shaped changes) or rebuild before serving"
+        )
+    index = store.read(index_table)
+    q_lists = sorted(
+        r.list_id
+        for r in ivf_assign(
+            queries, rec["centroids"], id_col=rec["id_col"],
+            vec_col=rec["vec_col"], nprobe=nprobe,
+        ).select("list_id").distinct().collect()
+    )
+    pruned = index.where(F.col("list_id").isin(q_lists))
+    return ivf_search(
+        pruned, rec["centroids"], queries, k=k, nprobe=nprobe,
+        id_col=rec["id_col"], vec_col=rec["vec_col"],
+    )

@@ -717,6 +717,62 @@ QUALIFY rank <= 5
 """
 
 
+def ann_topk_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-pinned IVF index maintenance (round 10, VERDICT r9 #6):
+    the index is built over the FIRST HALF of the corpus and pinned to
+    that table version; merging the second half makes a probe REFUSE
+    (IvfStaleIndexError — a mutated corpus can never serve a stale index
+    silently, asserted in-entry); ``append()`` assigns only the new
+    vectors to the existing centroids, merges them as a pure insert
+    (share-by-reference: untouched index files are referenced, cost
+    O(new)), re-pins, and the post-append probe equals a FRESH full
+    build bit-for-bit (asserted in-entry; the first-half split keeps the
+    deterministic first-``n_lists``-ids quantizer identical, so the same
+    full-corpus DuckDB oracle grades the result)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm import ivf_store
+    from ..ops.incremental import TableStore
+
+    e = T(spark, sf_dir, "embeddings")
+    max_id = e.agg(F.max("vec_id")).first()[0]
+    first = e.where(F.col("vec_id") <= max_id // 2)
+    rest = e.where(F.col("vec_id") > max_id // 2)
+    queries = e.where(F.col("vec_id") < 10)
+    work = tempfile.mkdtemp(prefix="taico_ivf_append_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("corpus", first)
+        ivf_store.build(store, "corpus", "idx", n_lists=8)
+        store.merge_in("corpus", rest, "vec_id")
+        try:
+            ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+        except ivf_store.IvfStaleIndexError:
+            pass
+        else:
+            raise RuntimeError(
+                "ann_topk_ivf_append: probe served a STALE index silently"
+            )
+        rep = ivf_store.append(store, "idx")
+        if rep["appended"] != rest.count():
+            raise RuntimeError(
+                f"ann_topk_ivf_append: appended {rep['appended']} != "
+                f"{rest.count()} new vectors"
+            )
+        got = ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+        out = got.localCheckpoint()
+        fresh = cosine_topk_ivf(store.read("corpus"), queries, k=5, n_lists=8, nprobe=2)
+        if out.exceptAll(fresh).count() or fresh.exceptAll(out).count():
+            raise RuntimeError(
+                "ann_topk_ivf_append: appended index diverged from a fresh build"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space incremental probe: the semantic twin of
 # dedup_incremental_lsh. The IVF index (quantizer + list assignments) is
@@ -1343,6 +1399,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_indexed": ann_topk_ivf_indexed,
+    "ann_topk_ivf_append": ann_topk_ivf_append,
     "semantic_incremental_probe": semantic_incremental_probe,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "token_frequency": token_frequency,
@@ -1395,6 +1452,7 @@ ORACLE = {
     "ann_quantized_calibration": ANN_QUANT_SQL,
     "ann_topk_ivf": ANN_IVF_SQL,
     "ann_topk_ivf_indexed": ANN_IVF_SQL,
+    "ann_topk_ivf_append": ANN_IVF_SQL,
     "semantic_incremental_probe": SEMANTIC_INCREMENTAL_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
 }

@@ -1011,3 +1011,58 @@ def test_ivf_index_persist_probe_equals_single_call(spark, tmp_path):
     from_store = ivf_search(pruned, centroids, queries, k=5, nprobe=2)
     assert from_store.exceptAll(direct).count() == 0
     assert direct.exceptAll(from_store).count() == 0
+
+
+def test_ivf_store_version_pin_append_and_staleness(spark, tmp_path):
+    """VERDICT r9 #6: the persisted IVF index is version-pinned to the
+    corpus it was built from. A mutated corpus cannot serve silently
+    (probe raises); an append-shaped change advances via append() with
+    probe-parity against a fresh full build; deletions and in-place
+    embedding updates refuse the append path (rebuild required)."""
+    import pytest as _pt
+
+    from taico_data_integration_spark.llm import ivf_store
+    from taico_data_integration_spark.llm.similarity import cosine_topk_ivf
+    from taico_data_integration_spark.llm.synth import synth_embeddings
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    full = synth_embeddings(spark, 600, n_clusters=12).localCheckpoint()
+    first = full.where(F.col("vec_id") < 400)
+    rest = full.where(F.col("vec_id") >= 400)
+    queries = full.where(F.col("vec_id") < 8).localCheckpoint()
+
+    store.write("corpus", first)
+    rec = ivf_store.build(store, "corpus", "idx", n_lists=8)
+    assert rec["corpus_version"] == 0
+    r0 = ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+    assert r0.count() > 0
+
+    # corpus mutates -> probe must refuse, not serve stale neighbors
+    store.merge_in("corpus", rest.limit(50), "vec_id")
+    with _pt.raises(ivf_store.IvfStaleIndexError, match="now current"):
+        ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+
+    # append-shaped change: append() re-pins and the probe equals a
+    # FRESH full build (same deterministic centroids: first n_lists ids)
+    store.merge_in("corpus", rest, "vec_id")
+    out = ivf_store.append(store, "idx")
+    assert out["appended"] == 200
+    got = ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+    fresh = cosine_topk_ivf(store.read("corpus"), queries, k=5, n_lists=8, nprobe=2)
+    assert got.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(got).count() == 0
+
+    # deletion is NOT append-shaped: loud refusal
+    store.delete_in("corpus", "vec_id", [450])
+    with _pt.raises(ivf_store.IvfStaleIndexError, match="not an append"):
+        ivf_store.append(store, "idx")
+
+    # in-place embedding update: verify_unchanged catches it
+    ivf_store.build(store, "corpus", "idx2", n_lists=8)
+    mutated = store.read("corpus").where("vec_id = 100").withColumn(
+        "embedding", F.expr("transform(embedding, x -> x + CAST(1.0 AS FLOAT))")
+    )
+    store.merge_in("corpus", mutated, "vec_id")
+    with _pt.raises(ivf_store.IvfStaleIndexError, match="changed"):
+        ivf_store.append(store, "idx2")
