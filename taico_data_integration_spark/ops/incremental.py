@@ -309,14 +309,16 @@ class TableStore(TableFormat):
         version log; only the current pointer is stored."""
         tdir = os.path.join(self.root, table)
         versions = []
-        if os.path.isdir(tdir):
-            for name in sorted(os.listdir(tdir)):
-                m = re.fullmatch(r"v(\d{4,})", name)
-                p = os.path.join(tdir, name)
-                if m and os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
-                    versions.append(
-                        {"v": int(m.group(1)), "path": p, "ts": os.path.getmtime(p)}
-                    )
+        for name in self.commit.io_list_dir(tdir):
+            m = re.fullmatch(r"v(\d{4,})", name)
+            p = os.path.join(tdir, name)
+            if m and self.commit.io_exists(os.path.join(p, "_SUCCESS")):
+                # commit time: the dir mtime where dirs exist (POSIX),
+                # else the marker object's own mtime (object stores)
+                ts = self.commit.io_mtime(p)
+                if ts is None:
+                    ts = self.commit.io_mtime(os.path.join(p, "_SUCCESS")) or 0.0
+                versions.append({"v": int(m.group(1)), "path": p, "ts": ts})
         rec = self.commit.read_pointer(tdir)
         current = rec.get("current") if rec else None
         return {"current": current, "versions": versions}
@@ -361,11 +363,8 @@ class TableStore(TableFormat):
             self._manifest_mem.move_to_end(key)
             return man if man else None
         mp = os.path.join(entry["path"], self._MANIFEST_NAME)
-        try:
-            with open(mp) as f:
-                man = json.load(f)
-        except FileNotFoundError:
-            man = {}
+        raw = self.commit.io_get(mp)
+        man = json.loads(raw) if raw is not None else {}
         self._manifest_mem[key] = man
         while len(self._manifest_mem) > self._MANIFEST_MEM_MAX:
             self._manifest_mem.popitem(last=False)
@@ -413,6 +412,33 @@ class TableStore(TableFormat):
             return StructType.fromJson(json.loads(man["schema"]))
         raise ValueError(
             f"version {entry['v']} of {table} has no files and no recorded schema"
+        )
+
+    def _verified_direct_rels(self, final: str, expected_rows: int) -> list[str]:
+        """Enumerate a direct-publish job's own freshly-written files and
+        PROVE the listing complete before it becomes the commit manifest:
+        the per-footer row counts must sum to the rows the write job
+        itself observed (an Observation riding the job). A stale/torn
+        listing that dropped a file would under-count and abort the
+        commit instead of silently losing rows; a dropped EMPTY file
+        cannot under-count, and losing one loses nothing. O(files)
+        footer metadata reads, zero data movement."""
+        import pyarrow.parquet as pq
+
+        last = (0, 0)
+        for _ in range(3):
+            rels = self.commit.list_data_files(final)
+            total = 0
+            for rel in rels:
+                with self.commit.io_open_input(os.path.join(final, rel)) as _fh:
+                    total += pq.read_metadata(_fh).num_rows
+            if total == expected_rows:
+                return rels
+            last = (len(rels), total)  # stale listing: retry
+        raise RuntimeError(
+            f"direct publish at {final}: listed {last[0]} files holding "
+            f"{last[1]} rows but the write job observed {expected_rows} — "
+            "stale listing; aborting commit"
         )
 
     def _read_rels(
@@ -472,7 +498,7 @@ class TableStore(TableFormat):
         vacuum sweeps it) and the caller retries against the new
         current."""
         tdir = os.path.join(self.root, table)
-        os.makedirs(tdir, exist_ok=True)
+        self.commit.io_mkdirs(tdir)
 
         def mutate(prev: dict | None) -> dict:
             if expect_base is not None:
@@ -499,12 +525,14 @@ class TableStore(TableFormat):
         otherwise re-propose the same stale max forever)."""
         tdir = os.path.join(self.root, table)
         claims = os.path.join(tdir, "_claims")
-        os.makedirs(claims, exist_ok=True)
         floor = 0
         for _ in range(256):
             taken = [
                 int(m.group(1))
-                for m in (re.fullmatch(r"v(\d{4,})", n) for n in os.listdir(claims))
+                for m in (
+                    re.fullmatch(r"v(\d{4,})", n)
+                    for n in self.commit.io_list_dir(claims)
+                )
                 if m
             ] + [e["v"] for e in self._read_meta(table)["versions"]]
             version = max(max(taken) + 1 if taken else 0, floor)
@@ -545,53 +573,94 @@ class TableStore(TableFormat):
                     for name, expr in cons.items()
                 ],
             )
+        direct = getattr(self.commit, "supports_direct_publish", False)
+        row_obs = None
+        if direct:
+            # the Observation row count is what PROVES the post-job
+            # listing complete before it becomes the commit manifest
+            from pyspark.sql import Observation
+
+            row_obs = Observation(f"rows_{table}_{time.time_ns()}")
+            df = df.observe(row_obs, F.count(F.lit(1)).alias("n"))
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         # stage under a dot-name the vNNNN regex can never match: the
         # version becomes visible only via the atomic rename AFTER
         # validation, so a constraint-violating write is never observable —
         # not even transiently — in history(); a writer killed mid-write
-        # leaves only an invisible staging dir that vacuum sweeps
+        # leaves only an invisible staging dir that vacuum sweeps. With a
+        # direct-publish commit impl (round 10, VERDICT r9 #4) Spark
+        # writes UNDER THE FINAL PREFIX instead — visibility is the
+        # marker object written LAST, so the un-markered dir is just as
+        # invisible, and the version's data moves ONCE instead of
+        # staging-then-copying; a killed writer leaves marker-less
+        # residue the age-gated vacuum sweeps.
         staging = os.path.join(self.root, table, f".stage-v{version:04d}")
+        target = path if direct else staging
         writer = df.write.mode("overwrite")
+        if direct:
+            # Spark's own empty _SUCCESS would make the version look
+            # committed before validation + manifest — suppress it; the
+            # manifest-carrying marker is written by commit_direct below
+            writer = writer.option(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+            )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-        if obs is not None:
-            bad = {k: v for k, v in obs.get.items() if v}
-            if bad:
-                import shutil
-
-                shutil.rmtree(staging, ignore_errors=True)
-                detail = ", ".join(f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad)
-                raise ValueError(f"constraint violation on {table}: {detail}")
-        # share-by-reference manifest: a full write owns every file it
-        # staged (all self-references). The recorded schema is in
-        # READ-BACK column order (partition columns last, declared types)
-        # — authoritative only for the empty-DataFrame case, where the
-        # declared type is the only truth there is
-        rels = []
-        for dirpath, _dirs, files in os.walk(staging):
-            for name in files:
-                if name.endswith(".parquet"):
-                    rels.append(
-                        os.path.relpath(os.path.join(dirpath, name), staging)
+        try:
+            writer.parquet(target)
+            if obs is not None:
+                bad = {k: v for k, v in obs.get.items() if v}
+                if bad:
+                    detail = ", ".join(
+                        f"{k} ({bad[k]} rows violate: {cons[k]})" for k in bad
                     )
-        pby = list(partition_by or [])
-        fields = [f for f in df.schema.fields if f.name not in pby] + [
-            df.schema[c] for c in pby if c in df.schema.names
-        ]
-        from pyspark.sql.types import StructType
+                    raise ValueError(f"constraint violation on {table}: {detail}")
+            # share-by-reference manifest: a full write owns every file it
+            # wrote (all self-references). The recorded schema is in
+            # READ-BACK column order (partition columns last, declared
+            # types) — authoritative only for the empty-DataFrame case,
+            # where the declared type is the only truth there is
+            if direct:
+                rels = self._verified_direct_rels(path, int(row_obs.get["n"]))
+            else:
+                rels = []
+                for dirpath, _dirs, files in os.walk(staging):
+                    for name in files:
+                        if name.endswith(".parquet"):
+                            rels.append(
+                                os.path.relpath(os.path.join(dirpath, name), staging)
+                            )
+            pby = list(partition_by or [])
+            fields = [f for f in df.schema.fields if f.name not in pby] + [
+                df.schema[c] for c in pby if c in df.schema.names
+            ]
+            from pyspark.sql.types import StructType
 
-        with open(os.path.join(staging, self._MANIFEST_NAME), "w") as f:
-            f.write(
-                self._manifest_record(
-                    [{"rel": r, "v": version} for r in rels],
-                    pby,
-                    StructType(fields).json(),
-                ).decode()
+            record = self._manifest_record(
+                [{"rel": r, "v": version} for r in rels],
+                pby,
+                StructType(fields).json(),
             )
-        self.commit.publish_dir(staging, path)
+            if direct:
+                self.commit.put_object(
+                    os.path.join(path, self._MANIFEST_NAME), record
+                )
+                self.commit.commit_direct(
+                    path, sorted(rels) + [self._MANIFEST_NAME]
+                )
+            else:
+                with open(os.path.join(staging, self._MANIFEST_NAME), "wb") as f:
+                    f.write(record)
+                self.commit.publish_dir(staging, path)
+        except BaseException:
+            import shutil
+
+            if direct:
+                self.commit.discard_dir(path)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+            raise
         self._write_pointer(table, version, txn=_txn, expect_base=_expect_base)
         return version
 
@@ -642,9 +711,9 @@ class TableStore(TableFormat):
             self.root, table, "_txns", f"{self._fs_safe_name(app_id)}.json"
         )
         legacy = self._legacy_safe_name(app_id)
-        if legacy is not None and not os.path.exists(path):
+        if legacy is not None and not self.commit.io_exists(path):
             lpath = os.path.join(self.root, table, "_txns", f"{legacy}.json")
-            if os.path.exists(lpath):
+            if self.commit.io_exists(lpath):
                 try:
                     self.commit.publish_file(lpath, path)
                 except OSError:
@@ -702,30 +771,28 @@ class TableStore(TableFormat):
             # filename; with both present, constraints() would read the
             # STALE one last (sorted order) — remove the legacy file now
             # that the update landed under the current name
-            try:
-                os.remove(os.path.join(cdir, f"{legacy}.json"))
-            except FileNotFoundError:
-                pass
+            self.commit.io_delete(os.path.join(cdir, f"{legacy}.json"))
 
     def drop_constraint(self, table: str, name: str) -> None:
         # remove the current image AND any pre-r8 legacy identity file
         # (ADVICE r8: digest-suffixed lookups left legacy names invisible)
         names = {self._fs_safe_name(name), self._legacy_safe_name(name)} - {None}
         for safe in names:
-            try:
-                os.remove(os.path.join(self._constraints_dir(table), f"{safe}.json"))
-            except FileNotFoundError:
-                pass  # dropping an absent constraint is a no-op
+            # dropping an absent constraint is a no-op (io_delete is
+            # idempotent)
+            self.commit.io_delete(
+                os.path.join(self._constraints_dir(table), f"{safe}.json")
+            )
 
     def constraints(self, table: str) -> dict:
         cdir = self._constraints_dir(table)
-        if not os.path.isdir(cdir):
-            return {}
         out = {}
-        for fname in sorted(os.listdir(cdir)):
+        for fname in self.commit.io_list_dir(cdir):
             if fname.endswith(".json") and not fname.startswith("."):
-                with open(os.path.join(cdir, fname)) as f:
-                    rec = json.load(f)
+                raw = self.commit.io_get(os.path.join(cdir, fname))
+                if raw is None:
+                    continue  # dropped between list and read
+                rec = json.loads(raw)
                 out[rec["name"]] = rec["expr"]
         return out
 
@@ -742,10 +809,9 @@ class TableStore(TableFormat):
         rec = self.commit.read_pointer(os.path.join(self.root, table))
         if rec is not None:
             best = rec.get("txns", {}).get(app_id)
-        sc = self._txn_sidecar(table, app_id)
-        if os.path.exists(sc):
-            with open(sc) as f:
-                side = json.load(f).get("batch_id")
+        raw = self.commit.io_get(self._txn_sidecar(table, app_id))
+        if raw is not None:
+            side = json.loads(raw).get("batch_id")
             if best is None or (side is not None and side > best):
                 best = side
         return best
@@ -888,14 +954,9 @@ class TableStore(TableFormat):
             self._manifest_mem.pop((table, v), None)
             for mp in (self._stats_path(table, v), self._bloom_path(table, v)):
                 # the bloom sidecar is a parquet DIRECTORY when built by the
-                # distributed writer, a single file for legacy manifests
-                if os.path.isdir(mp):
-                    shutil.rmtree(mp, ignore_errors=True)
-                else:
-                    try:
-                        os.remove(mp)
-                    except FileNotFoundError:
-                        pass
+                # distributed writer, a single file for legacy manifests —
+                # io_delete_tree handles both
+                self.commit.io_delete_tree(mp)
 
         for i, e in enumerate(versions):
             if e["v"] in keep:
@@ -916,20 +977,14 @@ class TableStore(TableFormat):
                 # (retried next vacuum); the other order would leave a
                 # marker-less dir the orphan sweep deletes, destroying
                 # files live versions still reference
-                open(os.path.join(e["path"], "_VACUUMED"), "w").close()
+                self.commit.put_object(os.path.join(e["path"], "_VACUUMED"), b"")
                 for name in ("_SUCCESS", self._MANIFEST_NAME):
-                    try:
-                        os.remove(os.path.join(e["path"], name))
-                    except FileNotFoundError:
-                        pass
+                    self.commit.io_delete(os.path.join(e["path"], name))
                 for rel in own:
                     if rel not in still_needed:
-                        try:
-                            os.remove(os.path.join(e["path"], rel))
-                        except FileNotFoundError:
-                            pass
+                        self.commit.io_delete(os.path.join(e["path"], rel))
             else:
-                shutil.rmtree(e["path"], ignore_errors=True)
+                self.commit.io_delete_tree(e["path"])
             removed.append(e["v"])
             _drop_sidecars(e["v"])
         # sweep tombstones whose last referencing version is gone, plus
@@ -939,41 +994,65 @@ class TableStore(TableFormat):
         # version numbers are never reused
         tdir = os.path.join(self.root, table)
         committed = {e["v"] for e in meta["versions"]}
-        for name in os.listdir(tdir):
+        for name in self.commit.io_list_dir(tdir):
             m = re.fullmatch(r"v(\d{4,})", name)
             p = os.path.join(tdir, name)
-            if m and os.path.isdir(p) and int(m.group(1)) not in committed:
-                if os.path.exists(os.path.join(p, "_VACUUMED")):
+            if m and int(m.group(1)) not in committed:
+                if self.commit.io_exists(os.path.join(p, "_VACUUMED")):
                     vnum = int(m.group(1))
                     live = []
-                    for dirpath, _dirs, names in os.walk(p):
-                        for fn in names:
-                            if not fn.endswith(".parquet"):
-                                continue
-                            rel = os.path.relpath(os.path.join(dirpath, fn), p)
-                            if (vnum, rel) in kept_refs:
-                                live.append(rel)
-                            else:
-                                try:
-                                    os.remove(os.path.join(dirpath, fn))
-                                except FileNotFoundError:
-                                    pass
+                    for fpath in self.commit.io_list_files(p):
+                        if not fpath.endswith(".parquet"):
+                            continue
+                        rel = os.path.relpath(fpath, p)
+                        if (vnum, rel) in kept_refs:
+                            live.append(rel)
+                        else:
+                            self.commit.io_delete(fpath)
                     if not live:
-                        shutil.rmtree(p, ignore_errors=True)
-                elif not os.path.exists(os.path.join(p, "_SUCCESS")):
-                    shutil.rmtree(p, ignore_errors=True)
-            elif name.startswith(".stage-v") and os.path.isdir(p):
+                        self.commit.io_delete_tree(p)
+                elif not self.commit.io_exists(os.path.join(p, "_SUCCESS")):
+                    # a marker-less version dir may be a LIVE direct-publish
+                    # writer's in-flight output (round 10) — sweep only past
+                    # stage_ttl_seconds, same discipline as .stage-v dirs;
+                    # age is the newest mtime of the dir or its immediate
+                    # children (Spark touches subdirs as it writes)
+                    ages = [
+                        t
+                        for t in (
+                            self.commit.io_mtime(p),
+                            *(
+                                self.commit.io_mtime(os.path.join(p, n))
+                                for n in self.commit.io_list_dir(p)
+                            ),
+                        )
+                        if t is not None
+                    ]
+                    if not ages:
+                        continue  # changed under us — it's live
+                    if time.time() - max(ages) > stage_ttl_seconds:
+                        self.commit.io_delete_tree(p)
+            elif name.startswith(".stage-v") and not m:
                 # NEVER sweep a live writer's staging dir (it may be between
                 # job completion and the validate+rename): only reap stages
                 # old enough that their writer is provably dead — the same
                 # retention-window discipline Delta's VACUUM applies to
                 # uncommitted files
-                try:
-                    age = time.time() - os.path.getmtime(p)
-                except OSError:
+                ages = [
+                    t
+                    for t in (
+                        self.commit.io_mtime(p),
+                        *(
+                            self.commit.io_mtime(os.path.join(p, n))
+                            for n in self.commit.io_list_dir(p)
+                        ),
+                    )
+                    if t is not None
+                ]
+                if not ages:
                     continue  # renamed/removed under us — it's live
-                if age > stage_ttl_seconds:
-                    shutil.rmtree(p, ignore_errors=True)
+                if time.time() - max(ages) > stage_ttl_seconds:
+                    self.commit.io_delete_tree(p)
         return removed
 
     def compact(
@@ -1190,10 +1269,8 @@ class TableStore(TableFormat):
         if entry is None:
             raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         sp = self._stats_path(table, v)
-        manifest: dict = {"files": {}}
-        if os.path.exists(sp):
-            with open(sp) as f:
-                manifest = json.load(f)
+        raw = self.commit.io_get(sp)
+        manifest: dict = json.loads(raw) if raw is not None else {"files": {}}
         changed = False
         # stats REUSE across shared files (round 10): a file referenced
         # from an earlier physical version has identical bytes, so its
@@ -1205,11 +1282,12 @@ class TableStore(TableFormat):
 
         def _foreign(vphys: int) -> dict:
             if vphys not in foreign_stats:
-                fsp = self._stats_path(table, vphys)
+                raw = self.commit.io_get(self._stats_path(table, vphys))
                 try:
-                    with open(fsp) as f:
-                        foreign_stats[vphys] = json.load(f).get("files", {})
-                except (FileNotFoundError, json.JSONDecodeError):
+                    foreign_stats[vphys] = (
+                        json.loads(raw).get("files", {}) if raw is not None else {}
+                    )
+                except json.JSONDecodeError:
                     foreign_stats[vphys] = {}
             return foreign_stats[vphys]
 
@@ -1230,7 +1308,8 @@ class TableStore(TableFormat):
                     if not missing:
                         continue
             path = os.path.join(self._version_dir(table, vphys), rel)
-            md = pq.read_metadata(path)
+            with self.commit.io_open_input(path) as _fh:
+                md = pq.read_metadata(_fh)
             rec["rows"] = md.num_rows
             # LEAF paths: a top-level primitive's path equals its name; a
             # nested leaf is "parent.child" and never matches a column name
@@ -1503,8 +1582,18 @@ class TableStore(TableFormat):
     def _bloom_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, "_bloom", f"v{version:04d}.parquet")
 
-    @staticmethod
-    def _bloom_cols(path: str) -> dict[str, tuple[int, int]]:
+    def _bloom_parts(self, path: str) -> list[str]:
+        """The sidecar's parquet part files, enumerated through the
+        commit seam (round 10 — the data plane never walks storage with
+        ``os`` directly): a single file for pre-r8 sidecars, the sorted
+        part list for the distributed writer's directory form."""
+        if self.commit.io_isfile(path):
+            return [path]
+        return [
+            p for p in self.commit.io_list_files(path) if p.endswith(".parquet")
+        ]
+
+    def _bloom_cols(self, path: str) -> dict[str, tuple[int, int]]:
         """{col: (m, k)} for every column present in the sidecar — reads
         ONLY the tiny col/m/k columns (the multi-MB ``bloom`` blobs stay on
         disk), so the existence/sizing check before a build or probe costs
@@ -1512,19 +1601,21 @@ class TableStore(TableFormat):
         distributed writer's parquet DIRECTORY and the pre-r8 single file."""
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["col", "m", "k"])
         out: dict[str, tuple[int, int]] = {}
         # FIRST-seen sizing wins, matching _bloom_load's survivor rule —
         # if a sizing race left mixed rows, the conflict check and the
-        # loader must agree on which sizing is the column's real one
-        for c, m, k in zip(
-            t["col"].to_pylist(), t["m"].to_pylist(), t["k"].to_pylist()
-        ):
-            out.setdefault(c, (m, k))
+        # loader must agree on which sizing is the column's real one;
+        # parts are visited in sorted order on both sides
+        for part in self._bloom_parts(path):
+            with self.commit.io_open_input(part) as fh:
+                t = pq.read_table(fh, columns=["col", "m", "k"])
+            for c, m, k in zip(
+                t["col"].to_pylist(), t["m"].to_pylist(), t["k"].to_pylist()
+            ):
+                out.setdefault(c, (m, k))
         return out
 
-    @staticmethod
-    def _bloom_load(path: str, col: str) -> dict | None:
+    def _bloom_load(self, path: str, col: str) -> dict | None:
         """One COLUMN's filter set from the sidecar: ``{"m", "k", "files":
         {rel: blob}}``, or None if the column was never indexed. The
         sidecar is columnar parquet, so the ``col = <col>`` filter prunes
@@ -1544,19 +1635,29 @@ class TableStore(TableFormat):
         conservatively."""
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, filters=[("col", "==", col)])
-        if t.num_rows == 0:
-            return None
-        m, k = t["m"][0].as_py(), t["k"][0].as_py()
-        rec: dict = {"m": m, "k": k, "files": {}}
-        for rel, rm, rk, blob in zip(
-            t["file"].to_pylist(),
-            t["m"].to_pylist(),
-            t["k"].to_pylist(),
-            t["bloom"].to_pylist(),
-        ):
-            if rm == m and rk == k and blob is not None and len(blob) == m // 8:
-                rec["files"][rel] = blob
+        rec: dict | None = None
+        for part in self._bloom_parts(path):
+            with self.commit.io_open_input(part) as fh:
+                pf = pq.ParquetFile(fh)
+                # cheap column-pruned probe: a part without this column's
+                # rows never materializes its multi-MB bloom blobs
+                if col not in set(pf.read(columns=["col"])["col"].to_pylist()):
+                    continue
+                t = pf.read(columns=["col", "file", "m", "k", "bloom"])
+            for c, rel, rm, rk, blob in zip(
+                t["col"].to_pylist(),
+                t["file"].to_pylist(),
+                t["m"].to_pylist(),
+                t["k"].to_pylist(),
+                t["bloom"].to_pylist(),
+            ):
+                if c != col:
+                    continue
+                if rec is None:
+                    rec = {"m": rm, "k": rk, "files": {}}
+                m, k = rec["m"], rec["k"]
+                if rm == m and rk == k and blob is not None and len(blob) == m // 8:
+                    rec["files"][rel] = blob
         return rec
 
     @staticmethod
@@ -1645,7 +1746,7 @@ class TableStore(TableFormat):
         if entry is None:
             raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
         bp = self._bloom_path(table, v)
-        existing = self._bloom_cols(bp) if os.path.exists(bp) else {}
+        existing = self._bloom_cols(bp) if self.commit.io_exists(bp) else {}
         for c, (m, k) in existing.items():
             if c in cols and (m != num_bits or k != num_hashes):
                 raise ValueError(
@@ -1735,7 +1836,7 @@ class TableStore(TableFormat):
             packed = words.groupBy("__file", "__col").applyInPandas(
                 _pack, schema="col string, file string, m long, k long, bloom binary"
             )
-            if os.path.isfile(bp):
+            if self.commit.io_isfile(bp):
                 # pre-r8 single-file sidecar: become the first part file of
                 # the directory form (pure renames — no data movement). Two
                 # processes racing the migration: the rename loser just
@@ -1743,7 +1844,7 @@ class TableStore(TableFormat):
                 legacy = f"{bp}.legacy-{os.getpid()}-{time.time_ns()}"
                 try:
                     self.commit.publish_file(bp, legacy)
-                    os.makedirs(bp, exist_ok=True)
+                    self.commit.io_mkdirs(bp)
                     self.commit.publish_file(legacy, os.path.join(bp, "part-legacy.parquet"))
                 except FileNotFoundError:
                     pass
@@ -1759,23 +1860,21 @@ class TableStore(TableFormat):
             build_dir = f"{bp}.build-{nonce}"
             try:
                 packed.write.mode("overwrite").parquet(build_dir)
-                os.makedirs(bp, exist_ok=True)
-                for name in sorted(os.listdir(build_dir)):
+                self.commit.io_mkdirs(bp)
+                for name in self.commit.io_list_dir(build_dir):
                     if name.endswith(".parquet"):
                         self.commit.publish_file(
                             os.path.join(build_dir, name),
                             os.path.join(bp, f"build-{nonce}-{name}"),
                         )
             finally:
-                import shutil
-
-                shutil.rmtree(build_dir, ignore_errors=True)
+                self.commit.io_delete_tree(build_dir)
 
         manifest: dict = {"cols": {}}
         for c in cols:
             rec = self._bloom_mem_get(table, v, c)
             if rec is None:
-                rec = self._bloom_load(bp, c) if os.path.exists(bp) else None
+                rec = self._bloom_load(bp, c) if self.commit.io_exists(bp) else None
                 if rec is None:
                     # a column that is all-NULL in every file emits no rows
                     # (equality never matches NULL): empty filter set =>
@@ -1834,7 +1933,7 @@ class TableStore(TableFormat):
         # loaded (VERDICT r7 #1), then LRU-cached in process
         bloom = self._bloom_mem_get(table, v, col)
         bp = self._bloom_path(table, v)
-        if bloom is None and os.path.exists(bp):
+        if bloom is None and self.commit.io_exists(bp):
             bloom = self._bloom_load(bp, col)
             if bloom is not None:
                 self._bloom_mem_put(table, v, col, bloom)
@@ -2279,7 +2378,7 @@ class TableStore(TableFormat):
             bp = self._bloom_path(table, v)
             for j, c in enumerate(cols):
                 b = self._bloom_mem_get(table, v, c)
-                if b is None and os.path.exists(bp):
+                if b is None and self.commit.io_exists(bp):
                     b = self._bloom_load(bp, c)
                     if b is not None:
                         self._bloom_mem_put(table, v, c, b)
@@ -2511,15 +2610,20 @@ class TableStore(TableFormat):
             else self._version_schema(table, entry).json()
         )
         path = os.path.join(self.root, table, f"v{version:04d}")
+        affected_set = set(affected)
+        refs = [
+            {"rel": rel, "v": filemap[rel]}
+            for rel in all_rels
+            if rel not in affected_set
+        ]
+        if getattr(self.commit, "supports_direct_publish", False):
+            return self._cow_commit_direct(
+                table, refs, out, version, path, pcols, schema_json, after_write
+            )
         staging = os.path.join(self.root, table, f".stage-v{version:04d}")
         try:
             os.makedirs(staging)
-            affected_set = set(affected)
-            files = [
-                {"rel": rel, "v": filemap[rel]}
-                for rel in all_rels
-                if rel not in affected_set
-            ]
+            files = list(refs)
             moved = 0
             if out is not None:
                 rewrite_dir = os.path.join(staging, ".rewrite")
@@ -2557,6 +2661,68 @@ class TableStore(TableFormat):
             self.commit.publish_dir(staging, path)
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return moved
+
+    def _cow_commit_direct(
+        self,
+        table: str,
+        refs: list[dict],
+        out: DataFrame | None,
+        version: int,
+        path: str,
+        pcols: list[str],
+        schema_json: str,
+        after_write,
+    ) -> int:
+        """Direct-to-final COW publish (round 10, VERDICT r9 #4): the
+        rewrite job writes UNDER THE FINAL VERSION PREFIX — zero staging
+        copies; the version's only data movement is the write itself.
+        Visibility stays marker-last: the directory is invisible until
+        ``commit_direct`` writes the manifest-carrying marker if-absent,
+        the post-job listing is verified complete against the job's own
+        observed row count (:meth:`_verified_direct_rels`), and any
+        failure discards the whole prefix — a killed writer leaves
+        marker-less residue the age-gated vacuum sweeps."""
+        try:
+            moved = 0
+            files = list(refs)
+            if out is not None:
+                from pyspark.sql import Observation
+
+                row_obs = Observation(f"cow_rows_{table}_{time.time_ns()}")
+                out = out.observe(row_obs, F.count(F.lit(1)).alias("n"))
+                writer = out.write.mode("overwrite").option(
+                    "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+                )
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.parquet(path)
+                if after_write is not None:
+                    after_write()
+                rels_new = self._verified_direct_rels(path, int(row_obs.get["n"]))
+                ref_rels = {f["rel"] for f in refs}
+                if ref_rels & set(rels_new):
+                    # astronomically unlikely (UUID part names), but a rel
+                    # serving two physical versions would corrupt the
+                    # filemap — abort loudly, the retry gets fresh names
+                    raise RuntimeError(
+                        f"direct COW publish at {path}: rewrite output "
+                        "collides with a referenced rel"
+                    )
+                files += [{"rel": r, "v": version} for r in rels_new]
+                moved = len(rels_new)
+            self.commit.put_object(
+                os.path.join(path, self._MANIFEST_NAME),
+                self._manifest_record(files, pcols, schema_json),
+            )
+            self.commit.commit_direct(
+                path,
+                sorted(f["rel"] for f in files if f["v"] == version)
+                + [self._MANIFEST_NAME],
+            )
+        except BaseException:
+            self.commit.discard_dir(path)
             raise
         return moved
 

@@ -127,6 +127,33 @@ class StorageCommit(ABC):
 
     _PTR = re.compile(r"ptr-(\d{12})\.json$")
 
+    #: When True the engine may let Spark write a version's files
+    #: DIRECTLY under the final version prefix and commit marker-last
+    #: (round 10, VERDICT r9 #4): data moves ONCE instead of
+    #: staging-then-copy. Only meaningful where publish_dir would
+    #: otherwise copy objects; the POSIX impl keeps the staged protocol
+    #: because its directory rename is atomic and free.
+    supports_direct_publish: bool = False
+
+    def list_data_files(self, root: str) -> list[str]:
+        """Relative paths of the ``.parquet`` objects under ``root``.
+        Used by direct publish to enumerate a job's own freshly-written
+        output; the caller VERIFIES completeness against an observed row
+        count before committing (a stale/torn listing must never
+        silently drop files from the manifest)."""
+        raise NotImplementedError
+
+    def commit_direct(self, final: str, rels: list[str]) -> None:
+        """Marker-last commit of a directly-written version directory:
+        write the commit marker (carrying the file manifest) if-absent.
+        Raises FileExistsError when the version is already committed."""
+        raise NotImplementedError
+
+    def discard_dir(self, path: str) -> None:
+        """Remove an uncommitted (marker-less) version prefix — abort of
+        a direct publish, or residue sweep."""
+        raise NotImplementedError
+
     @abstractmethod
     def put_if_absent(self, path: str, data: bytes = b"") -> bool:
         """Atomically create ``path`` with ``data`` iff it does not
@@ -154,6 +181,71 @@ class StorageCommit(ABC):
     def link_or_copy(self, src: str, dst: str) -> str:
         """Share ``src`` into a new version at ``dst`` without rewriting
         data through the engine. Returns ``"link"`` or ``"copy"``."""
+
+    # ---- non-commit I/O surface (round 10, VERDICT r9 #3) ----------
+    #
+    # Everything TableStore's data plane does to storage that is NOT one
+    # of the four commit primitives — version discovery, claim listing,
+    # manifest/stats/bloom sidecar reads, vacuum walks, footer reads —
+    # routes through these, so the table can actually LIVE on the
+    # backend the commit protocol survives. The base implementations are
+    # the POSIX semantics (plain ``os``); :class:`ConditionalPutCommit`
+    # overrides them onto its object backend. ``path.join``-style string
+    # math stays in the callers: keys are slash-joined names either way.
+
+    def io_list_dir(self, path: str) -> list[str]:
+        """Immediate child NAMES under ``path`` (files and 'directories'
+        — on an object store, the distinct first components of keys
+        under the prefix; a delimiter listing). Empty when absent."""
+        try:
+            return sorted(os.listdir(path))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def io_list_files(self, prefix: str) -> list[str]:
+        """Recursive FILE paths under ``prefix``."""
+        out = []
+        for root, _dirs, files in os.walk(prefix):
+            for name in files:
+                out.append(os.path.join(root, name))
+        return sorted(out)
+
+    def io_exists(self, path: str) -> bool:
+        """True when ``path`` is an object OR a non-empty prefix."""
+        return os.path.exists(path)
+
+    def io_isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def io_mtime(self, path: str) -> float | None:
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return None
+
+    def io_mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def io_delete_tree(self, path: str) -> None:
+        """Remove a file OR a whole prefix (idempotent)."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+    def io_open_input(self, path: str):
+        """Binary seekable file-like for pyarrow footer/sidecar reads —
+        a real object-store impl returns a ranged-read file handle."""
+        return open(path, "rb")
+
+    def io_get(self, path: str) -> bytes | None:
+        return self._obj_get(path)
+
+    def io_delete(self, path: str) -> None:
+        self._obj_delete(path)
 
     # ---- small-object primitives the shared pointer log runs on ----
 
@@ -314,8 +406,64 @@ class ConditionalPutCommit(StorageCommit):
         self.backend = backend
         self.keep_log = keep_log
 
+    supports_direct_publish = True
+
     def put_if_absent(self, path: str, data: bytes = b"") -> bool:
         return self.backend.put_if_absent(path, data)
+
+    def list_data_files(self, root: str) -> list[str]:
+        return sorted(
+            os.path.relpath(key, root)
+            for key in self.backend.list_tree(root)
+            if key.endswith(".parquet")
+        )
+
+    def commit_direct(self, final: str, rels: list[str]) -> None:
+        marker = json.dumps({"files": sorted(rels), "n": len(rels)}).encode()
+        if not self.backend.put_if_absent(os.path.join(final, "_SUCCESS"), marker):
+            raise FileExistsError(
+                f"commit marker already present at {final} — version already "
+                "committed by another writer (claim protocol violated?)"
+            )
+
+    def discard_dir(self, path: str) -> None:
+        self.backend.delete_tree(path)
+
+    # non-commit I/O routes through the backend (VERDICT r9 #3): the
+    # data plane never touches the filesystem API directly, so the table
+    # can live wherever the backend lives
+    def io_list_dir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        names = set()
+        for key in self.backend.list_tree(path):
+            rel = key[len(prefix):] if key.startswith(prefix) else os.path.relpath(key, path)
+            if rel and not rel.startswith(".."):
+                names.add(rel.split("/")[0].split(os.sep)[0])
+        return sorted(names)
+
+    def io_list_files(self, prefix: str) -> list[str]:
+        return sorted(self.backend.list_tree(prefix))
+
+    def io_exists(self, path: str) -> bool:
+        if self.backend.get(path) is not None:
+            return True
+        return bool(self.backend.list_tree(path))
+
+    def io_isfile(self, path: str) -> bool:
+        return self.backend.exists(path)
+
+    def io_mtime(self, path: str) -> float | None:
+        return self.backend.mtime(path)
+
+    def io_mkdirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def io_delete_tree(self, path: str) -> None:
+        self.backend.delete(path)
+        self.backend.delete_tree(path)
+
+    def io_open_input(self, path: str):
+        return self.backend.open_input(path)
 
     def _obj_get(self, path: str) -> bytes | None:
         return self.backend.get(path)
@@ -380,6 +528,18 @@ class LocalEmulatedBackend:
         except (FileNotFoundError, IsADirectoryError):
             return None
 
+    def exists(self, key: str) -> bool:
+        return os.path.isfile(key)
+
+    def mtime(self, key: str) -> float | None:
+        try:
+            return os.path.getmtime(key)
+        except OSError:
+            return None
+
+    def open_input(self, key: str):
+        return open(key, "rb")
+
     def copy(self, src: str, dst: str) -> None:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         tmp = f"{dst}.{os.getpid()}.{time.time_ns()}.tmp"
@@ -389,7 +549,10 @@ class LocalEmulatedBackend:
     def delete(self, key: str) -> None:
         try:
             os.remove(key)
-        except FileNotFoundError:
+        except (FileNotFoundError, IsADirectoryError):
+            # an object store has no directory objects: deleting a
+            # "directory" key is a no-op (the prefix is handled by
+            # delete_tree)
             pass
 
     def delete_tree(self, prefix: str) -> None:
@@ -416,6 +579,7 @@ class FakeObjectStore:
         import threading
 
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
         self.die_after_puts: int | None = None
         self.tear_listing: int = 0  # hide the N most recently put keys
@@ -433,6 +597,7 @@ class FakeObjectStore:
             if key in self._objects:
                 return False
             self._objects[key] = data
+            self._mtimes[key] = time.time()
             self._put_order.append(key)
             return True
 
@@ -440,6 +605,7 @@ class FakeObjectStore:
         with self._lock:
             self._maybe_die()
             self._objects[key] = data
+            self._mtimes[key] = time.time()
             if key in self._put_order:
                 self._put_order.remove(key)
             self._put_order.append(key)
@@ -448,12 +614,29 @@ class FakeObjectStore:
         with self._lock:
             return self._objects.get(key)
 
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return key in self._objects
+
+    def mtime(self, key: str) -> float | None:
+        with self._lock:
+            return self._mtimes.get(key)
+
+    def open_input(self, key: str):
+        import io
+
+        raw = self.get(key)
+        if raw is None:
+            raise FileNotFoundError(key)
+        return io.BytesIO(raw)
+
     def copy(self, src: str, dst: str) -> None:
         with self._lock:
             self._maybe_die()
             if src not in self._objects:
                 raise FileNotFoundError(src)
             self._objects[dst] = self._objects[src]
+            self._mtimes[dst] = time.time()
             if dst in self._put_order:
                 self._put_order.remove(dst)
             self._put_order.append(dst)
@@ -461,6 +644,7 @@ class FakeObjectStore:
     def delete(self, key: str) -> None:
         with self._lock:
             self._objects.pop(key, None)
+            self._mtimes.pop(key, None)
             if key in self._put_order:
                 self._put_order.remove(key)
 

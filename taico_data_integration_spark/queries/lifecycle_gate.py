@@ -1104,10 +1104,13 @@ def lifecycle_sharedref_commit_gate(spark: SparkSession, sf_dir: str) -> DataFra
     """Share-by-reference commit ECONOMICS on object-store semantics
     (round 10, VERDICT r9 #1 'Done' criterion): the full COW lifecycle
     runs through ConditionalPutCommit on a request-counting backend, and
-    every mutation is proven O(changed files) in COPY REQUESTS — a
-    delete on an 8-file table publishes only its rewrite outputs (the
-    pre-r10 protocol server-side-COPYed every untouched file: N-1
-    requests and the table's full size in bytes per commit). Also
+    every mutation is proven O(changed files) with 1x data movement:
+    untouched files share by reference and rewrite outputs are written
+    DIRECTLY under the final version prefix (marker-last), so a COW
+    commit performs ZERO parquet COPY requests (the pre-r10 protocol
+    server-side-COPYed every untouched file — N-1 requests and the
+    table's full size in bytes per commit — and staged-then-copied the
+    rewrite outputs on top). Also
     gated: vacuum under references tombstones the still-referenced base
     version (leaves history, keeps the shared bytes), and the surviving
     table hashes against the delete+merge oracle."""
@@ -1143,12 +1146,12 @@ def lifecycle_sharedref_commit_gate(spark: SparkSession, sf_dir: str) -> DataFra
         v1, rep = store.delete_in("customers", "c_custkey", doomed)
         if rep["rows_deleted"] != 5 or rep["files_linked"] < 1:
             raise RuntimeError(f"lifecycle_sharedref_commit_gate: bad delete {rep}")
-        if _Counting.parquet_copies != rep["rewrite_output_files"]:
+        if _Counting.parquet_copies != 0:
             raise RuntimeError(
                 "lifecycle_sharedref_commit_gate: delete commit copied "
-                f"{_Counting.parquet_copies} parquet objects, expected only "
-                f"the {rep['rewrite_output_files']} rewrite outputs — "
-                "untouched files must share by reference"
+                f"{_Counting.parquet_copies} parquet objects — untouched "
+                "files must share by reference and rewrite outputs publish "
+                "DIRECT-TO-FINAL (1x movement, zero copies)"
             )
 
         updates = (
@@ -1158,11 +1161,11 @@ def lifecycle_sharedref_commit_gate(spark: SparkSession, sf_dir: str) -> DataFra
         )
         _Counting.parquet_copies = 0
         v2, mrep = store.merge_in("customers", updates, "c_custkey")
-        if _Counting.parquet_copies != mrep["rewrite_output_files"]:
+        if _Counting.parquet_copies != 0:
             raise RuntimeError(
                 "lifecycle_sharedref_commit_gate: merge commit copied "
-                f"{_Counting.parquet_copies} parquet objects, expected "
-                f"{mrep['rewrite_output_files']}"
+                f"{_Counting.parquet_copies} parquet objects, expected 0 "
+                "(direct-to-final publish)"
             )
 
         # vacuum under references: the base version is still referenced

@@ -779,7 +779,9 @@ def test_tablestore_killed_writer_leaves_no_ghost_version(spark, tmp_path):
     v = store.write("t", spark.createDataFrame([Row(id=2)]))
     assert v == 2  # dead claim's number is never reused
     assert [h["v"] for h in store.history("t")] == [2, 0]
-    store.vacuum("t", keep_latest=2)
+    # ttl=0: the default 1h grace protects a LIVE direct-publish writer's
+    # marker-less in-flight dir (round 10); this writer is provably dead
+    store.vacuum("t", keep_latest=2, stage_ttl_seconds=0.0)
     assert not os.path.isdir(os.path.join(tdir, "v0001"))  # orphan swept
     assert store.read("t").count() == 1
 
@@ -876,7 +878,7 @@ def test_tablestore_sigkilled_process_ghost_swept(spark, tmp_path):
     v = store.write("t", spark.createDataFrame([Row(id=2)]))
     assert v == 2  # dead process's claim number never reused
     assert [h["v"] for h in store.history("t")] == [2, 0]
-    store.vacuum("t", keep_latest=2)
+    store.vacuum("t", keep_latest=2, stage_ttl_seconds=0.0)
     assert not os.path.isdir(ghost)
     assert store.read("t").count() == 1
 
@@ -2383,16 +2385,16 @@ def test_bloom_build_is_distributed_and_sidecar_loads_per_column(spark, tmp_path
     bp = store._bloom_path("t", store._read_meta("t")["current"])
     assert _os.path.isdir(bp)
     # selective load: one column's rows only, and absent columns are None
-    rec = TableStore._bloom_load(bp, "u")
+    rec = store._bloom_load(bp, "u")
     assert rec is not None and rec["files"] and rec["m"] == man["cols"]["u"]["m"]
-    assert TableStore._bloom_load(bp, "never_indexed") is None
+    assert store._bloom_load(bp, "never_indexed") is None
     # metadata-only listing never touches the blob column
-    assert set(TableStore._bloom_cols(bp)) == {"u", "grp"}
+    assert set(store._bloom_cols(bp)) == {"u", "grp"}
 
     # a SECOND build call for one old + one new column appends the new
     # column without rewriting (or losing) the existing rows
     man2 = store.collect_file_blooms("t", ["u", "k"])
-    assert set(TableStore._bloom_cols(bp)) == {"u", "grp", "k"}
+    assert set(store._bloom_cols(bp)) == {"u", "grp", "k"}
     assert man2["cols"]["u"]["files"] == man["cols"]["u"]["files"]
 
     # end to end: lookups prune and match the full scan
@@ -2444,7 +2446,7 @@ def test_bloom_legacy_single_file_sidecar_migrates_on_append(spark, tmp_path):
     # appending a new column migrates file -> directory, keeping both
     store2.collect_file_blooms("t", ["k"])
     assert _os.path.isdir(bp)
-    assert set(TableStore._bloom_cols(bp)) == {"grp", "k"}
+    assert set(store2._bloom_cols(bp)) == {"grp", "k"}
     g2, _ = store2.read_point("t", "k", 4321)
     assert g2.count() == 1
     g3, _ = store2.read_point("t", "grp", 13)
@@ -3509,7 +3511,7 @@ def test_bloom_mixed_sizing_rows_never_false_negative(spark, tmp_path):
     loaded = fresh._bloom_load(bp, "a")
     assert all(len(b) == loaded["m"] // 8 for b in loaded["files"].values())
     # _bloom_cols (conflict check) and _bloom_load agree on the survivor
-    assert TableStore._bloom_cols(bp)["a"] == (loaded["m"], loaded["k"])
+    assert fresh._bloom_cols(bp)["a"] == (loaded["m"], loaded["k"])
     # no false negatives: every probed present value returns its rows
     for probe in (0, 5, 123, 776):
         got, rep = fresh.read_point("t", "a", probe)
@@ -3547,7 +3549,7 @@ def test_bloom_concurrent_column_builds_both_land(spark, tmp_path):
         x.join()
     assert not errs, errs
     bp = store._bloom_path("t", store._read_meta("t")["current"])
-    assert set(TableStore._bloom_cols(bp)) >= {"a", "b"}
+    assert set(store._bloom_cols(bp)) >= {"a", "b"}
     # both columns probe correctly from the shared sidecar
     got_a, rep_a = store.read_point("t", "a", 17)
     assert got_a.count() == df.where("a = 17").count() > 0
@@ -3555,9 +3557,9 @@ def test_bloom_concurrent_column_builds_both_land(spark, tmp_path):
     assert got_b.count() == df.where("b = 'u123'").count() > 0
 
     # duplicate same-column build: appends identical rows, load collapses
-    rec_before = TableStore._bloom_load(bp, "a")
+    rec_before = store._bloom_load(bp, "a")
     TableStore(spark, str(tmp_path)).collect_file_blooms("t", ["a", "k"])
-    rec_after = TableStore._bloom_load(bp, "a")
+    rec_after = store._bloom_load(bp, "a")
     assert rec_after["files"] == rec_before["files"]
 
 
