@@ -1582,6 +1582,19 @@ class TableStore(TableFormat):
     def _bloom_path(self, table: str, version: int) -> str:
         return os.path.join(self.root, table, "_bloom", f"v{version:04d}.parquet")
 
+    def _bloom_entries(self, path: str) -> set[tuple[str, str]]:
+        """{(col, rel)} pairs present in a sidecar — the cheap coverage
+        listing the copy-forward reuse path consults (col/file columns
+        only; blobs never materialize)."""
+        import pyarrow.parquet as pq
+
+        out: set[tuple[str, str]] = set()
+        for part in self._bloom_parts(path):
+            with self.commit.io_open_input(part) as fh:
+                t = pq.read_table(fh, columns=["col", "file"])
+            out.update(zip(t["col"].to_pylist(), t["file"].to_pylist()))
+        return out
+
     def _bloom_parts(self, path: str) -> list[str]:
         """The sidecar's parquet part files, enumerated through the
         commit seam (round 10 — the data plane never walks storage with
@@ -1754,6 +1767,7 @@ class TableStore(TableFormat):
                     "rebuild under a new version or reuse the stored sizing"
                 )
         missing = [c for c in cols if c not in existing]
+        reused: dict[str, set[str]] = {}
         if missing:
             from ..catalog import ensure_runtime_confs
 
@@ -1762,6 +1776,58 @@ class TableStore(TableFormat):
             bad = [c for c in missing if c not in df.columns]
             if bad:
                 raise ValueError(f"bloom columns not in {table}: {bad}")
+            # COPY-FORWARD reuse across shared files (round 10): a file
+            # referenced from an earlier physical version has identical
+            # bytes, so its bloom rows in THAT version's sidecar — same
+            # logical rel, same deterministic xxhash positions — are
+            # copied into this sidecar instead of re-hashing 60M rows.
+            # Only same-SIZING foreign rows qualify (the loader drops
+            # mixed sizings); after the copy, the build job below scans
+            # ONLY the files still uncovered — typically just the COW
+            # rewrite outputs. Probe cost after a COW commit is therefore
+            # O(changed files), matching the stats manifests.
+            fm = self._version_filemap(table, entry)
+            for vphys in sorted({vp for vp in fm.values() if vp != v}):
+                fbp = self._bloom_path(table, vphys)
+                if not self.commit.io_exists(fbp):
+                    continue
+                fcols = self._bloom_cols(fbp)
+                match_cols = [
+                    c for c in missing if fcols.get(c) == (num_bits, num_hashes)
+                ]
+                if not match_cols:
+                    continue
+                wanted = {rel for rel, vp in fm.items() if vp == vphys}
+                take: dict[str, list[str]] = {}
+                for c, rel in self._bloom_entries(fbp):
+                    if c in match_cols and rel in wanted:
+                        take.setdefault(c, []).append(rel)
+                if not take:
+                    continue
+                cond = None
+                for c, rels in take.items():
+                    cc = (F.col("col") == c) & F.col("file").isin(rels)
+                    cond = cc if cond is None else (cond | cc)
+                src = self.spark.read.parquet(*self._bloom_parts(fbp)).where(
+                    cond
+                    & (F.col("m") == num_bits)
+                    & (F.col("k") == num_hashes)
+                )
+                nonce = f"{os.getpid()}-{time.time_ns()}"
+                copy_dir = f"{bp}.reuse-{nonce}"
+                try:
+                    src.coalesce(1).write.mode("overwrite").parquet(copy_dir)
+                    self.commit.io_mkdirs(bp)
+                    for name in self.commit.io_list_dir(copy_dir):
+                        if name.endswith(".parquet"):
+                            self.commit.publish_file(
+                                os.path.join(copy_dir, name),
+                                os.path.join(bp, f"reuse-{nonce}-{name}"),
+                            )
+                finally:
+                    self.commit.io_delete_tree(copy_dir)
+                for c, rels in take.items():
+                    reused.setdefault(c, set()).update(rels)
             words_per_filter = num_bits // 64
             # files may be resolved across several physical version dirs
             # (share-by-reference): rel paths are computed from the TABLE
@@ -1770,6 +1836,17 @@ class TableStore(TableFormat):
             base = os.path.join(self.root, table)
             parts = []
             for c in missing:
+                # scan only the files copy-forward did NOT cover for this
+                # column — after a COW commit that is just the rewrite
+                # outputs
+                cov = reused.get(c, set())
+                sub_rels = [rel for rel in fm if rel not in cov] if cov else None
+                if sub_rels is not None and not sub_rels:
+                    continue  # fully covered by copied rows
+                src_df = (
+                    df if sub_rels is None
+                    else self._read_rels(table, entry, sub_rels, fm)
+                )
                 positions = F.array(
                     *[
                         F.pmod(F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits))
@@ -1777,13 +1854,13 @@ class TableStore(TableFormat):
                     ]
                 )
                 parts.append(
-                    df.where(F.col(c).isNotNull()).select(
+                    src_df.where(F.col(c).isNotNull()).select(
                         F.input_file_name().alias("__file"),
                         F.lit(c).alias("__col"),
                         F.explode(positions).alias("pos"),
                     )
                 )
-            sel = parts[0]
+            sel = parts[0] if parts else None
             for p in parts[1:]:
                 sel = sel.unionByName(p)
             words = (
@@ -1795,7 +1872,7 @@ class TableStore(TableFormat):
                 )
                 .groupBy("__file", "__col", "word")
                 .agg(F.expr("bit_or(bit)").alias("bits"))
-            )
+            ) if sel is not None else None
 
             def _pack(key, pdf):
                 # one packed little-endian bitmap per (file, col), rel path
@@ -1833,8 +1910,13 @@ class TableStore(TableFormat):
                     }
                 )
 
-            packed = words.groupBy("__file", "__col").applyInPandas(
-                _pack, schema="col string, file string, m long, k long, bloom binary"
+            packed = (
+                words.groupBy("__file", "__col").applyInPandas(
+                    _pack,
+                    schema="col string, file string, m long, k long, bloom binary",
+                )
+                if sel is not None
+                else None
             )
             if self.commit.io_isfile(bp):
                 # pre-r8 single-file sidecar: become the first part file of
@@ -1856,21 +1938,28 @@ class TableStore(TableFormat):
             # FileOutputCommitter limitation). Private staging + per-file
             # rename keeps concurrent different-column builds safe: readers
             # only ever see completed files.
-            nonce = f"{os.getpid()}-{time.time_ns()}"
-            build_dir = f"{bp}.build-{nonce}"
-            try:
-                packed.write.mode("overwrite").parquet(build_dir)
-                self.commit.io_mkdirs(bp)
-                for name in self.commit.io_list_dir(build_dir):
-                    if name.endswith(".parquet"):
-                        self.commit.publish_file(
-                            os.path.join(build_dir, name),
-                            os.path.join(bp, f"build-{nonce}-{name}"),
-                        )
-            finally:
-                self.commit.io_delete_tree(build_dir)
+            if packed is not None:
+                nonce = f"{os.getpid()}-{time.time_ns()}"
+                build_dir = f"{bp}.build-{nonce}"
+                try:
+                    packed.write.mode("overwrite").parquet(build_dir)
+                    self.commit.io_mkdirs(bp)
+                    for name in self.commit.io_list_dir(build_dir):
+                        if name.endswith(".parquet"):
+                            self.commit.publish_file(
+                                os.path.join(build_dir, name),
+                                os.path.join(bp, f"build-{nonce}-{name}"),
+                            )
+                finally:
+                    self.commit.io_delete_tree(build_dir)
 
-        manifest: dict = {"cols": {}}
+        manifest: dict = {
+            "cols": {},
+            # copy-forward accounting: per column, how many files' rows
+            # were copied from earlier versions' sidecars instead of
+            # re-hashed (round 10)
+            "reused_files": {c: len(r) for c, r in reused.items()},
+        }
         for c in cols:
             rec = self._bloom_mem_get(table, v, c)
             if rec is None:

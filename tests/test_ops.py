@@ -3697,3 +3697,42 @@ def test_legacy_store_without_manifests_still_works(spark, tmp_path):
     assert store.read("t").count() == 9_999
     # legacy version itself has no manifest and still reads
     assert store.read("t", version=0).count() == 10_000
+
+
+def test_bloom_copy_forward_across_referenced_versions(spark, tmp_path):
+    """Round 10: after a COW commit, building a bloom on the new version
+    COPIES the referenced files' rows from the base version's sidecar
+    (same bytes, same deterministic hashes) and re-hashes only the
+    rewrite outputs — probe cost O(changed files). Probes on the new
+    version stay exact; a sizing mismatch falls back to a full build."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 40_000).selectExpr(
+        "id AS k", "CAST(id % 1000 AS INT) AS u", "CAST(id AS DOUBLE) AS val"
+    )
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v0 = store._read_meta("t")["current"]
+    m0 = store.collect_file_blooms("t", ["u"], num_bits=1 << 14, num_hashes=5)
+    assert m0["reused_files"] == {}  # nothing to reuse on a fresh build
+
+    v1, rep = store.delete_in("t", "k", [5])
+    m1 = store.collect_file_blooms("t", ["u"], num_bits=1 << 14, num_hashes=5)
+    assert m1["reused_files"]["u"] == rep["files_linked"] > 0
+    # copied + built rows cover every live file, and probes are exact
+    assert set(m1["cols"]["u"]["files"]) == set(store._current_rels("t"))
+    got, prep = store.read_point(
+        "t", "u", 123, num_bits=1 << 14, num_hashes=5
+    )
+    assert got.count() == df.where("u = 123 AND k <> 5").count()
+    # the copied rows byte-match a from-scratch build of the same files
+    for rel, blob in m0["cols"]["u"]["files"].items():
+        if rel in m1["cols"]["u"]["files"] :
+            assert m1["cols"]["u"]["files"][rel] == blob
+    # sizing mismatch: no reuse, full rebuild, still correct
+    v2, _ = store.delete_in("t", "k", [7])
+    m2 = store.collect_file_blooms("t", ["u"], num_bits=1 << 15, num_hashes=6)
+    assert m2["reused_files"] == {}
+    got2, _ = store.read_point("t", "u", 321, num_bits=1 << 15, num_hashes=6)
+    assert got2.count() == df.where("u = 321 AND k NOT IN (5, 7)").count()
