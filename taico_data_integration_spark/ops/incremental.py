@@ -1777,30 +1777,47 @@ class TableStore(TableFormat):
             if bad:
                 raise ValueError(f"bloom columns not in {table}: {bad}")
             # COPY-FORWARD reuse across shared files (round 10): a file
-            # referenced from an earlier physical version has identical
-            # bytes, so its bloom rows in THAT version's sidecar — same
-            # logical rel, same deterministic xxhash positions — are
-            # copied into this sidecar instead of re-hashing 60M rows.
-            # Only same-SIZING foreign rows qualify (the loader drops
-            # mixed sizings); after the copy, the build job below scans
-            # ONLY the files still uncovered — typically just the COW
-            # rewrite outputs. Probe cost after a COW commit is therefore
-            # O(changed files), matching the stats manifests.
+            # shared by reference has identical bytes in every version
+            # that lists it, so its bloom rows in ANY committed version's
+            # sidecar — same logical rel, same deterministic xxhash
+            # positions — are copied into this sidecar instead of
+            # re-hashing 60M rows. Soundness condition checked per rel:
+            # the candidate version's filemap must resolve the rel to the
+            # SAME physical file ours does. Only same-SIZING rows qualify
+            # (the loader drops mixed sizings); after the copy, the build
+            # job below scans ONLY the files still uncovered — typically
+            # just the COW rewrite outputs. Probe cost after a COW commit
+            # is therefore O(changed files), matching the stats
+            # manifests. Candidates are visited newest-first (the
+            # previous version usually covers everything).
             fm = self._version_filemap(table, entry)
-            for vphys in sorted({vp for vp in fm.values() if vp != v}):
-                fbp = self._bloom_path(table, vphys)
+            uncovered: dict[str, set[str]] = {c: set(fm) for c in missing}
+            for cand in sorted(
+                (e for e in meta["versions"] if e["v"] != v),
+                key=lambda e: e["v"],
+                reverse=True,
+            ):
+                if not any(uncovered.values()):
+                    break
+                fbp = self._bloom_path(table, cand["v"])
                 if not self.commit.io_exists(fbp):
                     continue
                 fcols = self._bloom_cols(fbp)
                 match_cols = [
-                    c for c in missing if fcols.get(c) == (num_bits, num_hashes)
+                    c
+                    for c in missing
+                    if fcols.get(c) == (num_bits, num_hashes) and uncovered[c]
                 ]
                 if not match_cols:
                     continue
-                wanted = {rel for rel, vp in fm.items() if vp == vphys}
+                cand_fm = self._version_filemap(table, cand)
                 take: dict[str, list[str]] = {}
                 for c, rel in self._bloom_entries(fbp):
-                    if c in match_cols and rel in wanted:
+                    if (
+                        c in match_cols
+                        and rel in uncovered[c]
+                        and cand_fm.get(rel) == fm[rel]
+                    ):
                         take.setdefault(c, []).append(rel)
                 if not take:
                     continue
@@ -1828,6 +1845,7 @@ class TableStore(TableFormat):
                     self.commit.io_delete_tree(copy_dir)
                 for c, rels in take.items():
                     reused.setdefault(c, set()).update(rels)
+                    uncovered[c] -= set(rels)
             words_per_filter = num_bits // 64
             # files may be resolved across several physical version dirs
             # (share-by-reference): rel paths are computed from the TABLE
