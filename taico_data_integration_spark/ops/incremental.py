@@ -1272,24 +1272,61 @@ class TableStore(TableFormat):
         raw = self.commit.io_get(sp)
         manifest: dict = json.loads(raw) if raw is not None else {"files": {}}
         changed = False
-        # stats REUSE across shared files (round 10): a file referenced
-        # from an earlier physical version has identical bytes, so its
-        # stats record in THAT version's manifest (same rel — references
-        # preserve relpaths) is copied instead of re-reading the footer.
-        # A COW commit's first probe therefore re-footers only the
-        # rewrite outputs, keeping probe cost O(changed files) too.
+        # stats REUSE across shared files (round 10): a file shared by
+        # reference has identical bytes in every version that lists it,
+        # so its stats record in ANY committed version's manifest is
+        # copied instead of re-reading the footer — soundness condition
+        # checked per rel, exactly as the bloom copy-forward does: the
+        # candidate version's filemap must resolve the rel to the SAME
+        # physical file ours does. Candidates are visited newest-first
+        # (the physical holder first, then the previous version, which
+        # usually has everything). A COW commit's first probe therefore
+        # re-footers only the rewrite outputs, keeping probe cost
+        # O(changed files) too.
         foreign_stats: dict[int, dict] = {}
 
-        def _foreign(vphys: int) -> dict:
-            if vphys not in foreign_stats:
-                raw = self.commit.io_get(self._stats_path(table, vphys))
+        def _foreign(cand_v: int) -> dict:
+            if cand_v not in foreign_stats:
+                fraw = self.commit.io_get(self._stats_path(table, cand_v))
                 try:
-                    foreign_stats[vphys] = (
-                        json.loads(raw).get("files", {}) if raw is not None else {}
+                    foreign_stats[cand_v] = (
+                        json.loads(fraw).get("files", {}) if fraw is not None else {}
                     )
                 except json.JSONDecodeError:
-                    foreign_stats[vphys] = {}
-            return foreign_stats[vphys]
+                    foreign_stats[cand_v] = {}
+            return foreign_stats[cand_v]
+
+        cand_entries = sorted(
+            (e for e in meta["versions"] if e["v"] != v),
+            key=lambda e: e["v"],
+            reverse=True,
+        )
+
+        def _reuse(rel: str, vphys: int, rec: dict, missing: list[str]) -> None:
+            # the physical holder's own manifest first (rel is its own
+            # file there — no filemap load needed), then any other
+            # version that provably resolves rel to the same bytes
+            candidates = [vphys] + [e["v"] for e in cand_entries if e["v"] != vphys]
+            for cand_v in candidates:
+                if not missing and rec["rows"] is not None:
+                    return
+                frec = _foreign(cand_v).get(rel)
+                if frec is None or frec.get("rows") is None:
+                    continue
+                if cand_v != vphys:
+                    cand_e = next(
+                        (e for e in cand_entries if e["v"] == cand_v), None
+                    )
+                    if (
+                        cand_e is None
+                        or self._version_filemap(table, cand_e).get(rel) != vphys
+                    ):
+                        continue
+                rec["rows"] = frec["rows"]
+                for c in list(missing):
+                    if c in frec.get("cols", {}):
+                        rec["cols"][c] = frec["cols"][c]
+                        missing.remove(c)
 
         for rel, vphys in self._version_filemap(table, entry).items():
             rec = manifest["files"].setdefault(rel, {"rows": None, "cols": {}})
@@ -1297,16 +1334,10 @@ class TableStore(TableFormat):
             if not missing and rec["rows"] is not None:
                 continue
             changed = True
-            if vphys != v:
-                frec = _foreign(vphys).get(rel)
-                if frec is not None and frec.get("rows") is not None:
-                    rec["rows"] = frec["rows"]
-                    for c in list(missing):
-                        if c in frec.get("cols", {}):
-                            rec["cols"][c] = frec["cols"][c]
-                            missing.remove(c)
-                    if not missing:
-                        continue
+            if vphys != v or cand_entries:
+                _reuse(rel, vphys, rec, missing)
+                if not missing and rec["rows"] is not None:
+                    continue
             path = os.path.join(self._version_dir(table, vphys), rel)
             with self.commit.io_open_input(path) as _fh:
                 md = pq.read_metadata(_fh)

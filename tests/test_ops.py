@@ -3736,3 +3736,39 @@ def test_bloom_copy_forward_across_referenced_versions(spark, tmp_path):
     assert m2["reused_files"] == {}
     got2, _ = store.read_point("t", "u", 321, num_bits=1 << 15, num_hashes=6)
     assert got2.count() == df.where("u = 321 AND k NOT IN (5, 7)").count()
+
+
+def test_stats_reuse_across_chained_versions_refooters_only_changes(spark, tmp_path):
+    """Round 10: collecting file stats on a COW-chained version copies
+    records from ANY committed version's manifest whose filemap resolves
+    the rel to the same physical file — the first probe re-reads only
+    the new version's own rewrite outputs' footers."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    store.collect_file_stats("t", ["k"])
+    store.delete_in("t", "k", [3])
+    v2, rep2 = store.delete_in("t", "k", [5])
+
+    opens: list[str] = []
+    orig = store.commit.io_open_input
+
+    def spy(p):
+        opens.append(p)
+        return orig(p)
+
+    store.commit.io_open_input = spy
+    try:
+        st = store.collect_file_stats("t", ["k"], version=v2)
+    finally:
+        store.commit.io_open_input = orig
+    footers = [p for p in opens if p.endswith(".parquet")]
+    assert len(st["files"]) == 8
+    assert len(footers) == rep2["rewrite_output_files"] <= 2, footers
+    # and the copied stats still prune correctly
+    got, rep = store.read_pruned("t", "k", lo=100, hi=110)
+    assert got.count() == 11
+    assert rep["files_skipped"] > 0
