@@ -13,9 +13,13 @@ TableStore's correctness needs exactly four primitives (VERDICT r8 #1):
    stores have NO rename, so the conditional-put impl copies data
    objects first and makes the version visible by writing its commit
    marker — carrying a file MANIFEST — if-absent, LAST).
-3. **share an unchanged file into a new version** (POSIX: hard link,
-   zero data movement; object stores: server-side COPY — no inode
-   sharing, but no data crosses the network either).
+3. **share an unchanged file into a new version** — since round 10
+   this is a MANIFEST REFERENCE (the new version's ``_MANIFEST.json``
+   lists the file against the version that physically wrote it): zero
+   bytes moved and zero requests on both impls. ``link_or_copy``
+   (POSIX hard link / server-side COPY) remains as the materialization
+   primitive for callers that need physical copies, but the COW
+   protocol no longer uses it.
 4. **swap the current pointer** — a monotonic put-if-absent POINTER
    LOG on BOTH impls (round 10): each swap writes
    ``_ptr/ptr-<seq+1>.json`` conditionally (POSIX: ``O_EXCL``; object
