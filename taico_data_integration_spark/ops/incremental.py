@@ -1864,7 +1864,10 @@ class TableStore(TableFormat):
                 nonce = f"{os.getpid()}-{time.time_ns()}"
                 copy_dir = f"{bp}.reuse-{nonce}"
                 try:
-                    src.coalesce(1).write.mode("overwrite").parquet(copy_dir)
+                    # no coalesce: at large file counts the copied rows
+                    # are (files x m/8) bytes — let the scan's own split
+                    # parallelism carry them
+                    src.write.mode("overwrite").parquet(copy_dir)
                     self.commit.io_mkdirs(bp)
                     for name in self.commit.io_list_dir(copy_dir):
                         if name.endswith(".parquet"):
