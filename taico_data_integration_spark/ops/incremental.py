@@ -3285,6 +3285,39 @@ class TableStore(TableFormat):
         df, report = self.read_pruned(table, ts_col, lo=watermark)
         return df.where(F.col(ts_col) > F.lit(watermark)), report
 
+    def materialize_version(
+        self, table: str, dest: str, version: int | None = None
+    ) -> dict:
+        """Export a version as a SELF-CONTAINED physical snapshot at
+        ``dest``: every live file resolved through the manifest and
+        materialized via the commit impl's ``link_or_copy`` (hard link
+        on POSIX — zero bytes moved; server-side COPY on object
+        backends), plus a plain parquet ``_SUCCESS`` marker — readable
+        by any engine with ``spark.read.parquet(dest)``, no TableStore
+        required. The complement of share-by-reference: versions inside
+        the store share bytes and are NOT freestanding directories
+        anymore; archiving a pinned snapshot to ship elsewhere needs
+        this explicit materialization. The source version is untouched
+        and the export participates in no commit protocol (``dest`` must
+        not already exist — loud error, never a silent merge). Returns
+        ``{files, bytes, mode}`` where mode is "link" or "copy"."""
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
+        if self.commit.io_exists(dest):
+            raise ValueError(f"materialize_version: {dest} already exists")
+        fm = self._version_filemap(table, entry)
+        n_bytes = 0
+        mode = "link"
+        for rel, vphys in sorted(fm.items()):
+            src = os.path.join(self._version_dir(table, vphys), rel)
+            mode = self.commit.link_or_copy(src, os.path.join(dest, rel))
+            n_bytes += os.path.getsize(src) if os.path.exists(src) else 0
+        self.commit.put_object(os.path.join(dest, "_SUCCESS"), b"")
+        return {"files": len(fm), "bytes": n_bytes, "mode": mode}
+
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)
         version. The failed version's files stay for forensics."""

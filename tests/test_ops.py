@@ -3772,3 +3772,45 @@ def test_stats_reuse_across_chained_versions_refooters_only_changes(spark, tmp_p
     got, rep = store.read_pruned("t", "k", lo=100, hi=110)
     assert got.count() == 11
     assert rep["files_skipped"] > 0
+
+
+def test_materialize_version_exports_self_contained_snapshot(spark, tmp_path):
+    """Round 10: a share-by-reference version is not a freestanding
+    directory; materialize_version resolves the manifest and exports a
+    plain-parquet snapshot (hard links on POSIX — zero bytes moved) that
+    reads back identically with a bare spark.read.parquet, survives
+    vacuuming the source, and refuses to clobber an existing dest."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.range(0, 10_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(3))
+    store.optimize_layout("t", ["k"], num_files=4)
+    store.delete_in("t", "k", [7])  # current version now holds references
+    dest = str(tmp_path / "export")
+    rep = store.materialize_version("t", dest)
+    assert rep["files"] == 4 and rep["mode"] == "link"
+    got = spark.read.parquet(dest)
+    expect = store.read("t")
+    assert got.count() == 9_999
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    with pytest.raises(ValueError, match="already exists"):
+        store.materialize_version("t", dest)
+    # the export is self-contained: vacuum the whole source history away
+    # (compact first so the current version stops referencing it), and
+    # the snapshot still reads — hard links keep the bytes alive
+    store.compact("t")
+    store.vacuum("t", keep_latest=1)
+    assert spark.read.parquet(dest).count() == 9_999
+    # partitioned layout keeps its partition dirs in the export
+    pdf = spark.range(0, 3_000).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    store.write("pt", pdf, partition_by=["p"])
+    store.delete_in("pt", "k", [5])
+    dest2 = str(tmp_path / "export2")
+    store.materialize_version("pt", dest2)
+    g2 = spark.read.parquet(dest2)
+    assert dict(g2.dtypes)["p"] == "int" and g2.count() == 2_999
+    assert _os.path.isdir(_os.path.join(dest2, "p=1"))
