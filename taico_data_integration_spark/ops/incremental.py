@@ -938,14 +938,29 @@ class TableStore(TableFormat):
         # list, so it must be special-cased or the call silently no-ops
         keep = {e["v"] for e in (versions[-keep_latest:] if keep_latest > 0 else [])}
         keep.add(meta["current"])
+        now = time.time()
+        # Two-pass reclamation (ADVICE r10, high): a version survives this
+        # pass either by keep-set membership OR via the min_age retention
+        # gate — and EITHER kind of survivor pins its references. Decide
+        # removability for EVERY version first, then build kept_refs from
+        # all survivors. Building it from the keep set alone would let a
+        # retention-gated survivor's referenced files be reclaimed out from
+        # under a pinned reader.
+        removable: set[int] = set()
+        for i, e in enumerate(versions):
+            if e["v"] in keep:
+                continue
+            superseded_at = versions[i + 1]["ts"] if i + 1 < len(versions) else now
+            if now - superseded_at < min_age_seconds:
+                continue  # retention window: a pinned reader may be mid-scan
+            removable.add(e["v"])
         # every (physical version, rel) a SURVIVING version references —
         # the live set reclamation must never break
         kept_refs: set[tuple[int, str]] = set()
         for e in versions:
-            if e["v"] in keep:
+            if e["v"] not in removable:
                 for rel, vphys in self._version_filemap(table, e).items():
                     kept_refs.add((vphys, rel))
-        now = time.time()
         removed = []
 
         def _drop_sidecars(v: int) -> None:
@@ -958,12 +973,9 @@ class TableStore(TableFormat):
                 # io_delete_tree handles both
                 self.commit.io_delete_tree(mp)
 
-        for i, e in enumerate(versions):
-            if e["v"] in keep:
+        for e in versions:
+            if e["v"] not in removable:
                 continue
-            superseded_at = versions[i + 1]["ts"] if i + 1 < len(versions) else now
-            if now - superseded_at < min_age_seconds:
-                continue  # retention window: a pinned reader may be mid-scan
             own = [
                 rel
                 for rel, vphys in self._version_filemap(table, e).items()

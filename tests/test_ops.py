@@ -3669,6 +3669,57 @@ def test_cow_reference_chains_stay_depth_one(spark, tmp_path):
     assert store.read("t").count() == 20_000
 
 
+def test_vacuum_retention_survivor_pins_its_references(spark, tmp_path):
+    """ADVICE r10 (high): a version outside the keep set that survives
+    vacuum via the min_age_seconds retention gate must still pin the
+    files its manifest references. v1 holds the physical files, v2 (COW)
+    references most of them, v3 is a full rewrite. With keep_latest=1 and
+    v2 inside the retention window, vacuum may reclaim v1's UNREFERENCED
+    files but must tombstone — not delete — the ones v2 still needs;
+    reading v2 afterwards must return its exact rows."""
+    import os as _os
+    import time as _time
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))  # v0
+    store.optimize_layout("t", ["k"], num_files=4)  # v1: 4 physical files
+    v1 = store._read_meta("t")["current"]
+    store.delete_in("t", "k", [3])  # v2: refs 3 of v1's files + 1 rewrite
+    v2 = store._read_meta("t")["current"]
+    n2 = store.read("t", version=v2).count()
+    store.write("t", df.selectExpr("k", "v + 1.0 AS v"))  # v3: no refs to v1
+    v3 = store._read_meta("t")["current"]
+
+    # age v1 and v2 dirs (commit ts = dir mtime): v0 and v1 become
+    # removable; v2 — superseded by the FRESH v3 — stays inside the window
+    old = _time.time() - 7200
+    for v in (v1, v2):
+        _os.utime(_os.path.join(str(tmp_path), "t", f"v{v:04d}"), (old, old))
+
+    removed = store.vacuum("t", keep_latest=1, min_age_seconds=3600.0)
+    assert v1 in removed and 0 in removed and v2 not in removed
+
+    # v2 survived the pass — every file it references must still be
+    # readable; the buggy single-pass kept_refs deleted v1's whole dir
+    assert store.read("t", version=v2).count() == n2
+    d1 = _os.path.join(str(tmp_path), "t", f"v{v1:04d}")
+    assert _os.path.exists(_os.path.join(d1, "_VACUUMED")), "v1 not tombstoned"
+    live = [
+        f for _dp, _dirs, fs in _os.walk(d1) for f in fs if f.endswith(".parquet")
+    ]
+    assert len(live) == 3, "v2's referenced files were reclaimed"
+    assert store.read("t").count() == 20_000  # v3 untouched
+
+    # once v2 ages out too, a later vacuum reclaims it AND the tombstone
+    _os.utime(_os.path.join(str(tmp_path), "t", f"v{v3:04d}"), (old, old))
+    removed2 = store.vacuum("t", keep_latest=1, min_age_seconds=3600.0)
+    assert v2 in removed2
+    assert not _os.path.exists(d1), "tombstone survived its last referrer"
+
+
 def test_legacy_store_without_manifests_still_works(spark, tmp_path):
     """A pre-r10 store (version dirs with no _MANIFEST.json, _meta.json
     pointer) reads transparently, and the FIRST COW mutation on top of
