@@ -62,9 +62,20 @@ def _meta_path(store, index_table: str) -> str:
 
 def pin_info(store, index_table: str) -> dict:
     """The recorded metadata: corpus_table, corpus_version (the pin),
-    centroids, n_lists, id_col, vec_col."""
-    with open(_meta_path(store, index_table)) as f:
-        rec = json.load(f)
+    centroids, n_lists, id_col, vec_col.
+
+    Reads through the commit seam (``io_get``), NOT ``open()`` — the pin
+    sidecar is WRITTEN via ``commit.put_object``, so on a commit backend
+    whose objects are not filesystem paths a direct ``open()`` would
+    miss a pin that exists (ADVICE r10)."""
+    raw = store.commit.io_get(_meta_path(store, index_table))
+    if raw is None:
+        raise IvfStaleIndexError(
+            f"no IVF pin sidecar for index table {index_table!r} — "
+            "the index was never built (ivf_store.build) or its store "
+            "root is wrong"
+        )
+    rec = json.loads(raw.decode())
     rec["centroids"] = [(int(c), [float(x) for x in v]) for c, v in rec["centroids"]]
     return rec
 

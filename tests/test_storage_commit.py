@@ -599,6 +599,63 @@ def test_direct_publish_constraint_violation_discards_prefix(spark, tmp_path):
     assert v == 2
 
 
+class _FsInterceptor:
+    """Wrap the filesystem API; record every call ORIGINATING FROM one of
+    ``caller_suffixes`` (module-name suffixes) on a path under ``root``
+    as a seam escape. Spark's JVM I/O and the backend's own os usage are
+    the legitimate implementations underneath and are excluded by call
+    site."""
+
+    def __init__(self, root: str, caller_suffixes: tuple[str, ...]):
+        self.root = root
+        self.caller_suffixes = caller_suffixes
+        self.escapes: list[tuple[str, str]] = []
+        self._originals: dict = {}
+
+    def _guard(self, name, fn, pathpos=0):
+        import sys
+
+        def wrapper(*args, **kwargs):
+            caller = sys._getframe(1).f_globals.get("__name__", "")
+            if caller.endswith(self.caller_suffixes) and args:
+                target = args[pathpos] if len(args) > pathpos else ""
+                if isinstance(target, str) and target.startswith(self.root):
+                    self.escapes.append((name, target))
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    def __enter__(self):
+        import builtins
+        import glob as glob_mod
+        import os as os_mod
+        import shutil as shutil_mod
+
+        self._originals = {
+            (os_mod, "listdir"): os_mod.listdir,
+            (os_mod, "walk"): os_mod.walk,
+            (os_mod, "remove"): os_mod.remove,
+            (os_mod, "makedirs"): os_mod.makedirs,
+            (os_mod, "rename"): os_mod.rename,
+            (os_mod.path, "exists"): os_mod.path.exists,
+            (os_mod.path, "isdir"): os_mod.path.isdir,
+            (os_mod.path, "isfile"): os_mod.path.isfile,
+            (os_mod.path, "getmtime"): os_mod.path.getmtime,
+            (os_mod.path, "getsize"): os_mod.path.getsize,
+            (shutil_mod, "rmtree"): shutil_mod.rmtree,
+            (glob_mod, "glob"): glob_mod.glob,
+            (builtins, "open"): builtins.open,
+        }
+        for (mod, name), fn in self._originals.items():
+            setattr(mod, name, self._guard(f"{mod.__name__}.{name}", fn))
+        return self
+
+    def __exit__(self, *exc):
+        for (mod, name), fn in self._originals.items():
+            setattr(mod, name, fn)
+        return False
+
+
 def test_condput_data_plane_never_touches_os_directly(spark, tmp_path):
     """VERDICT r9 #3 ('Done' criterion): with a ConditionalPutCommit
     store, the ENTIRE data plane — version discovery, claims, manifests,
@@ -610,46 +667,10 @@ def test_condput_data_plane_never_touches_os_directly(spark, tmp_path):
     produce zero. (Spark's JVM I/O and the backend's own os usage are
     the legitimate implementations underneath and are excluded by call
     site.)"""
-    import builtins
-    import glob as glob_mod
-    import os as os_mod
-    import shutil as shutil_mod
-    import sys
-
     from taico_data_integration_spark.ops.incremental import TableStore
 
     root = str(tmp_path / "store")
-    escapes: list[tuple[str, str]] = []
-
-    def guard(name, fn, pathpos=0):
-        def wrapper(*args, **kwargs):
-            caller = sys._getframe(1).f_globals.get("__name__", "")
-            if caller.endswith("ops.incremental") and args:
-                target = args[pathpos] if len(args) > pathpos else ""
-                if isinstance(target, str) and target.startswith(root):
-                    escapes.append((name, target))
-            return fn(*args, **kwargs)
-
-        return wrapper
-
-    originals = {
-        (os_mod, "listdir"): os_mod.listdir,
-        (os_mod, "walk"): os_mod.walk,
-        (os_mod, "remove"): os_mod.remove,
-        (os_mod, "makedirs"): os_mod.makedirs,
-        (os_mod, "rename"): os_mod.rename,
-        (os_mod.path, "exists"): os_mod.path.exists,
-        (os_mod.path, "isdir"): os_mod.path.isdir,
-        (os_mod.path, "isfile"): os_mod.path.isfile,
-        (os_mod.path, "getmtime"): os_mod.path.getmtime,
-        (shutil_mod, "rmtree"): shutil_mod.rmtree,
-        (glob_mod, "glob"): glob_mod.glob,
-        (builtins, "open"): builtins.open,
-    }
-    try:
-        for (mod, name), fn in originals.items():
-            setattr(mod, name, guard(f"{mod.__name__}.{name}", fn))
-
+    with _FsInterceptor(root, ("ops.incremental",)) as icp:
         store = TableStore(
             spark, root, commit=ConditionalPutCommit(LocalEmulatedBackend())
         )
@@ -670,7 +691,46 @@ def test_condput_data_plane_never_touches_os_directly(spark, tmp_path):
         store.history("t")
         store.vacuum("t", keep_latest=1, stage_ttl_seconds=0.0)
         assert store.read("t").count() == 8_000
-    finally:
-        for (mod, name), fn in originals.items():
-            setattr(mod, name, fn)
-    assert escapes == [], f"data plane escaped the seam: {sorted(set(escapes))[:10]}"
+    assert icp.escapes == [], (
+        f"data plane escaped the seam: {sorted(set(icp.escapes))[:10]}"
+    )
+
+
+def test_condput_ivf_store_never_touches_os_directly(spark, tmp_path):
+    """VERDICT r10 #1: the IVF index store is part of the data plane —
+    its pin sidecar reads/writes must route through the commit seam too.
+    The full build → corpus mutate → append → probe lifecycle on a
+    ConditionalPutCommit store must produce zero filesystem-API calls
+    originating from llm.ivf_store (or ops.incremental) on store paths.
+    Before the r11 fix, pin_info read _ivf.json with plain open() — on a
+    backend whose objects are not filesystem paths every probe/append
+    would crash on a healthy index."""
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.llm import ivf_store
+    from taico_data_integration_spark.llm.synth import synth_embeddings
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    full = synth_embeddings(spark, 400, n_clusters=8).localCheckpoint()
+    first = full.where(F.col("vec_id") < 300)
+    rest = full.where(F.col("vec_id") >= 300)
+    queries = full.where(F.col("vec_id") < 6).localCheckpoint()
+
+    root = str(tmp_path / "store")
+    with _FsInterceptor(root, ("ops.incremental", "llm.ivf_store")) as icp:
+        store = TableStore(
+            spark, root, commit=ConditionalPutCommit(LocalEmulatedBackend())
+        )
+        store.write("corpus", first)
+        ivf_store.build(store, "corpus", "idx", n_lists=4)
+        assert ivf_store.probe(store, "idx", queries, k=3, nprobe=2).count() > 0
+        store.merge_in("corpus", rest, "vec_id")  # append-shaped mutation
+        out = ivf_store.append(store, "idx")
+        assert out["appended"] == 100
+        assert ivf_store.pin_info(store, "idx")["corpus_version"] == out[
+            "corpus_version"
+        ]
+        assert ivf_store.probe(store, "idx", queries, k=3, nprobe=2).count() > 0
+    assert icp.escapes == [], (
+        f"ivf_store escaped the seam: {sorted(set(icp.escapes))[:10]}"
+    )
