@@ -1027,15 +1027,18 @@ class TableStore(TableFormat):
                     # a marker-less version dir may be a LIVE direct-publish
                     # writer's in-flight output (round 10) — sweep only past
                     # stage_ttl_seconds, same discipline as .stage-v dirs;
-                    # age is the newest mtime of the dir or its immediate
-                    # children (Spark touches subdirs as it writes)
+                    # age is the newest mtime over the RECURSIVE listing —
+                    # Spark's in-flight writes touch deep task paths
+                    # (_temporary/0/task_.../part-...), not the top level,
+                    # so a shallow probe would age out a live long-running
+                    # writer and delete its output mid-write (ADVICE r10)
                     ages = [
                         t
                         for t in (
                             self.commit.io_mtime(p),
                             *(
-                                self.commit.io_mtime(os.path.join(p, n))
-                                for n in self.commit.io_list_dir(p)
+                                self.commit.io_mtime(f)
+                                for f in self.commit.io_list_files(p)
                             ),
                         )
                         if t is not None
@@ -3312,7 +3315,12 @@ class TableStore(TableFormat):
         this explicit materialization. The source version is untouched
         and the export participates in no commit protocol (``dest`` must
         not already exist — loud error, never a silent merge). Returns
-        ``{files, bytes, mode}`` where mode is "link" or "copy"."""
+        ``{files, bytes, mode, modes}``: ``modes`` counts per transfer
+        kind and ``mode`` summarizes — "link" only when EVERY file
+        linked, "copy" when every file copied, "mixed" otherwise (ADVICE
+        r10: the last file's mode misreported a mixed export). Byte
+        accounting goes through the commit seam (``io_size``), so a
+        non-filesystem backend reports real sizes, not 0."""
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version
         entry = next((e for e in meta["versions"] if e["v"] == v), None)
@@ -3322,13 +3330,15 @@ class TableStore(TableFormat):
             raise ValueError(f"materialize_version: {dest} already exists")
         fm = self._version_filemap(table, entry)
         n_bytes = 0
-        mode = "link"
+        modes: dict[str, int] = {}
         for rel, vphys in sorted(fm.items()):
             src = os.path.join(self._version_dir(table, vphys), rel)
-            mode = self.commit.link_or_copy(src, os.path.join(dest, rel))
-            n_bytes += os.path.getsize(src) if os.path.exists(src) else 0
+            m = self.commit.link_or_copy(src, os.path.join(dest, rel))
+            modes[m] = modes.get(m, 0) + 1
+            n_bytes += self.commit.io_size(src) or 0
         self.commit.put_object(os.path.join(dest, "_SUCCESS"), b"")
-        return {"files": len(fm), "bytes": n_bytes, "mode": mode}
+        mode = next(iter(modes)) if len(modes) == 1 else ("mixed" if modes else "link")
+        return {"files": len(fm), "bytes": n_bytes, "mode": mode, "modes": modes}
 
     def rollback(self, table: str, to_version: int | None = None) -> int:
         """RESTORE VERSION AS OF: repoint current to the previous (or given)

@@ -227,6 +227,15 @@ class StorageCommit(ABC):
         except OSError:
             return None
 
+    def io_size(self, path: str) -> int | None:
+        """Object size in bytes (a HEAD request on a real store), or
+        None when absent — byte accounting must never force a
+        filesystem assumption (ADVICE r10: materialize_version)."""
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+
     def io_mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -279,7 +288,7 @@ class StorageCommit(ABC):
         raw = self._obj_get(os.path.join(table_dir, "_meta.json"))
         return json.loads(raw) if raw is not None else None
 
-    def _latest(self, table_dir: str) -> tuple[int, dict | None]:
+    def _latest(self, table_dir: str) -> tuple[int, dict | None, list[int]]:
         seqs = []
         for key in self._obj_list(self._ptr_dir(table_dir)):
             m = self._PTR.search(key)
@@ -290,12 +299,18 @@ class StorageCommit(ABC):
                 os.path.join(self._ptr_dir(table_dir), f"ptr-{seq:012d}.json")
             )
             if raw is not None:  # pruned between list and get — take the next
-                return seq, json.loads(raw)
-        return -1, self._legacy_pointer(table_dir)
+                return seq, json.loads(raw), seqs
+        return -1, self._legacy_pointer(table_dir), seqs
 
     def read_pointer(self, table_dir: str) -> dict | None:
         """The table's pointer record ({current, txns}), or None."""
         return self._latest(table_dir)[1]
+
+    # (prune note) write_pointer deletes only entries PRESENT in the swap's
+    # own listing — the delete bill per swap is O(entries actually stale),
+    # not O(table age) (ADVICE r10: the old range(0, seq+1-keep_log) loop
+    # re-deleted every historical seq on every swap, an O(n^2) cumulative
+    # request bill on a real object store, mostly for keys already gone).
 
     def write_pointer(self, table_dir: str, mutate) -> dict:
         """Swap the pointer: ``mutate(prev: dict | None) -> dict`` is
@@ -312,11 +327,12 @@ class StorageCommit(ABC):
         ``keep_log`` entries and any legacy ``_meta.json`` is retired —
         old entries are dead: max() of what remains is unaffected."""
         while True:
-            seq, prev = self._latest(table_dir)
+            seq, prev, seqs = self._latest(table_dir)
             rec = mutate(prev)
             key = os.path.join(self._ptr_dir(table_dir), f"ptr-{seq + 1:012d}.json")
             if self.put_if_absent(key, json.dumps(rec).encode()):
-                for old in range(max(0, seq + 1 - self.keep_log)):
+                cutoff = seq + 1 - self.keep_log
+                for old in (s for s in seqs if s < cutoff):
                     self._obj_delete(
                         os.path.join(self._ptr_dir(table_dir), f"ptr-{old:012d}.json")
                     )
@@ -459,6 +475,13 @@ class ConditionalPutCommit(StorageCommit):
     def io_mtime(self, path: str) -> float | None:
         return self.backend.mtime(path)
 
+    def io_size(self, path: str) -> int | None:
+        size = getattr(self.backend, "size", None)
+        if size is not None:
+            return size(path)
+        raw = self.backend.get(path)  # backend without HEAD: one GET
+        return None if raw is None else len(raw)
+
     def io_mkdirs(self, path: str) -> None:
         pass  # object stores have no directories
 
@@ -538,6 +561,12 @@ class LocalEmulatedBackend:
     def mtime(self, key: str) -> float | None:
         try:
             return os.path.getmtime(key)
+        except OSError:
+            return None
+
+    def size(self, key: str) -> int | None:
+        try:
+            return os.path.getsize(key)
         except OSError:
             return None
 
@@ -625,6 +654,11 @@ class FakeObjectStore:
     def mtime(self, key: str) -> float | None:
         with self._lock:
             return self._mtimes.get(key)
+
+    def size(self, key: str) -> int | None:
+        with self._lock:
+            raw = self._objects.get(key)
+            return None if raw is None else len(raw)
 
     def open_input(self, key: str):
         import io

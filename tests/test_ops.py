@@ -991,6 +991,39 @@ def test_tablestore_sidecar_names_injective(spark, tmp_path):
     assert store.last_txn("t", "app 1") == 7
 
 
+def test_vacuum_markerless_sweep_ages_by_deep_mtime(spark, tmp_path):
+    """ADVICE r10: Spark's in-flight direct-publish writes touch DEEP
+    task paths (_temporary/0/task_.../part-...), not the version dir's
+    top level — the marker-less sweep must age a candidate by the newest
+    mtime over the RECURSIVE listing, or a job running longer than
+    stage_ttl_seconds loses its live output mid-write."""
+    import os as _os
+    import time as _time
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.write("t", spark.range(3))
+    store.write("t", spark.range(4))
+    # a marker-less version dir: top level + shallow child aged stale,
+    # but one DEEP task file still fresh — a live long-running writer
+    orphan = _os.path.join(str(tmp_path), "t", "v0099")
+    deep = _os.path.join(orphan, "_temporary", "0", "task_202608_0001_m_000000")
+    _os.makedirs(deep)
+    fresh = _os.path.join(deep, "part-00000.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"inflight")
+    old = _time.time() - 7200
+    for p in (orphan, _os.path.join(orphan, "_temporary"), deep):
+        _os.utime(p, (old, old))
+    store.vacuum("t", keep_latest=1, stage_ttl_seconds=3600.0)
+    assert _os.path.exists(fresh), "live deep-writing job's output was reaped"
+    # once the deep file is stale too, the residue is a dead writer's
+    _os.utime(fresh, (old, old))
+    store.vacuum("t", keep_latest=1, stage_ttl_seconds=3600.0)
+    assert not _os.path.exists(orphan), "expired orphan survived"
+
+
 def test_tablestore_vacuum_protects_live_staging(spark, tmp_path):
     """vacuum must never reap a LIVE writer's staging dir (between job
     completion and the validate+rename) — only stages older than the TTL,

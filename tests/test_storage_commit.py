@@ -141,15 +141,31 @@ def test_pointer_legacy_meta_migrates_to_log(tmp_path):
 
 def test_condput_pointer_log_pruned(tmp_path):
     """The pointer log doesn't grow without bound: after many swaps only
-    the most recent keep_log entries remain, and reads still resolve."""
-    be = LocalEmulatedBackend()
+    the most recent keep_log entries remain, and reads still resolve.
+    The prune bill is O(actually-stale entries) per swap, NOT O(table
+    age) (ADVICE r10: the old loop re-issued a DELETE for every seq from
+    0 on every swap — billable requests for keys already gone)."""
+
+    class DeleteCountingBackend(LocalEmulatedBackend):
+        def __init__(self):
+            self.deletes = 0
+
+        def delete(self, key):
+            self.deletes += 1
+            super().delete(key)
+
+    be = DeleteCountingBackend()
     commit = ConditionalPutCommit(be, keep_log=4)
     tdir = str(tmp_path / "t")
-    for i in range(20):
+    n = 40
+    for i in range(n):
         commit.write_pointer(tdir, lambda prev, i=i: {"current": i, "txns": {}})
-    assert commit.read_pointer(tdir)["current"] == 19
+    assert commit.read_pointer(tdir)["current"] == n - 1
     live = be.list_tree(os.path.join(tdir, "_ptr"))
     assert len(live) <= 5
+    # steady state: each swap retires exactly the one entry that fell out
+    # of the window; the quadratic loop would have issued ~n^2/2 ≈ 800
+    assert be.deletes <= n + commit.keep_log
 
 
 # ---------- fault injection against the in-memory fake ----------
@@ -693,6 +709,38 @@ def test_condput_data_plane_never_touches_os_directly(spark, tmp_path):
         assert store.read("t").count() == 8_000
     assert icp.escapes == [], (
         f"data plane escaped the seam: {sorted(set(icp.escapes))[:10]}"
+    )
+
+
+def test_materialize_version_on_conditional_put(spark, tmp_path):
+    """VERDICT r10 #6: materialize_version works on the object-store
+    commit impl — the export lands through the backend (server-side
+    COPY), byte accounting routes through the seam (io_size) instead of
+    os.path.getsize (which reported 0), the mixed-transfer mode is
+    summarized honestly, and the source version is untouched. The whole
+    export runs under the fs interceptor: zero direct filesystem calls
+    from the data plane on store paths."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    root = str(tmp_path / "store")
+    with _FsInterceptor(root, ("ops.incremental",)) as icp:
+        store = TableStore(
+            spark, root, commit=ConditionalPutCommit(LocalEmulatedBackend())
+        )
+        df = spark.range(0, 10_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        store.write("t", df.repartition(3))
+        store.optimize_layout("t", ["k"], num_files=4)
+        store.delete_in("t", "k", [7])  # current version holds references
+        dest = str(tmp_path / "export")
+        rep = store.materialize_version("t", dest)
+        assert rep["files"] == 4
+        assert rep["mode"] == "copy" and rep["modes"] == {"copy": 4}
+        assert rep["bytes"] > 0, "byte accounting bypassed the seam"
+        got = spark.read.parquet(dest)  # bare engine read, no TableStore
+        assert got.count() == 9_999
+        assert store.read("t").count() == 9_999  # source untouched
+    assert icp.escapes == [], (
+        f"materialize escaped the seam: {sorted(set(icp.escapes))[:10]}"
     )
 
 
