@@ -269,12 +269,34 @@ class TableStore(TableFormat):
         "layout-optimize",
     })
 
-    def __init__(self, spark: SparkSession, root: str, commit=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        commit=None,
+        max_chain_branches: int | None = None,
+        chain_policy: str = "compact",
+    ):
         from .storage_commit import PosixCommit
 
         self.spark = spark
         self.root = root
         self.commit = commit if commit is not None else PosixCommit()
+        # COW reference-chain budget (VERDICT r10 #2): every COW commit
+        # adds a physical generation the read plan unions as its own scan
+        # branch (_read_rels groups files by physical holder). Growth is
+        # bounded ONLY by compaction; making that an engine POLICY rather
+        # than operator advice mirrors Delta's auto-compaction. With a
+        # budget set, a COW commit that leaves the current version
+        # referencing more than `max_chain_branches` physical generations
+        # triggers an inline compact() (chain_policy="compact") or a loud
+        # UserWarning (chain_policy="warn"). None (default) = off.
+        if chain_policy not in ("compact", "warn"):
+            raise ValueError(
+                f"chain_policy must be 'compact' or 'warn', got {chain_policy!r}"
+            )
+        self.max_chain_branches = max_chain_branches
+        self.chain_policy = chain_policy
         # in-process LRU of per-COLUMN bloom filter sets: a version's
         # filters are immutable once built, and re-parsing a multi-MB
         # sidecar per point lookup is pure driver overhead (measured:
@@ -1118,6 +1140,47 @@ class TableStore(TableFormat):
             "files_after": files_after,
             "rows": n_rows,
         }
+
+    def chain_branches(self, table: str, version: int | None = None) -> int:
+        """How many scan branches the version's read plan unions — one
+        per distinct PHYSICAL generation its manifest references
+        (:meth:`_read_rels` reads each generation under its own
+        ``basePath`` and unions). The quantity the chain budget bounds:
+        plan size and scan-setup cost grow with it, results don't."""
+        meta = self._read_meta(table)
+        v = meta["current"] if version is None else version
+        entry = next((e for e in meta["versions"] if e["v"] == v), None)
+        if entry is None:
+            raise ValueError(f"version {v} not committed (or vacuumed) for {table}")
+        fm = self._version_filemap(table, entry)
+        return len(set(fm.values())) if fm else 0
+
+    def _enforce_chain_budget(self, table: str) -> None:
+        """Post-COW-commit policy hook (VERDICT r10 #2). Runs AFTER the
+        mutation's own version is pointed, so the mutation's result is
+        durable either way; the inline compact is conflict-checked
+        (``expect_base``) like any maintenance rewrite, and a lost race
+        means a concurrent writer already superseded the chain — their
+        commit re-evaluates the budget itself."""
+        if self.max_chain_branches is None:
+            return
+        branches = self.chain_branches(table)
+        if branches <= self.max_chain_branches:
+            return
+        if self.chain_policy == "warn":
+            import warnings
+
+            warnings.warn(
+                f"{table}: current version unions {branches} physical "
+                f"generations (budget {self.max_chain_branches}) — run "
+                f"compact({table!r}) to restore a single-generation scan",
+                stacklevel=3,
+            )
+            return
+        try:
+            self.compact(table)
+        except ConcurrentWriteError:
+            pass  # a concurrent writer superseded the chain already
 
     def _resolve_partition_by(
         self, partition_by: list[str] | None, rels: list[str]
@@ -3004,6 +3067,7 @@ class TableStore(TableFormat):
         before = sum(stats["files"][rel].get("rows") or 0 for rel in rewrite)
         dropped_rows = sum(stats["files"][rel].get("rows") or 0 for rel in dropped)
         self._write_pointer(table, version, expect_base=entry["v"])
+        self._enforce_chain_budget(table)
         report = {
             **report,
             "files_linked": len(all_rels) - len(affected),
@@ -3128,6 +3192,7 @@ class TableStore(TableFormat):
         before = sum(stats["files"][rel].get("rows") or 0 for rel in affected)
         dropped_rows = sum(stats["files"][rel].get("rows") or 0 for rel in dropped)
         self._write_pointer(table, version, expect_base=entry["v"])
+        self._enforce_chain_budget(table)
         return version, {
             **report_base,
             "rewrite_output_files": moved,
@@ -3275,6 +3340,7 @@ class TableStore(TableFormat):
         )
         n_updates = up.count()
         self._write_pointer(table, version, txn=_txn, expect_base=entry["v"])
+        self._enforce_chain_budget(table)
         # target rows REPLACED by the merge (removed from affected files);
         # update rows all land, so inserted-vs-updated splits only when
         # target keys are unique — report the unambiguous quantities

