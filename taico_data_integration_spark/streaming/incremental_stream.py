@@ -227,6 +227,91 @@ def stream_merge_into(
     return q
 
 
+def stream_index_append(
+    vectors: DataFrame,
+    store,
+    index_table: str,
+    checkpoint_dir: str,
+    app_id: str,
+    cow_max_keys: int = 10_000,
+    verify_unchanged: bool = False,
+):
+    """Streaming semantic-index maintenance (VERDICT r10 #4): each
+    micro-batch of vectors lands in the pinned IVF index's CORPUS table
+    through the exactly-once txn ledger, then the index catches up via
+    :func:`llm.ivf_store.append` — new vectors assign to the EXISTING
+    centroids and merge as a pure insert (O(batch), share-by-reference),
+    and the pin advances. The composition of :func:`stream_merge_into`'s
+    sink discipline with the version-pinned index store; FAISS
+    ``add()``-on-arrival, with Spark's recovery semantics.
+
+    Exactly-once without a distributed transaction across the two
+    tables: the corpus commit is guarded by (app_id, batch_id) — a
+    redelivered batch writes NO corpus version — and the index catch-up
+    runs on EVERY batch, replayed or not. When the pin already matches
+    the corpus version the catch-up is one pointer read and a no-op
+    (append returns without touching storage), so a full redelivery
+    commits nothing on either table; when the previous batch crashed
+    BETWEEN the corpus commit and the index append, the next batch's
+    catch-up appends the stranded vectors — the index can trail the
+    corpus by at most one commit, and probe() refuses to serve in that
+    window (the staleness error is the gap's loud signal).
+
+    ``verify_unchanged`` defaults False here (unlike ``append``'s
+    standalone default): micro-batches through THIS sink are inserts by
+    construction, and the O(corpus) embedding-equality join per batch is
+    the wrong steady-state cost; deletions from any other writer still
+    refuse loudly via the missing-id check. The index must exist before
+    the stream starts (:func:`llm.ivf_store.build`) — pin metadata is
+    the id/vec column contract. Returns ``(query, reports)``: one report
+    per delivered batch ({batch_id, replayed, appended})."""
+    from ..llm import ivf_store
+
+    rec = ivf_store.pin_info(store, index_table)
+    corpus_table, id_col = rec["corpus_table"], rec["id_col"]
+    reports: list[dict] = []
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.last_txn(corpus_table, app_id)
+        replayed = last is not None and batch_id <= last
+        if not replayed:
+            up = batch_df.select(*store.read(corpus_table).columns)
+            try:
+                store.merge_in_with_txn(
+                    corpus_table, up, [id_col], app_id, batch_id,
+                    max_keys=cow_max_keys,
+                )
+            except ValueError:
+                # contract miss (key count/NULLs/layout): full merge
+                target = store.read(corpus_table)
+                merged = merge_upsert(target, up, [id_col])
+                store.write_with_txn(
+                    corpus_table, merged, app_id, batch_id,
+                    partition_by=store.current_partition_columns(corpus_table)
+                    or None,
+                )
+        rep = ivf_store.append(
+            store, index_table,
+            verify_unchanged=verify_unchanged, max_keys=cow_max_keys,
+        )
+        reports.append(
+            {
+                "batch_id": batch_id,
+                "replayed": replayed,
+                "appended": int(rep.get("appended", 0)),
+            }
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q, reports
+
+
 def stream_hll_rollup(
     events: DataFrame,
     store: TableFormat,
