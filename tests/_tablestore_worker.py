@@ -110,6 +110,107 @@ def stream_merge_main(root: str, input_dir: str, ckpt: str, mode: str, sentinel:
     return 0
 
 
+def cow_stress_main(root: str, worker_id: str, n_ops: str, result: str) -> int:
+    """VERDICT r10 #5 worker: one real OS process hammering a SHARED
+    conditional-put store with COW mutations and racing vacuums. Each
+    worker owns a disjoint key range (wid*1M ..) and keeps a local ledger
+    of every committed insert/delete; after EVERY op it reads the table
+    back and compares its own live keyset against the ledger — any
+    mismatch is a torn read or a lost update, recorded verbatim.
+    ConcurrentWriteError is the one legitimate failure: the op retries
+    against the new current. Dumps {ok, conflicts, ops, torn,
+    final_keys} JSON to <result>."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+    from taico_data_integration_spark.ops.storage_commit import (
+        ConditionalPutCommit,
+        LocalEmulatedBackend,
+    )
+
+    wid, ops = int(worker_id), int(n_ops)
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"cow-stress-{wid}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "1500m")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    store = TableStore(
+        spark, root, commit=ConditionalPutCommit(LocalEmulatedBackend())
+    )
+    lo, hi = wid * 1_000_000, (wid + 1) * 1_000_000
+    mine: set[int] = set()
+    minted = 0
+    conflicts = 0
+    torn: list[dict] = []
+
+    def commit_with_retry(op) -> bool:
+        nonlocal conflicts
+        for attempt in range(80):
+            try:
+                op()
+                return True
+            except ConcurrentWriteError:
+                conflicts += 1
+                time.sleep(0.02 * (attempt % 5 + 1))
+        return False
+
+    ok = True
+    for i in range(ops):
+        if i % 4 == 3 and len(mine) >= 2:
+            doomed = sorted(mine)[:2]
+            if not commit_with_retry(lambda: store.delete_in("t", "k", doomed)):
+                ok = False
+                break
+            mine -= set(doomed)
+        else:
+            batch = [(lo + minted + j, float(wid)) for j in range(3)]
+            bdf = spark.createDataFrame(batch, "k bigint, v double")
+            if not commit_with_retry(lambda: store.merge_in("t", bdf, "k")):
+                ok = False
+                break
+            mine |= {k for k, _ in batch}
+            minted += 3
+        if i % 3 == 2:
+            # racing vacuum: keep_latest covers every version a racing
+            # reader can still be planning against in this op cadence
+            store.vacuum("t", keep_latest=8, stage_ttl_seconds=3600.0)
+        got = {
+            r.k
+            for r in store.read("t")
+            .where((F.col("k") >= lo) & (F.col("k") < hi))
+            .select("k")
+            .collect()
+        }
+        if got != mine:
+            torn.append(
+                {
+                    "op": i,
+                    "missing": sorted(mine - got)[:10],
+                    "phantom": sorted(got - mine)[:10],
+                }
+            )
+    with open(result, "w") as f:
+        json.dump(
+            {
+                "ok": ok and not torn,
+                "conflicts": conflicts,
+                "ops": ops,
+                "torn": torn,
+                "final_keys": sorted(mine),
+            },
+            f,
+        )
+    spark.stop()
+    return 0
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "promote":
@@ -118,4 +219,6 @@ if __name__ == "__main__":
         sys.exit(hang_main(*sys.argv[2:4]))
     elif mode == "stream_merge":
         sys.exit(stream_merge_main(*sys.argv[2:7]))
+    elif mode == "cow_stress":
+        sys.exit(cow_stress_main(*sys.argv[2:6]))
     sys.exit(2)

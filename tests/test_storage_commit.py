@@ -782,3 +782,73 @@ def test_condput_ivf_store_never_touches_os_directly(spark, tmp_path):
     assert icp.escapes == [], (
         f"ivf_store escaped the seam: {sorted(set(icp.escapes))[:10]}"
     )
+
+
+def test_multiprocess_cow_stress_on_conditional_put(spark, tmp_path):
+    """VERDICT r10 #5: N real writer PROCESSES x COW mutations x racing
+    vacuums on ONE conditional-put store. Every worker keeps a ledger of
+    its committed inserts/deletes over a private key range and verifies
+    the table against it after every op — zero lost updates, zero torn
+    reads; ConcurrentWriteError (retried) is the only legitimate
+    failure. The parent then checks the global final state: base rows
+    untouched, each worker's range exactly its ledger, pointer/history
+    consistent."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    root = str(tmp_path / "store")
+    store = TableStore(
+        spark, root, commit=ConditionalPutCommit(LocalEmulatedBackend())
+    )
+    base = spark.range(0, 5_000).selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS v")
+    store.write("t", base.repartition(4))
+    store.collect_file_stats("t", ["k"])
+
+    worker = os.path.join(os.path.dirname(__file__), "_tablestore_worker.py")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(worker)))
+    n_workers, n_ops = 3, 8
+    procs, results = [], {}
+    t0 = _time.time()
+    for wid in range(1, n_workers + 1):
+        results[wid] = str(tmp_path / f"stress_{wid}.json")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, "cow_stress", root, str(wid), str(n_ops), results[wid]],
+                env=env,
+            )
+        )
+    try:
+        for p in procs:
+            assert p.wait(timeout=540) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    elapsed = _time.time() - t0
+
+    expected_keys = set(range(5_000))
+    total_conflicts = 0
+    for wid in range(1, n_workers + 1):
+        with open(results[wid]) as f:
+            rep = json.load(f)
+        assert rep["torn"] == [], f"worker {wid} saw torn reads: {rep['torn'][:3]}"
+        assert rep["ok"], f"worker {wid} starved or failed: {rep}"
+        expected_keys |= set(rep["final_keys"])
+        total_conflicts += rep["conflicts"]
+
+    got = {r.k for r in store.read("t").select("k").collect()}
+    assert got == expected_keys, (
+        f"lost updates: missing {sorted(expected_keys - got)[:10]}, "
+        f"phantom {sorted(got - expected_keys)[:10]}"
+    )
+    hist = store.history("t")
+    assert sum(h["is_current"] for h in hist) == 1
+    # the run genuinely contended (the retry path executed) on most runs;
+    # don't flake when the interleaving happened to serialize
+    print(
+        f"cow-stress: {n_workers} procs x {n_ops} ops in {elapsed:.0f}s, "
+        f"{total_conflicts} conflicts retried, {len(hist)} live versions"
+    )
