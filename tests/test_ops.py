@@ -3952,3 +3952,67 @@ def test_materialize_version_exports_self_contained_snapshot(spark, tmp_path):
     g2 = spark.read.parquet(dest2)
     assert dict(g2.dtypes)["p"] == "int" and g2.count() == 2_999
     assert _os.path.isdir(_os.path.join(dest2, "p=1"))
+
+
+def test_merge_in_schema_evolution_on_cow_fast_path(spark, tmp_path):
+    """VERDICT r10 #7: schema evolution WITHOUT leaving the COW fast
+    path. evolve_schema=True adds the batch's new columns to the table —
+    only the rewrite outputs carry them physically, untouched files still
+    share by reference and read NULL for the new columns; results equal
+    merge_upsert(evolve_schema=True). Extra columns without the flag are
+    a loud error (never silently dropped). Pruned reads of pre-evolution
+    files, pinned old versions, follow-up merges and compaction all stay
+    consistent."""
+    from taico_data_integration_spark.ops.incremental import (
+        TableStore,
+        merge_upsert,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v_pre = store._read_meta("t")["current"]
+
+    wide = spark.createDataFrame(
+        [(5, -1.0, "x"), (10**7, -2.0, "y")], "k bigint, v double, w string"
+    )
+    # loud contract without the flag — extras are never silently dropped
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        store.merge_in("t", wide, "k")
+
+    version, rep = store.merge_in("t", wide, "k", evolve_schema=True)
+    assert rep["files_linked"] > 0, "evolution left the COW fast path"
+    got = store.read("t")
+    assert got.columns == ["k", "v", "w"]
+    expect = merge_upsert(store.read("t", version=v_pre), wide, ["k"], evolve_schema=True)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    assert got.where("w IS NOT NULL").count() == 2
+    assert got.count() == 20_001
+
+    # pinned pre-evolution version is untouched — old schema, old rows
+    old = store.read("t", version=v_pre)
+    assert old.columns == ["k", "v"] and old.count() == 20_000
+
+    # a pruned read that touches ONLY pre-evolution files still serves the
+    # version's contract schema (w as NULL)
+    pruned, _rep = store.read_pruned("t", "k", lo=15_000, hi=15_010)
+    assert pruned.columns == ["k", "v", "w"]
+    assert pruned.where("k = 15005").count() == 1
+
+    # follow-up merge in the EVOLVED schema keeps working on the fast path
+    more = spark.createDataFrame([(6, -3.0, "z")], "k bigint, v double, w string")
+    store.merge_in("t", more, "k")
+    assert store.read("t").where("w = 'z'").count() == 1
+
+    # and a batch that misses the evolved column is now a missing-cols error
+    with pytest.raises(ValueError, match="missing"):
+        store.merge_in(
+            "t", spark.createDataFrame([(7, -4.0)], "k bigint, v double"), "k"
+        )
+
+    # compact homogenizes the chain; nothing changes logically
+    store.compact("t")
+    got2 = store.read("t")
+    assert got2.count() == 20_001 and got2.where("w IS NOT NULL").count() == 3
