@@ -1206,6 +1206,99 @@ WHERE c_mktsegment <> 'BUILDING'
 """
 
 
+def lifecycle_chain_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11 (VERDICT r10 #2 + #7) under the driver's gate: the COW
+    reference-chain budget as an engine POLICY, plus schema evolution on
+    the merge fast path. A clustered customer table takes three narrow
+    merges (the chain grows one physical generation each) and then an
+    ``evolve_schema=True`` merge that ADDS a column while still sharing
+    untouched files by reference (files_linked > 0, asserted). The
+    fourth commit breaks the ``max_chain_branches=4`` budget, so the
+    store compacts INLINE — the chain collapses to one generation
+    without any operator action (asserted). The final table — updated
+    balances, new ``vip`` column NULL everywhere except the evolved
+    batch — hashes against a plain CASE oracle."""
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    mx = cust.agg(F.max("c_custkey")).first()[0]
+    # single-key merges at well-separated keyspace positions: each one
+    # rewrites only the file its key lives in, so the chain grows exactly
+    # one physical generation per merge regardless of scale factor
+    k1, k2, k3, ke = mx // 6, mx // 2, 5 * mx // 6, mx // 3
+    work = tempfile.mkdtemp(prefix="taico_lcg_chainevo_")
+    try:
+        store = TableStore(
+            spark, os.path.join(work, "store"), max_chain_branches=4
+        )
+        store.write("cust", cust.repartition(4))
+        store.optimize_layout("cust", ["c_custkey"], num_files=8)
+
+        def batch(pred, bal):
+            return store.read("cust").where(pred).withColumn(
+                "acctbal", F.lit(bal).cast("double")
+            )
+
+        store.merge_in("cust", batch(F.col("c_custkey") == k1, 111.0), "c_custkey")
+        store.merge_in("cust", batch(F.col("c_custkey") == k2, 222.0), "c_custkey")
+        store.merge_in("cust", batch(F.col("c_custkey") == k3, 333.0), "c_custkey")
+        branches_before = store.chain_branches("cust")
+        if branches_before != 4:
+            raise RuntimeError(
+                f"lifecycle_chain_evolution_gate: expected a 4-generation "
+                f"chain before the evolving merge, got {branches_before}"
+            )
+        evolve = batch(
+            F.col("c_custkey").between(ke - 2, ke + 2), 444.0
+        ).withColumn("vip", F.lit("Y"))
+        v4, rep = store.merge_in("cust", evolve, "c_custkey", evolve_schema=True)
+        if rep["files_linked"] < 1:
+            raise RuntimeError(
+                "lifecycle_chain_evolution_gate: the evolving merge left "
+                f"the COW fast path {rep}"
+            )
+        after = store.chain_branches("cust")
+        if after != 1:
+            raise RuntimeError(
+                "lifecycle_chain_evolution_gate: the budget policy did not "
+                f"compact the over-budget chain (branches={after})"
+            )
+        hist = [e["v"] for e in store.history("cust")]
+        if v4 not in hist or max(hist) == v4:
+            raise RuntimeError(
+                "lifecycle_chain_evolution_gate: no inline compact version "
+                f"landed after the evolving merge (history={hist})"
+            )
+        got = store.read("cust")
+        if got.columns != ["c_custkey", "c_name", "acctbal", "vip"]:
+            raise RuntimeError(
+                f"lifecycle_chain_evolution_gate: evolved schema wrong: {got.columns}"
+            )
+        return _materialize(got)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CHAIN_EVOLUTION_SQL = """
+WITH m AS (SELECT CAST(FLOOR(MAX(c_custkey) / 6.0) AS BIGINT) AS k1,
+                  CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS k2,
+                  CAST(FLOOR(5 * MAX(c_custkey) / 6.0) AS BIGINT) AS k3,
+                  CAST(FLOOR(MAX(c_custkey) / 3.0) AS BIGINT) AS ke
+           FROM customer)
+SELECT c.c_custkey, c.c_name,
+       CAST(CASE WHEN c.c_custkey BETWEEN m.ke - 2 AND m.ke + 2 THEN 444.0
+                 WHEN c.c_custkey = m.k3 THEN 333.0
+                 WHEN c.c_custkey = m.k2 THEN 222.0
+                 WHEN c.c_custkey = m.k1 THEN 111.0
+                 ELSE c.c_acctbal END AS DOUBLE) AS acctbal,
+       CASE WHEN c.c_custkey BETWEEN m.ke - 2 AND m.ke + 2 THEN 'Y'
+            ELSE NULL END AS vip
+FROM customer c, m
+"""
+
+
 QUERIES = {
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_cow_merge": lifecycle_cow_merge,
@@ -1213,6 +1306,7 @@ QUERIES = {
     "lifecycle_cow_delete_partitioned": lifecycle_cow_delete_partitioned,
     "lifecycle_metadata_delete_gate": lifecycle_metadata_delete_gate,
     "lifecycle_sharedref_commit_gate": lifecycle_sharedref_commit_gate,
+    "lifecycle_chain_evolution_gate": lifecycle_chain_evolution_gate,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -1233,6 +1327,7 @@ ORACLE = {
     "lifecycle_cow_delete_partitioned": COW_DELETE_PARTITIONED_SQL,
     "lifecycle_metadata_delete_gate": METADATA_DELETE_SQL,
     "lifecycle_sharedref_commit_gate": SHAREDREF_COMMIT_SQL,
+    "lifecycle_chain_evolution_gate": CHAIN_EVOLUTION_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
