@@ -4016,3 +4016,109 @@ def test_merge_in_schema_evolution_on_cow_fast_path(spark, tmp_path):
     store.compact("t")
     got2 = store.read("t")
     assert got2.count() == 20_001 and got2.where("w IS NOT NULL").count() == 3
+
+
+def test_metadata_only_schema_alterations(spark, tmp_path):
+    """Round 11: ALTER TABLE ADD/DROP COLUMNS as METADATA-ONLY commits —
+    the new version references every file unchanged and records the new
+    schema; zero data movement (the version dir holds only manifest +
+    marker). Existing rows read NULL for added columns; dropped columns
+    vanish immediately and purge physically on the next rewrite. Guards:
+    duplicate add, unknown/partition/constraint-referenced/total drop
+    all refuse loudly."""
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v1 = store._read_meta("t")["current"]
+    fm1 = store._version_filemap(
+        "t", next(e for e in store._read_meta("t")["versions"] if e["v"] == v1)
+    )
+
+    v2 = store.add_columns("t", {"w": "string", "score": "double"})
+    d2 = _os.path.join(str(tmp_path), "t", f"v{v2:04d}")
+    # zero data movement: the version dir holds only manifest + marker
+    assert sorted(_os.listdir(d2)) == ["_MANIFEST.json", "_SUCCESS"]
+    entry2 = next(e for e in store._read_meta("t")["versions"] if e["v"] == v2)
+    assert store._version_filemap("t", entry2) == fm1  # every file referenced
+    got = store.read("t")
+    assert got.columns == ["k", "v", "w", "score"]
+    assert got.count() == 20_000
+    assert got.where("w IS NOT NULL OR score IS NOT NULL").count() == 0
+    assert dict(got.dtypes)["score"] == "double"
+    # time travel: the pre-alter version keeps its schema
+    assert store.read("t", version=v1).columns == ["k", "v"]
+    # pruned reads serve the new contract too
+    pruned, _ = store.read_pruned("t", "k", lo=100, hi=110)
+    assert pruned.columns == ["k", "v", "w", "score"]
+
+    with pytest.raises(ValueError, match="already exist"):
+        store.add_columns("t", {"w": "string"})
+
+    # the next merge covers the widened schema and materializes values
+    up = spark.createDataFrame(
+        [(5, -1.0, "x", 0.9)], "k bigint, v double, w string, score double"
+    )
+    store.merge_in("t", up, "k")
+    assert store.read("t").where("w = 'x' AND score = 0.9").count() == 1
+
+    # drop guards
+    with pytest.raises(ValueError, match="not in"):
+        store.drop_columns("t", ["nope"])
+    store.set_constraint("t", "score_range", "score IS NULL OR score <= 1.0")
+    with pytest.raises(ValueError, match="constraint"):
+        store.drop_columns("t", ["score"])
+    store.drop_constraint("t", "score_range")
+
+    v4 = store.drop_columns("t", ["v", "score"])
+    got2 = store.read("t")
+    assert got2.columns == ["k", "w"]
+    assert got2.count() == 20_000 and got2.where("w = 'x'").count() == 1
+    with pytest.raises(ValueError, match="every column"):
+        store.drop_columns("t", ["k", "w"])
+    # physical purge on rewrite: compact writes files without the bytes
+    store.compact("t")
+    ventry = next(
+        e
+        for e in store._read_meta("t")["versions"]
+        if e["v"] == store._read_meta("t")["current"]
+    )
+    vdir = ventry["path"]
+    pf = next(
+        _os.path.join(dp, n)
+        for dp, _ds, ns in _os.walk(vdir)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    import pyarrow.parquet as pq
+
+    assert set(pq.read_schema(pf).names) == {"k", "w"}
+    assert store.read("t").columns == ["k", "w"]
+
+    # partition-column drop refused on a partitioned layout
+    pdf = spark.range(0, 3_000).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    store.write("pt", pdf, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition columns"):
+        store.drop_columns("pt", ["p"])
+
+    # the whole surface works identically on the conditional-put impl
+    from taico_data_integration_spark.ops.storage_commit import (
+        ConditionalPutCommit,
+        LocalEmulatedBackend,
+    )
+
+    cstore = TableStore(
+        spark,
+        str(tmp_path / "cond"),
+        commit=ConditionalPutCommit(LocalEmulatedBackend()),
+    )
+    cstore.write("t", df.repartition(2))
+    cstore.add_columns("t", {"w": "string"})
+    assert cstore.read("t").columns == ["k", "v", "w"]
+    cstore.drop_columns("t", ["v"])
+    assert cstore.read("t").columns == ["k", "w"]
+    assert cstore.read("t").count() == 20_000
