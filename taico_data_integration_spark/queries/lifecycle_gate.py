@@ -1281,6 +1281,67 @@ def lifecycle_chain_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 11: metadata-only ALTER TABLE under the driver's gate. An
+    ``add_columns`` commit and a ``drop_columns`` commit must each write
+    ONLY manifest + marker (zero data objects — asserted on the version
+    directories), reference every base file unchanged, and serve the new
+    contract immediately: the added ``note`` column reads NULL except
+    where a follow-up merge materialized it, the dropped
+    ``c_mktsegment`` vanishes while its bytes stay in the referenced
+    files. Hashes against a plain projection oracle."""
+    import os as _os
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_alter_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("cust", cust.repartition(4))
+        store.optimize_layout("cust", ["c_custkey"], num_files=8)
+
+        v_add = store.add_columns("cust", {"note": "string"})
+        d_add = _os.path.join(work, "store", "cust", f"v{v_add:04d}")
+        if sorted(_os.listdir(d_add)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: add_columns moved data: "
+                f"{sorted(_os.listdir(d_add))}"
+            )
+        batch = (
+            store.read("cust")
+            .where(F.col("c_custkey") <= 20)
+            .withColumn("note", F.lit("vip"))
+        )
+        store.merge_in("cust", batch, "c_custkey")
+
+        v_drop = store.drop_columns("cust", ["c_mktsegment"])
+        d_drop = _os.path.join(work, "store", "cust", f"v{v_drop:04d}")
+        if sorted(_os.listdir(d_drop)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: drop_columns moved data: "
+                f"{sorted(_os.listdir(d_drop))}"
+            )
+        got = store.read("cust")
+        if got.columns != ["c_custkey", "c_name", "acctbal", "note"]:
+            raise RuntimeError(
+                f"lifecycle_schema_alter_gate: wrong contract {got.columns}"
+            )
+        return _materialize(got)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SCHEMA_ALTER_SQL = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+       CASE WHEN c_custkey <= 20 THEN 'vip' ELSE NULL END AS note
+FROM customer
+"""
+
+
 CHAIN_EVOLUTION_SQL = """
 WITH m AS (SELECT CAST(FLOOR(MAX(c_custkey) / 6.0) AS BIGINT) AS k1,
                   CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS k2,
@@ -1307,6 +1368,7 @@ QUERIES = {
     "lifecycle_metadata_delete_gate": lifecycle_metadata_delete_gate,
     "lifecycle_sharedref_commit_gate": lifecycle_sharedref_commit_gate,
     "lifecycle_chain_evolution_gate": lifecycle_chain_evolution_gate,
+    "lifecycle_schema_alter_gate": lifecycle_schema_alter_gate,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -1328,6 +1390,7 @@ ORACLE = {
     "lifecycle_metadata_delete_gate": METADATA_DELETE_SQL,
     "lifecycle_sharedref_commit_gate": SHAREDREF_COMMIT_SQL,
     "lifecycle_chain_evolution_gate": CHAIN_EVOLUTION_SQL,
+    "lifecycle_schema_alter_gate": SCHEMA_ALTER_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,
