@@ -80,7 +80,7 @@ CAPABILITY_METHODS: dict[str, tuple[str, ...]] = {
     "txn-exactly-once": ("write_with_txn", "merge_in_with_txn", "last_txn"),
     "check-constraints": ("set_constraint", "drop_constraint", "constraints"),
     "layout-optimize": ("optimize_layout", "optimize_layout_zorder", "compact"),
-    "schema-evolution": ("add_columns", "drop_columns"),
+    "schema-evolution": ("add_columns", "drop_columns", "rename_columns"),
 }
 
 

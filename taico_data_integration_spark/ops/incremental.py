@@ -402,16 +402,27 @@ class TableStore(TableFormat):
 
     @staticmethod
     def _manifest_record(
-        files: list[dict], partition_by: list[str], schema_json: str | None
+        files: list[dict],
+        partition_by: list[str],
+        schema_json: str | None,
+        renames: list[dict] | None = None,
     ) -> bytes:
-        return json.dumps(
-            {
-                "format": 1,
-                "schema": schema_json,
-                "partition_by": partition_by,
-                "files": sorted(files, key=lambda f: f["rel"]),
-            }
-        ).encode()
+        """``renames`` (round 11, rename_columns) is the version's column
+        MAPPING history: entries {"from", "to", "since"} meaning files
+        whose physical version predates ``since`` carry the column under
+        its old name — the read path renames per generation. COW commits
+        carry the base version's list forward (references keep their old
+        physical names); full rewrites reset it (the rewrite purges old
+        names physically)."""
+        rec = {
+            "format": 1,
+            "schema": schema_json,
+            "partition_by": partition_by,
+            "files": sorted(files, key=lambda f: f["rel"]),
+        }
+        if renames:
+            rec["renames"] = renames
+        return json.dumps(rec).encode()
 
     def _version_filemap(self, table: str, entry: dict) -> dict[str, int]:
         """rel -> PHYSICAL version for every live file of the version;
@@ -493,14 +504,28 @@ class TableStore(TableFormat):
         groups: dict[int, list[str]] = {}
         for rel in rels:
             groups.setdefault(filemap.get(rel, entry["v"]), []).append(rel)
+        man = self._load_manifest(table, entry) or {}
+        renames = man.get("renames", [])
         dfs = []
         for vphys in sorted(groups):
             vdir = self._version_dir(table, vphys)
-            dfs.append(
-                self.spark.read.option("basePath", vdir).parquet(
-                    *[os.path.join(vdir, rel) for rel in sorted(groups[vphys])]
-                )
+            d = self.spark.read.option("basePath", vdir).parquet(
+                *[os.path.join(vdir, rel) for rel in sorted(groups[vphys])]
             )
+            # column mapping (round 11, rename_columns): generations
+            # written before a rename carry the old physical name —
+            # re-label them here, in commit order, so the union below is
+            # homogeneous again. Catalyst pushes filters through the
+            # rename to the physical column, so pushdown into old
+            # generations is unaffected. A stale physical column under
+            # the NEW name (dropped earlier, bytes still shared) is
+            # discarded first — the recorded schema is the contract.
+            for rn in renames:
+                if rn["since"] > vphys and rn["from"] in d.columns:
+                    if rn["to"] in d.columns:
+                        d = d.drop(rn["to"])
+                    d = d.withColumnRenamed(rn["from"], rn["to"])
+            dfs.append(d)
         # Schema evolution across generations (VERDICT r10 #7 + round-11
         # metadata-only ALTERs): a COW merge with evolve_schema=True adds
         # columns only to its rewrite outputs, add_columns records a
@@ -517,7 +542,6 @@ class TableStore(TableFormat):
         cols0 = set(dfs[0].columns)
         hetero = any(set(d.columns) != cols0 for d in dfs[1:])
         rec_schema = None
-        man = self._load_manifest(table, entry) or {}
         if man.get("schema"):
             from pyspark.sql.types import StructType
 
@@ -2860,6 +2884,9 @@ class TableStore(TableFormat):
 
         pcols = self._partition_cols(all_rels)
         filemap = self._version_filemap(table, entry)
+        # references keep their old physical column names: the base's
+        # rename mapping carries forward (round 11)
+        renames = (self._load_manifest(table, entry) or {}).get("renames", [])
         # read-parity schema for the all-dropped case, resolved BEFORE
         # the base version can change under us
         schema_json = (
@@ -2875,7 +2902,8 @@ class TableStore(TableFormat):
         ]
         if getattr(self.commit, "supports_direct_publish", False):
             return self._cow_commit_direct(
-                table, refs, out, version, path, pcols, schema_json, after_write
+                table, refs, out, version, path, pcols, schema_json,
+                after_write, renames,
             )
         staging = os.path.join(self.root, table, f".stage-v{version:04d}")
         try:
@@ -2911,7 +2939,11 @@ class TableStore(TableFormat):
                         moved += 1
                 shutil.rmtree(rewrite_dir, ignore_errors=True)
             with open(os.path.join(staging, self._MANIFEST_NAME), "w") as f:
-                f.write(self._manifest_record(files, pcols, schema_json).decode())
+                f.write(
+                    self._manifest_record(
+                        files, pcols, schema_json, renames
+                    ).decode()
+                )
             # the commit marker _read_meta requires (Spark writes it for
             # write()'s staging; this staging is hand-assembled)
             open(os.path.join(staging, "_SUCCESS"), "w").close()
@@ -2931,6 +2963,7 @@ class TableStore(TableFormat):
         pcols: list[str],
         schema_json: str,
         after_write,
+        renames: list[dict] | None = None,
     ) -> int:
         """Direct-to-final COW publish (round 10, VERDICT r9 #4): the
         rewrite job writes UNDER THE FINAL VERSION PREFIX — zero staging
@@ -2971,7 +3004,7 @@ class TableStore(TableFormat):
                 moved = len(rels_new)
             self.commit.put_object(
                 os.path.join(path, self._MANIFEST_NAME),
-                self._manifest_record(files, pcols, schema_json),
+                self._manifest_record(files, pcols, schema_json, renames),
             )
             self.commit.commit_direct(
                 path,
@@ -3464,21 +3497,37 @@ class TableStore(TableFormat):
         mode = next(iter(modes)) if len(modes) == 1 else ("mixed" if modes else "link")
         return {"files": len(fm), "bytes": n_bytes, "mode": mode, "modes": modes}
 
-    def _commit_schema_only(self, table: str, entry: dict, schema_json: str) -> int:
+    def _commit_schema_only(
+        self,
+        table: str,
+        entry: dict,
+        schema_json: str,
+        new_renames: list[dict] | None = None,
+    ) -> int:
         """Commit a METADATA-ONLY version: the manifest references every
         file of ``entry`` unchanged and records a new schema — zero data
         movement, zero rewrite jobs, O(1) objects written. Marker-last
         (put-if-absent) is atomic visibility on both commit impls because
         the version holds no data objects; the pointer swap is
-        conflict-checked like any mutation."""
+        conflict-checked like any mutation. ``new_renames`` entries get
+        their ``since`` stamped with the claimed version (every file the
+        new version references predates it by construction)."""
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         fm = self._version_filemap(table, entry)
         pcols = self._partition_cols(list(fm)) if fm else list(
             (self._load_manifest(table, entry) or {}).get("partition_by", [])
         )
+        renames = list(
+            (self._load_manifest(table, entry) or {}).get("renames", [])
+        )
+        for rn in new_renames or []:
+            renames.append({**rn, "since": version})
         record = self._manifest_record(
-            [{"rel": rel, "v": v} for rel, v in fm.items()], pcols, schema_json
+            [{"rel": rel, "v": v} for rel, v in fm.items()],
+            pcols,
+            schema_json,
+            renames,
         )
         try:
             self.commit.put_object(
@@ -3567,6 +3616,75 @@ class TableStore(TableFormat):
             raise ValueError(f"drop_columns: cannot drop every column of {table}")
         return self._commit_schema_only(
             table, entry, StructType(keep_fields).json()
+        )
+
+    def rename_columns(self, table: str, mapping: dict[str, str]) -> int:
+        """ALTER TABLE RENAME COLUMN, metadata-only (round 11): a new
+        version referencing every file unchanged, with the recorded
+        schema renamed and a column MAPPING entry ({from, to, since})
+        appended — generations written before the rename carry the old
+        physical name and the read path re-labels them per generation
+        (Delta column-mapping analog; Catalyst pushes filters through
+        the rename, so pushdown into old generations is unaffected).
+        Rewrites (COW merges touch only affected files; compact the
+        whole table) progressively materialize the new name; stats/bloom
+        skipping over not-yet-rewritten generations degrades to
+        conservative keep-everything on the renamed column until then —
+        correct, just unpruned; ``compact()`` restores it. Refuses
+        partition columns (the name lives in directory paths), unknown
+        sources, colliding or duplicate targets, and columns a CHECK
+        constraint mentions."""
+        import re as _re
+
+        from pyspark.sql.types import StructField, StructType
+
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        schema = self._version_schema(table, entry)
+        missing = [c for c in mapping if c not in schema.names]
+        if missing:
+            raise ValueError(f"rename_columns: {missing} not in {table}'s schema")
+        # targets must be FRESH names: a target that exists in the
+        # pre-rename schema (swaps included) would make the per-generation
+        # relabeling order-dependent — old physical columns under the
+        # target name are discarded as stale, which for a swap is data
+        # loss. Two-step through a fresh name instead.
+        taken = sorted({t for t in mapping.values() if t in schema.names})
+        if taken:
+            raise ValueError(
+                f"rename_columns: targets {taken} already exist in {table}'s "
+                "schema — rename through a fresh intermediate name"
+            )
+        post = [mapping.get(f.name, f.name) for f in schema.fields]
+        if len(set(post)) != len(post):
+            dup = sorted({t for t in mapping.values() if post.count(t) > 1})
+            raise ValueError(f"rename_columns: target names {dup} collide")
+        fm = self._version_filemap(table, entry)
+        pcols = self._partition_cols(list(fm)) if fm else []
+        part_hits = [c for c in mapping if c in pcols]
+        if part_hits:
+            raise ValueError(
+                f"rename_columns: {part_hits} are partition columns of "
+                f"{table} — rewrite with a different partition_by instead"
+            )
+        for name, expr in self.constraints(table).items():
+            hits = [c for c in mapping if _re.search(rf"\b{_re.escape(c)}\b", expr)]
+            if hits:
+                raise ValueError(
+                    f"rename_columns: constraint {name!r} ({expr}) references "
+                    f"{hits} — drop the constraint first"
+                )
+        new_schema = StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return self._commit_schema_only(
+            table,
+            entry,
+            new_schema.json(),
+            new_renames=[{"from": k, "to": v} for k, v in mapping.items()],
         )
 
     def rollback(self, table: str, to_version: int | None = None) -> int:

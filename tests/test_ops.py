@@ -4122,3 +4122,90 @@ def test_metadata_only_schema_alterations(spark, tmp_path):
     cstore.drop_columns("t", ["v"])
     assert cstore.read("t").columns == ["k", "w"]
     assert cstore.read("t").count() == 20_000
+
+
+def test_rename_columns_metadata_only_column_mapping(spark, tmp_path):
+    """Round 11: ALTER TABLE RENAME COLUMN as a metadata-only commit with
+    a per-generation column MAPPING — generations written before the
+    rename carry the old physical name and the read path re-labels them;
+    COW rewrites progressively materialize the new name; compact purges
+    it everywhere and resets the mapping. Guards: unknown source,
+    existing target (incl. swaps), partition column."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    v_pre = store._read_meta("t")["current"]
+
+    v_rn = store.rename_columns("t", {"v": "amount"})
+    d_rn = _os.path.join(str(tmp_path), "t", f"v{v_rn:04d}")
+    assert sorted(_os.listdir(d_rn)) == ["_MANIFEST.json", "_SUCCESS"]
+    got = store.read("t")
+    assert got.columns == ["k", "amount"]
+    assert got.count() == 20_000
+    assert got.where("amount < 100").count() == 100  # values under the new name
+    assert store.read("t", version=v_pre).columns == ["k", "v"]  # time travel
+
+    # COW merge keyed through the mapping: only affected files rewrite,
+    # rewrite outputs physically carry the NEW name, untouched ones keep
+    # the old name and still read renamed
+    up = spark.createDataFrame([(5, -1.0)], "k bigint, amount double")
+    v_m, rep = store.merge_in("t", up, "k")
+    assert rep["files_linked"] > 0
+    assert store.read("t").where("k = 5 AND amount = -1.0").count() == 1
+    entry = next(e for e in store._read_meta("t")["versions"] if e["v"] == v_m)
+    fm = store._version_filemap("t", entry)
+    phys_names = set()
+    for rel, vp in fm.items():
+        pf = _os.path.join(str(tmp_path), "t", f"v{vp:04d}", rel)
+        phys_names |= {(vp == v_m, n) for n in pq.read_schema(pf).names}
+    assert (True, "amount") in phys_names  # rewrite output: new name
+    assert (False, "v") in phys_names  # shared old generation: old name
+
+    # chained rename: old generations get both relabels
+    store.rename_columns("t", {"amount": "amt"})
+    assert store.read("t").columns == ["k", "amt"]
+    assert store.read("t").where("k = 5 AND amt = -1.0").count() == 1
+
+    # re-adding a column under a RETIRED name: old physical 'v' bytes are
+    # stale (mapped to amt); the fresh 'v' reads NULL everywhere
+    store.add_columns("t", {"v": "string"})
+    got2 = store.read("t")
+    assert got2.columns == ["k", "amt", "v"]
+    assert got2.where("v IS NOT NULL").count() == 0
+    assert got2.where("k = 7 AND amt = 7.0").count() == 1
+    store.drop_columns("t", ["v"])
+
+    # guards
+    with pytest.raises(ValueError, match="not in"):
+        store.rename_columns("t", {"nope": "x"})
+    with pytest.raises(ValueError, match="already exist"):
+        store.rename_columns("t", {"amt": "k"})  # target taken (swap shape)
+    pdf = spark.range(0, 3_000).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    store.write("pt", pdf, partition_by=["p"])
+    with pytest.raises(ValueError, match="partition columns"):
+        store.rename_columns("pt", {"p": "bucket"})
+
+    # compact: the new name materializes physically everywhere, the
+    # mapping resets, and stats skipping on the renamed column works
+    store.compact("t")
+    ventry = next(
+        e
+        for e in store._read_meta("t")["versions"]
+        if e["v"] == store._read_meta("t")["current"]
+    )
+    assert (store._load_manifest("t", ventry) or {}).get("renames", []) == []
+    for rel in store._version_filemap("t", ventry):
+        pf = _os.path.join(ventry["path"], rel)
+        assert set(pq.read_schema(pf).names) == {"k", "amt"}
+    stats = store.collect_file_stats("t", ["amt"])
+    assert all(
+        rec["cols"]["amt"]["min"] is not None for rec in stats["files"].values()
+    )
+    assert store.read("t").count() == 20_000
