@@ -1289,7 +1289,9 @@ def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract immediately: the added ``note`` column reads NULL except
     where a follow-up merge materialized it, the dropped
     ``c_mktsegment`` vanishes while its bytes stay in the referenced
-    files. Hashes against a plain projection oracle."""
+    files, and the renamed ``acctbal`` -> ``balance`` serves old
+    generations through the per-generation column mapping. Hashes
+    against a plain projection oracle."""
     import os as _os
 
     cust = T(spark, sf_dir, "customer").select(
@@ -1325,8 +1327,15 @@ def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lifecycle_schema_alter_gate: drop_columns moved data: "
                 f"{sorted(_os.listdir(d_drop))}"
             )
+        v_rn = store.rename_columns("cust", {"acctbal": "balance"})
+        d_rn = _os.path.join(work, "store", "cust", f"v{v_rn:04d}")
+        if sorted(_os.listdir(d_rn)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: rename_columns moved data: "
+                f"{sorted(_os.listdir(d_rn))}"
+            )
         got = store.read("cust")
-        if got.columns != ["c_custkey", "c_name", "acctbal", "note"]:
+        if got.columns != ["c_custkey", "c_name", "balance", "note"]:
             raise RuntimeError(
                 f"lifecycle_schema_alter_gate: wrong contract {got.columns}"
             )
@@ -1336,7 +1345,7 @@ def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCHEMA_ALTER_SQL = """
-SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS balance,
        CASE WHEN c_custkey <= 20 THEN 'vip' ELSE NULL END AS note
 FROM customer
 """
