@@ -1441,6 +1441,18 @@ class TableStore(TableFormat):
             key=lambda e: e["v"],
             reverse=True,
         )
+        # column mapping (round 11): a generation written before a rename
+        # carries the column under its OLD physical name — translate the
+        # logical name per file generation so stats skipping keeps working
+        # over not-yet-rewritten generations (records stay keyed by the
+        # LOGICAL name; partition columns cannot be renamed)
+        renames = (self._load_manifest(table, entry) or {}).get("renames", [])
+
+        def _physical_name(c: str, vphys: int) -> str:
+            for rn in reversed(renames):
+                if rn["since"] > vphys and rn["to"] == c:
+                    c = rn["from"]
+            return c
 
         def _reuse(rel: str, vphys: int, rec: dict, missing: list[str]) -> None:
             # the physical holder's own manifest first (rel is its own
@@ -1486,8 +1498,9 @@ class TableStore(TableFormat):
             # nested leaf is "parent.child" and never matches a column name
             leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
             for c in missing:
+                pc = _physical_name(c, vphys)
                 stat: dict = {"min": None, "max": None, "null_count": None}
-                if c not in leaf_paths:
+                if pc not in leaf_paths:
                     pv = self._partition_value(rel, c)
                     if pv is not None:
                         if pv == "__HIVE_DEFAULT_PARTITION__":
@@ -1508,8 +1521,8 @@ class TableStore(TableFormat):
                                 "null_count": 0,
                                 "kind": "plain",
                             }
-                if c in leaf_paths:
-                    idx = leaf_paths.index(c)
+                if pc in leaf_paths:
+                    idx = leaf_paths.index(pc)
                     mins, maxs, nulls = [], [], 0
                     ok, nulls_known, temporal = True, True, False
                     for rg in range(md.num_row_groups):

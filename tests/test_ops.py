@@ -4209,3 +4209,31 @@ def test_rename_columns_metadata_only_column_mapping(spark, tmp_path):
         rec["cols"]["amt"]["min"] is not None for rec in stats["files"].values()
     )
     assert store.read("t").count() == 20_000
+
+
+def test_renamed_column_keeps_stats_and_bloom_skipping(spark, tmp_path):
+    """Round 11: stats skipping survives a rename WITHOUT a rewrite — the
+    footer reader translates the logical name to each generation's
+    physical name through the column mapping, so read_pruned on the new
+    name still prunes pre-rename files; blooms build through read() (the
+    mapping applied) and read_point prunes too."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 40_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=8)
+    store.rename_columns("t", {"k": "key_id"})
+
+    stats = store.collect_file_stats("t", ["key_id"])
+    assert all(
+        rec["cols"]["key_id"]["min"] is not None
+        for rec in stats["files"].values()
+    ), "rename broke footer stats translation"
+    pruned, rep = store.read_pruned("t", "key_id", lo=100, hi=200)
+    assert rep["files_read"] < rep["files_total"], "no pruning after rename"
+    assert pruned.count() == 101
+
+    got, brep = store.read_point("t", "key_id", 12_345)
+    assert got.count() == 1
+    assert brep["files_read"] < brep["files_total"], "bloom did not prune"
