@@ -3640,10 +3640,11 @@ class TableStore(TableFormat):
         (Delta column-mapping analog; Catalyst pushes filters through
         the rename, so pushdown into old generations is unaffected).
         Rewrites (COW merges touch only affected files; compact the
-        whole table) progressively materialize the new name; stats/bloom
-        skipping over not-yet-rewritten generations degrades to
-        conservative keep-everything on the renamed column until then —
-        correct, just unpruned; ``compact()`` restores it. Refuses
+        whole table) progressively materialize the new name. Stats and
+        bloom skipping keep working across the rename without a rewrite:
+        the footer stats collector translates the logical name to each
+        generation's physical name through the mapping, and blooms build
+        through :meth:`read` (mapping already applied). Refuses
         partition columns (the name lives in directory paths), unknown
         sources, colliding or duplicate targets, and columns a CHECK
         constraint mentions."""
