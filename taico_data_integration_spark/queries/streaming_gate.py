@@ -532,6 +532,104 @@ FROM r WHERE rk <= 10
 """
 
 
+def stream_ivf_append_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic-index maintenance under the driver's gate
+    (round 11, VERDICT r10 #4): the batch twin ``ann_topk_ivf_append``
+    is gated; this entry runs the STREAMING path —
+    ``stream_index_append`` composes the exactly-once corpus sink with
+    ``ivf_store.append`` per micro-batch. The index is built over the
+    first half of the embeddings corpus and pinned; the second half
+    arrives as two availableNow micro-batches:
+
+    1. each batch commits the corpus under the txn ledger and the index
+       catches up O(batch) against the pinned centroids — reported
+       appends must sum to the second half exactly, pin == corpus
+       current (asserted);
+    2. FULL REDELIVERY from a fresh checkpoint: every batch reported
+       replayed, zero appended, zero new versions on corpus AND index,
+       pin unchanged (asserted hard);
+    3. the post-stream probe must equal a FRESH full build bit-for-bit
+       (asserted; the first-half split keeps the deterministic
+       first-n_lists-ids quantizer identical).
+
+    The probe result hashes against the same full-pipeline DuckDB IVF
+    oracle as the batch gate."""
+    from ..llm import ivf_store
+    from ..llm.similarity import cosine_topk_ivf
+    from ..ops.incremental import TableStore
+    from ..streaming.incremental_stream import stream_index_append
+
+    e = T(spark, sf_dir, "embeddings")
+    max_id = e.agg(F.max("vec_id")).first()[0]
+    mid, q3 = max_id // 2, (3 * max_id) // 4
+    first = e.where(F.col("vec_id") <= mid)
+    rest_n = e.where(F.col("vec_id") > mid).count()
+    queries = e.where(F.col("vec_id") < 10)
+    work = tempfile.mkdtemp(prefix="taico_stream_ivf_")
+    try:
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("corpus", first)
+        ivf_store.build(store, "corpus", "idx", n_lists=8)
+
+        _deliver(work, arrivals, e.where(
+            (F.col("vec_id") > mid) & (F.col("vec_id") <= q3)
+        ), "b0")
+        _deliver(work, arrivals, e.where(F.col("vec_id") > q3), "b1")
+
+        def _run(ckpt: str):
+            stream = (
+                spark.readStream.schema(first.schema)
+                .option("maxFilesPerTrigger", "1")
+                .format("parquet")
+                .load(arrivals)
+            )
+            return stream_index_append(
+                stream, store, "idx", os.path.join(work, ckpt),
+                app_id="stream_ivf_append_gate",
+            )
+
+        _q, reports = _run("c1")
+        if sum(r["appended"] for r in reports) != rest_n or any(
+            r["replayed"] for r in reports
+        ):
+            raise RuntimeError(f"stream_ivf_append_gate: bad first run {reports}")
+        rec = ivf_store.pin_info(store, "idx")
+        if rec["corpus_version"] != store._read_meta("corpus")["current"]:
+            raise RuntimeError("stream_ivf_append_gate: pin trails the corpus")
+
+        n_corpus = len(store.history("corpus"))
+        n_idx = len(store.history("idx"))
+        _q2, reports2 = _run("c_redeliver")
+        if (
+            not all(r["replayed"] for r in reports2)
+            or any(r["appended"] for r in reports2)
+            or len(store.history("corpus")) != n_corpus
+            or len(store.history("idx")) != n_idx
+            or ivf_store.pin_info(store, "idx")["corpus_version"]
+            != rec["corpus_version"]
+        ):
+            raise RuntimeError(
+                f"stream_ivf_append_gate: redelivery committed something "
+                f"{reports2}"
+            )
+
+        got = ivf_store.probe(store, "idx", queries, k=5, nprobe=2)
+        out = got.localCheckpoint()
+        fresh = cosine_topk_ivf(
+            store.read("corpus"), queries, k=5, n_lists=8, nprobe=2
+        )
+        if out.exceptAll(fresh).count() or fresh.exceptAll(out).count():
+            raise RuntimeError(
+                "stream_ivf_append_gate: streamed index diverged from a "
+                "fresh full build"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_events": stream_tumbling_events,
     "stream_merge_orders": stream_merge_orders,
@@ -540,11 +638,20 @@ QUERIES = {
     "stream_interval_join_events": stream_interval_join_events,
     "stream_txn_rollup_gate": stream_txn_rollup_gate,
     "stream_cow_merge_gate": stream_cow_merge_gate,
+    "stream_ivf_append_gate": stream_ivf_append_gate,
 }
+
+
+def _ann_ivf_sql() -> str:
+    from .llm import ANN_IVF_SQL
+
+    return ANN_IVF_SQL
+
 
 ORACLE = {
     "stream_txn_rollup_gate": STREAM_TXN_ROLLUP_SQL,
     "stream_cow_merge_gate": STREAM_COW_MERGE_SQL,
+    "stream_ivf_append_gate": _ann_ivf_sql(),
     "stream_tumbling_events": STREAM_TUMBLING_SQL,
     "stream_merge_orders": STREAM_MERGE_SQL,
     "stream_dedup_events": STREAM_DEDUP_SQL,
