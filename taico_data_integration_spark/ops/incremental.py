@@ -439,6 +439,17 @@ class TableStore(TableFormat):
             )
         }
 
+    def _recorded_schema(self, table: str, entry: dict):
+        """The manifest's RECORDED schema (with field metadata — the
+        add_columns DEFAULT annotations survive here, unlike a read-back
+        schema), or None for manifest-less versions."""
+        man = self._load_manifest(table, entry) or {}
+        if man.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(json.loads(man["schema"]))
+        return None
+
     def _version_schema(self, table: str, entry: dict):
         """Read-parity schema of a version: derived from its files when
         it has any (partition columns typed exactly as a read infers
@@ -506,6 +517,16 @@ class TableStore(TableFormat):
             groups.setdefault(filemap.get(rel, entry["v"]), []).append(rel)
         man = self._load_manifest(table, entry) or {}
         renames = man.get("renames", [])
+        rec_schema = None
+        if man.get("schema"):
+            from pyspark.sql.types import StructType
+
+            rec_schema = StructType.fromJson(json.loads(man["schema"]))
+        defaulted = [
+            f
+            for f in (rec_schema.fields if rec_schema is not None else [])
+            if (f.metadata or {}).get(self._DEFAULT_META) is not None
+        ]
         dfs = []
         for vphys in sorted(groups):
             vdir = self._version_dir(table, vphys)
@@ -525,6 +546,17 @@ class TableStore(TableFormat):
                     if rn["to"] in d.columns:
                         d = d.drop(rn["to"])
                     d = d.withColumnRenamed(rn["from"], rn["to"])
+            # add_columns DEFAULT back-fill is PER GENERATION: a branch
+            # predating the add reads the literal — padding after the
+            # union would be too late (allowMissingColumns pads NULL)
+            for f in defaulted:
+                if f.name not in d.columns:
+                    d = d.withColumn(
+                        f.name,
+                        F.lit((f.metadata or {})[self._DEFAULT_META]).cast(
+                            f.dataType
+                        ),
+                    )
             dfs.append(d)
         # Schema evolution across generations (VERDICT r10 #7 + round-11
         # metadata-only ALTERs): a COW merge with evolve_schema=True adds
@@ -541,11 +573,6 @@ class TableStore(TableFormat):
         # nulling.
         cols0 = set(dfs[0].columns)
         hetero = any(set(d.columns) != cols0 for d in dfs[1:])
-        rec_schema = None
-        if man.get("schema"):
-            from pyspark.sql.types import StructType
-
-            rec_schema = StructType.fromJson(json.loads(man["schema"]))
         union_cols = set().union(*(set(d.columns) for d in dfs))
         evolved = hetero or (
             rec_schema is not None and set(rec_schema.names) != union_cols
@@ -556,7 +583,12 @@ class TableStore(TableFormat):
         if evolved and rec_schema is not None:
             for f in rec_schema.fields:
                 if f.name not in df.columns:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    # add_columns DEFAULT back-fill (field metadata);
+                    # plain adds and evolve-merges pad NULL
+                    default = (f.metadata or {}).get(self._DEFAULT_META)
+                    df = df.withColumn(
+                        f.name, F.lit(default).cast(f.dataType)
+                    )
             df = df.select(*rec_schema.names)
         return df
 
@@ -2901,11 +2933,33 @@ class TableStore(TableFormat):
         # rename mapping carries forward (round 11)
         renames = (self._load_manifest(table, entry) or {}).get("renames", [])
         # read-parity schema for the all-dropped case, resolved BEFORE
-        # the base version can change under us
-        schema_json = (
-            out.schema.json() if out is not None
-            else self._version_schema(table, entry).json()
-        )
+        # the base version can change under us. Field METADATA (the
+        # add_columns DEFAULT annotations) carries forward from the base
+        # recorded schema: out.schema comes from a plain DataFrame and
+        # has none, but referenced pre-add generations still need the
+        # back-fill applied at read time.
+        if out is not None:
+            sch = out.schema
+            base_rec = self._recorded_schema(table, entry)
+            if base_rec is not None:
+                base_md = {f.name: f.metadata for f in base_rec.fields if f.metadata}
+                if base_md:
+                    from pyspark.sql.types import StructField, StructType
+
+                    sch = StructType(
+                        [
+                            StructField(
+                                f.name,
+                                f.dataType,
+                                f.nullable,
+                                metadata=f.metadata or base_md.get(f.name) or {},
+                            )
+                            for f in sch.fields
+                        ]
+                    )
+            schema_json = sch.json()
+        else:
+            schema_json = self._version_schema(table, entry).json()
         path = os.path.join(self.root, table, f"v{version:04d}")
         affected_set = set(affected)
         refs = [
@@ -3560,7 +3614,10 @@ class TableStore(TableFormat):
         self._write_pointer(table, version, expect_base=entry["v"])
         return version
 
-    def add_columns(self, table: str, columns: dict[str, str]) -> int:
+    #: StructField metadata key carrying an add_columns DEFAULT literal
+    _DEFAULT_META = "taico.default"
+
+    def add_columns(self, table: str, columns: dict) -> int:
         """ALTER TABLE ADD COLUMNS, metadata-only (round 11): a new
         version whose manifest references EVERY current file unchanged
         and records a WIDENED schema. On a 100 TB table this is one
@@ -3569,20 +3626,39 @@ class TableStore(TableFormat):
         the recorded schema, exactly like a pre-evolution generation
         under ``merge_in(evolve_schema=True)``); the next write/merge
         materializes values. ``columns`` maps name → Spark SQL type
-        string (``"double"``, ``"string"``, ``"array<float>"`` …).
-        Delta ``ALTER TABLE ADD COLUMNS`` analog."""
+        string (``"double"``, ``"string"``, ``"array<float>"`` …), or
+        name → ``(type, default)`` to back-fill existing rows with a
+        DEFAULT literal instead of NULL — stored as field metadata in
+        the recorded schema, applied at read time to generations that
+        predate the column, materialized physically by later rewrites
+        (Delta column-DEFAULT analog; the default must be a JSON-native
+        literal). Delta ``ALTER TABLE ADD COLUMNS`` analog."""
         from pyspark.sql.types import StructField, StructType
 
         meta = self._read_meta(table)
         entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
-        schema = self._version_schema(table, entry)
+        schema = self._recorded_schema(table, entry) or self._version_schema(
+            table, entry
+        )
         dupes = [c for c in columns if c in schema.names]
         if dupes:
             raise ValueError(f"add_columns: {dupes} already exist in {table}")
-        new_fields = [
-            StructField(name, _parse_ddl_type(self.spark, dtype), True)
-            for name, dtype in columns.items()
-        ]
+        new_fields = []
+        for name, spec in columns.items():
+            dtype, default = spec if isinstance(spec, tuple) else (spec, None)
+            md = {}
+            if default is not None:
+                if not isinstance(default, (int, float, str, bool)):
+                    raise ValueError(
+                        f"add_columns: default for {name!r} must be a "
+                        f"JSON-native literal, got {type(default).__name__}"
+                    )
+                md[self._DEFAULT_META] = default
+            new_fields.append(
+                StructField(
+                    name, _parse_ddl_type(self.spark, dtype), True, metadata=md
+                )
+            )
         new_schema = StructType(list(schema.fields) + new_fields)
         return self._commit_schema_only(table, entry, new_schema.json())
 
@@ -3603,7 +3679,9 @@ class TableStore(TableFormat):
 
         meta = self._read_meta(table)
         entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
-        schema = self._version_schema(table, entry)
+        schema = self._recorded_schema(table, entry) or self._version_schema(
+            table, entry
+        )
         missing = [c for c in cols if c not in schema.names]
         if missing:
             raise ValueError(f"drop_columns: {missing} not in {table}'s schema")
@@ -3654,7 +3732,9 @@ class TableStore(TableFormat):
 
         meta = self._read_meta(table)
         entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
-        schema = self._version_schema(table, entry)
+        schema = self._recorded_schema(table, entry) or self._version_schema(
+            table, entry
+        )
         missing = [c for c in mapping if c not in schema.names]
         if missing:
             raise ValueError(f"rename_columns: {missing} not in {table}'s schema")
@@ -3690,7 +3770,12 @@ class TableStore(TableFormat):
                 )
         new_schema = StructType(
             [
-                StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                StructField(
+                    mapping.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    metadata=f.metadata,
+                )
                 for f in schema.fields
             ]
         )

@@ -4237,3 +4237,43 @@ def test_renamed_column_keeps_stats_and_bloom_skipping(spark, tmp_path):
     got, brep = store.read_point("t", "key_id", 12_345)
     assert got.count() == 1
     assert brep["files_read"] < brep["files_total"], "bloom did not prune"
+
+
+def test_add_columns_with_default_backfill(spark, tmp_path):
+    """Round 11: add_columns name -> (type, default) back-fills existing
+    rows with the DEFAULT literal at read time (field metadata in the
+    recorded schema) — still metadata-only; later rewrites materialize
+    it physically; rows written after the add carry their own values."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=4)
+
+    store.add_columns("t", {"lang": ("string", "en"), "weight": ("double", 1.0)})
+    got = store.read("t")
+    assert got.where("lang = 'en'").count() == 10_000
+    assert got.where("weight = 1.0").count() == 10_000
+    # predicate on the defaulted column works (constant-folded per branch)
+    assert got.where("lang = 'de'").count() == 0
+
+    # rows merged after the add carry their own values; old rows keep the
+    # default
+    up = spark.createDataFrame(
+        [(5, -1.0, "de", 2.0)], "k bigint, v double, lang string, weight double"
+    )
+    store.merge_in("t", up, "k")
+    got2 = store.read("t")
+    assert got2.where("lang = 'de'").count() == 1
+    assert got2.where("lang = 'en'").count() == 9_999
+
+    # physical materialization on rewrite preserves the read-time values
+    store.compact("t")
+    got3 = store.read("t")
+    assert got3.where("lang = 'en'").count() == 9_999
+    assert got3.where("weight = 2.0 AND k = 5").count() == 1
+
+    # non-literal defaults refused loudly
+    with pytest.raises(ValueError, match="JSON-native"):
+        store.add_columns("t", {"bad": ("array<int>", [1, 2])})
