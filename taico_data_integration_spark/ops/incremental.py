@@ -1014,6 +1014,7 @@ class TableStore(TableFormat):
         keep_latest: int = 1,
         stage_ttl_seconds: float = 3600.0,
         min_age_seconds: float = 0.0,
+        dry_run: bool = False,
     ) -> list[int]:
         """Delta-VACUUM analog: physically delete all but the newest
         `keep_latest` versions. Required after GDPR erasure (ops.deletion) —
@@ -1045,7 +1046,10 @@ class TableStore(TableFormat):
         tombstone directory is reclaimed entirely (this and later
         vacuums sweep it). The orphan sweep never touches a tombstone:
         a marker-less dir is a crashed writer's residue ONLY if it does
-        not carry the ``_VACUUMED`` tombstone marker."""
+        not carry the ``_VACUUMED`` tombstone marker.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` analog) returns
+        the versions a real pass would remove and touches nothing."""
         import shutil
 
         meta = self._read_meta(table)
@@ -1077,6 +1081,12 @@ class TableStore(TableFormat):
             if e["v"] not in removable:
                 for rel, vphys in self._version_filemap(table, e).items():
                     kept_refs.add((vphys, rel))
+        if dry_run:
+            # Delta VACUUM DRY RUN analog: report what a real pass WOULD
+            # remove (keep-set + retention decisions only — the orphan/
+            # tombstone sweep is residue cleanup, not version removal),
+            # touch nothing
+            return sorted(removable)
         removed = []
 
         def _drop_sidecars(v: int) -> None:

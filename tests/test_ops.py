@@ -4277,3 +4277,52 @@ def test_add_columns_with_default_backfill(spark, tmp_path):
     # non-literal defaults refused loudly
     with pytest.raises(ValueError, match="JSON-native"):
         store.add_columns("t", {"bad": ("array<int>", [1, 2])})
+
+
+def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
+    """Round 11: vacuum(dry_run=True) returns exactly what a real pass
+    would remove (keep-set + retention decisions) and touches nothing."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    for i in range(4):
+        store.write("t", spark.range(10 + i))
+    would = store.vacuum("t", keep_latest=1, dry_run=True)
+    assert would == [0, 1, 2]
+    assert [e["v"] for e in store.history("t")] == [3, 2, 1, 0]  # untouched
+    assert store.read("t", version=0).count() == 10  # still readable
+    assert store.vacuum("t", keep_latest=1) == would  # the real pass agrees
+
+
+def test_table_changes_across_schema_alters(spark, tmp_path):
+    """Round 11: the CDC feed across metadata-only ALTERs follows the
+    documented union-payload contract — an added column surfaces rows as
+    updates only where a value materialized; a rename reads as the
+    column moving (old name NULL on the new side), never a silent wrong
+    payload; diff() on schema-different versions fails loudly."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 1_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df)
+    v0 = store._read_meta("t")["current"]
+    store.add_columns("t", {"w": "string"})
+    up = spark.createDataFrame([(5, -1.0, "x")], "k bigint, v double, w string")
+    v2, _ = store.merge_in("t", up, "k")
+
+    feed = store.table_changes("t", v0, v2, ["k"])
+    rows = {r.k: r for r in feed.collect()}
+    # only the merged key changed: pre-add rows read w=NULL on BOTH sides
+    assert set(rows) == {5}
+    assert rows[5]._change_type == "update_postimage" and rows[5].w == "x"
+
+    # rename: the feed surfaces the column move explicitly (old name on
+    # one side only), it never silently equates v with amount
+    store.rename_columns("t", {"v": "amount"})
+    v3 = store._read_meta("t")["current"]
+    feed2 = store.table_changes("t", v2, v3, ["k"])
+    assert feed2.count() == 1_000  # every row: v -> NULL, amount <- value
+    assert set(feed2.columns) >= {"k", "v", "amount", "_change_type"}
+
+    with pytest.raises(Exception):  # loud, never a silent wrong diff
+        store.diff("t", v0, v3).collect()
