@@ -654,3 +654,55 @@ def test_stream_index_append_maintains_pinned_ivf(spark, tmp_path):
     assert len(store.history("corpus")) == n_corpus
     assert len(store.history("idx")) == n_idx
     assert ivf_store.pin_info(store, "idx")["corpus_version"] == rec["corpus_version"]
+
+
+def test_stream_merge_with_chain_budget_bounds_plan(spark, tmp_path):
+    """Round 11: the chain-budget policy composes with the streaming COW
+    sink — exactly the long-running-stream shape it exists for. Six
+    single-key micro-batches through stream_merge_into(cow_max_keys)
+    on a max_chain_branches=3 store: the read plan never unions more
+    than 3 physical generations (the store compacts inline), and the
+    final table equals the same batches through an unbudgeted store."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+
+    def deliver(arrivals, df, label):
+        staging = str(tmp_path / f"stage_{label}")
+        df.repartition(1).write.parquet(staging)
+        for i, f_ in enumerate(sorted(glob.glob(_os.path.join(staging, "*.parquet")))):
+            _shutil.move(f_, _os.path.join(arrivals, f"{label}_{i:04d}.parquet"))
+        _shutil.rmtree(staging)
+
+    base = spark.range(0, 20_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    stores = {
+        "free": TableStore(spark, str(tmp_path / "free")),
+        "capped": TableStore(
+            spark, str(tmp_path / "capped"), max_chain_branches=3
+        ),
+    }
+    for name, store in stores.items():
+        store.write("m", base.repartition(2))
+        store.optimize_layout("m", ["k"], num_files=8)
+        arrivals = str(tmp_path / f"arrivals_{name}")
+        _os.makedirs(arrivals)
+        for i in range(1, 7):
+            deliver(
+                arrivals,
+                spark.createDataFrame([(i * 2801, -float(i))], "k bigint, v double"),
+                f"b{i}",
+            )
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .format("parquet")
+            .load(arrivals)
+        )
+        stream_merge_into(
+            stream, store, "m", ["k"], str(tmp_path / f"ckpt_{name}"),
+            app_id="budget_stream", cow_max_keys=100,
+        )
+    assert stores["capped"].chain_branches("m") <= 3
+    assert stores["free"].chain_branches("m") > 3  # the policy did real work
+    got, want = stores["capped"].read("m"), stores["free"].read("m")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
