@@ -282,8 +282,8 @@ class TableStore(TableFormat):
         spark: SparkSession,
         root: str,
         commit=None,
-        max_chain_branches: int | None = None,
-        chain_policy: str = "compact",
+        max_chain_branches: int | None = 32,
+        chain_policy: str = "warn",
     ):
         from .storage_commit import PosixCommit
 
@@ -298,7 +298,13 @@ class TableStore(TableFormat):
         # budget set, a COW commit that leaves the current version
         # referencing more than `max_chain_branches` physical generations
         # triggers an inline compact() (chain_policy="compact") or a loud
-        # UserWarning (chain_policy="warn"). None (default) = off.
+        # UserWarning (chain_policy="warn"). None = off (explicit
+        # opt-out). Default (VERDICT r11 #2): budget 32 with policy
+        # "warn" — silent unbounded scan-branch growth is impossible,
+        # and the default never schedules a surprise O(table) rewrite
+        # inside a caller's mutation (opt into "compact" for that;
+        # beware the latency cliff inside a streaming micro-batch — the
+        # inline compact runs synchronously in foreachBatch).
         if chain_policy not in ("compact", "warn"):
             raise ValueError(
                 f"chain_policy must be 'compact' or 'warn', got {chain_policy!r}"
@@ -406,14 +412,21 @@ class TableStore(TableFormat):
         partition_by: list[str],
         schema_json: str | None,
         renames: list[dict] | None = None,
+        retired: list[dict] | None = None,
     ) -> bytes:
         """``renames`` (round 11, rename_columns) is the version's column
         MAPPING history: entries {"from", "to", "since"} meaning files
         whose physical version predates ``since`` carry the column under
-        its old name — the read path renames per generation. COW commits
-        carry the base version's list forward (references keep their old
-        physical names); full rewrites reset it (the rewrite purges old
-        names physically)."""
+        its old name — the read path renames per generation.
+        ``retired`` (round 12, ADVICE r11 high) is the drop history:
+        entries {"name", "since"} meaning files predating ``since`` may
+        still physically carry the column dropped under that name — the
+        read path discards it per generation, so a later add_columns of
+        the same name can never resurrect the dropped bytes. Both lists
+        replay together in commit (``since``) order. COW commits carry
+        the base version's lists forward (references keep their old
+        physical layout); full rewrites reset them (the rewrite purges
+        old names physically)."""
         rec = {
             "format": 1,
             "schema": schema_json,
@@ -422,7 +435,65 @@ class TableStore(TableFormat):
         }
         if renames:
             rec["renames"] = renames
+        if retired:
+            rec["retired"] = retired
         return json.dumps(rec).encode()
+
+    @staticmethod
+    def _alter_events(man: dict | None) -> list[tuple[str, dict]]:
+        """The manifest's column-mapping history as ONE replay stream:
+        rename + retire entries tagged by kind, sorted by commit version
+        (``since``). Ordering is what makes name REUSE safe: drop b then
+        rename c->b must retire the stale b bytes BEFORE relabeling c,
+        while drop b / add a / rename a->b must retire b and leave the
+        (physically absent) a rename a no-op."""
+        man = man or {}
+        evs = [("rename", rn) for rn in man.get("renames", [])] + [
+            ("retire", rt) for rt in man.get("retired", [])
+        ]
+        evs.sort(key=lambda e: e[1]["since"])
+        return evs
+
+    @staticmethod
+    def _generation_mapping(
+        events: list[tuple[str, dict]], vphys: int, phys_cols
+    ) -> dict[str, str]:
+        """logical name -> PHYSICAL name for every column a generation
+        stores that is still live under the manifest's event history.
+        Physical columns absent from the values are STALE (dropped, or
+        shadowed by a rename target) and must not be read — their logical
+        value, if the name was re-added, is synthesized (NULL or the
+        add_columns DEFAULT). Forward replay of events later than the
+        generation, in commit order."""
+        cur = {c: c for c in phys_cols}
+        for kind, ev in events:
+            if ev["since"] <= vphys:
+                continue
+            if kind == "rename":
+                if ev["from"] in cur:
+                    # a stale physical column under the target name is
+                    # shadowed (dropped) by the relabel
+                    cur.pop(ev["to"], None)
+                    cur[ev["to"]] = cur.pop(ev["from"])
+            else:  # retire
+                cur.pop(ev["name"], None)
+        return cur
+
+    @staticmethod
+    def _col_mapped(
+        events: list[tuple[str, dict]], c: str, vphys: int
+    ) -> bool:
+        """True when any rename/retire event LATER than ``vphys``
+        mentions ``c`` — the generation's sidecar records (stats, bloom)
+        keyed by that logical name cannot be taken at face value, because
+        they may describe different physical bytes under a different
+        mapping state. Conservative: reuse is skipped, the footer/build
+        path re-derives through :meth:`_generation_mapping`."""
+        return any(
+            ev["since"] > vphys
+            and c in (ev.get("name"), ev.get("from"), ev.get("to"))
+            for _kind, ev in events
+        )
 
     def _version_filemap(self, table: str, entry: dict) -> dict[str, int]:
         """rel -> PHYSICAL version for every live file of the version;
@@ -516,7 +587,7 @@ class TableStore(TableFormat):
         for rel in rels:
             groups.setdefault(filemap.get(rel, entry["v"]), []).append(rel)
         man = self._load_manifest(table, entry) or {}
-        renames = man.get("renames", [])
+        events = self._alter_events(man)
         rec_schema = None
         if man.get("schema"):
             from pyspark.sql.types import StructType
@@ -533,19 +604,26 @@ class TableStore(TableFormat):
             d = self.spark.read.option("basePath", vdir).parquet(
                 *[os.path.join(vdir, rel) for rel in sorted(groups[vphys])]
             )
-            # column mapping (round 11, rename_columns): generations
-            # written before a rename carry the old physical name —
-            # re-label them here, in commit order, so the union below is
-            # homogeneous again. Catalyst pushes filters through the
-            # rename to the physical column, so pushdown into old
-            # generations is unaffected. A stale physical column under
-            # the NEW name (dropped earlier, bytes still shared) is
-            # discarded first — the recorded schema is the contract.
-            for rn in renames:
-                if rn["since"] > vphys and rn["from"] in d.columns:
-                    if rn["to"] in d.columns:
-                        d = d.drop(rn["to"])
-                    d = d.withColumnRenamed(rn["from"], rn["to"])
+            # column mapping (rounds 11+12): generations written before a
+            # rename carry the old physical name; generations written
+            # before a drop may still physically carry the dropped bytes.
+            # Replay BOTH event kinds in commit order per generation —
+            # relabel renamed columns, DISCARD retired ones — so the
+            # union below is homogeneous and a drop+re-add of the same
+            # name reads NULL/DEFAULT, never the dead bytes (ADVICE r11
+            # high + medium). Catalyst pushes filters through the alias
+            # to the physical column, so pushdown into old generations is
+            # unaffected.
+            if any(ev["since"] > vphys for _k, ev in events):
+                gmap = self._generation_mapping(events, vphys, d.columns)
+                phys2log = {p: lg for lg, p in gmap.items()}
+                d = d.select(
+                    *[
+                        F.col(p).alias(phys2log[p])
+                        for p in d.columns
+                        if p in phys2log
+                    ]
+                )
             # add_columns DEFAULT back-fill is PER GENERATION: a branch
             # predating the add reads the literal — padding after the
             # union would be too late (allowMissingColumns pads NULL)
@@ -1285,6 +1363,20 @@ class TableStore(TableFormat):
             self.compact(table)
         except ConcurrentWriteError:
             pass  # a concurrent writer superseded the chain already
+        except Exception as exc:  # noqa: BLE001 — ADVICE r11 low
+            # the caller's OWN mutation is already durably pointed; a
+            # failed housekeeping compact (OOM, IO error, constraint
+            # observation) must not surface as the mutation failing —
+            # a retrying caller would double-apply it. Warn and move on;
+            # the next COW commit re-evaluates the budget.
+            import warnings
+
+            warnings.warn(
+                f"{table}: inline chain compaction failed ({exc!r}) — the "
+                "mutation itself is committed; scan-branch count stays "
+                f"over budget until compact({table!r}) succeeds",
+                stacklevel=3,
+            )
 
     def _resolve_partition_by(
         self, partition_by: list[str] | None, rels: list[str]
@@ -1483,23 +1575,29 @@ class TableStore(TableFormat):
             key=lambda e: e["v"],
             reverse=True,
         )
-        # column mapping (round 11): a generation written before a rename
-        # carries the column under its OLD physical name — translate the
-        # logical name per file generation so stats skipping keeps working
-        # over not-yet-rewritten generations (records stay keyed by the
-        # LOGICAL name; partition columns cannot be renamed)
-        renames = (self._load_manifest(table, entry) or {}).get("renames", [])
-
-        def _physical_name(c: str, vphys: int) -> str:
-            for rn in reversed(renames):
-                if rn["since"] > vphys and rn["to"] == c:
-                    c = rn["from"]
-            return c
+        # column mapping (rounds 11+12): a generation written before a
+        # rename carries the column under its OLD physical name, and a
+        # generation written before a drop may still carry RETIRED bytes
+        # under the re-added name — resolve the logical name per file
+        # generation through the full event replay so stats describe
+        # what a READ serves, never the dead bytes (records stay keyed
+        # by the LOGICAL name; partition columns cannot be altered)
+        events = self._alter_events(self._load_manifest(table, entry))
+        _rsch = self._recorded_schema(table, entry) if events else None
+        col_defaults = {
+            f.name: (f.metadata or {}).get(self._DEFAULT_META)
+            for f in (_rsch.fields if _rsch is not None else [])
+        }
 
         def _reuse(rel: str, vphys: int, rec: dict, missing: list[str]) -> None:
             # the physical holder's own manifest first (rel is its own
-            # file there — no filemap load needed), then any other
-            # version that provably resolves rel to the same bytes
+            # file there — no filemap load needed; its event history
+            # cannot reach past its own version, so its records are
+            # identity-mapped), then any other version that provably
+            # resolves rel to the same bytes AND whose event history
+            # leaves the column untouched for this generation — a
+            # sidecar record keyed by a logical name that some manifest
+            # renamed or retired may describe different physical bytes
             candidates = [vphys] + [e["v"] for e in cand_entries if e["v"] != vphys]
             for cand_v in candidates:
                 if not missing and rec["rows"] is not None:
@@ -1507,6 +1605,7 @@ class TableStore(TableFormat):
                 frec = _foreign(cand_v).get(rel)
                 if frec is None or frec.get("rows") is None:
                     continue
+                cand_events: list = []
                 if cand_v != vphys:
                     cand_e = next(
                         (e for e in cand_entries if e["v"] == cand_v), None
@@ -1516,9 +1615,16 @@ class TableStore(TableFormat):
                         or self._version_filemap(table, cand_e).get(rel) != vphys
                     ):
                         continue
+                    cand_events = self._alter_events(
+                        self._load_manifest(table, cand_e)
+                    )
                 rec["rows"] = frec["rows"]
                 for c in list(missing):
-                    if c in frec.get("cols", {}):
+                    if (
+                        c in frec.get("cols", {})
+                        and not self._col_mapped(events, c, vphys)
+                        and not self._col_mapped(cand_events, c, vphys)
+                    ):
                         rec["cols"][c] = frec["cols"][c]
                         missing.remove(c)
 
@@ -1539,9 +1645,43 @@ class TableStore(TableFormat):
             # LEAF paths: a top-level primitive's path equals its name; a
             # nested leaf is "parent.child" and never matches a column name
             leaf_paths = [md.schema.column(i).path for i in range(md.num_columns)]
+            gmap = (
+                self._generation_mapping(events, vphys, leaf_paths)
+                if any(ev["since"] > vphys for _k, ev in events)
+                else None
+            )
             for c in missing:
-                pc = _physical_name(c, vphys)
+                pc = c if gmap is None else gmap.get(c)
                 stat: dict = {"min": None, "max": None, "null_count": None}
+                if (
+                    gmap is not None
+                    and pc is None
+                    and self._partition_value(rel, c) is None
+                ):
+                    # the generation does not store this logical column
+                    # (physically absent, or present only under a RETIRED
+                    # name): the read synthesizes it — the add_columns
+                    # DEFAULT when one is recorded, else NULL for every
+                    # row. Exact stats either way; footer stats of the
+                    # dead bytes must never leak in (they would wrongly
+                    # PRUNE files whose logical value matches the query).
+                    default = col_defaults.get(c)
+                    if default is not None:
+                        nd = self._norm_stat(default)
+                        stat = {
+                            "min": nd,
+                            "max": nd,
+                            "null_count": 0,
+                            "kind": "plain",
+                        }
+                    else:
+                        stat = {
+                            "min": None,
+                            "max": None,
+                            "null_count": md.num_rows,
+                        }
+                    rec["cols"][c] = stat
+                    continue
                 if pc not in leaf_paths:
                     pv = self._partition_value(rel, c)
                     if pv is not None:
@@ -2018,6 +2158,12 @@ class TableStore(TableFormat):
             # previous version usually covers everything).
             fm = self._version_filemap(table, entry)
             uncovered: dict[str, set[str]] = {c: set(fm) for c in missing}
+            # column-mapping guard (round 12): a bloom row keyed by a
+            # logical name that OUR manifest (or the candidate's) renames
+            # or retires for a generation was hashed over different
+            # physical bytes than a read of ours serves — rebuild those
+            # through read()/_read_rels (mapping applied) instead
+            own_events = self._alter_events(self._load_manifest(table, entry))
             for cand in sorted(
                 (e for e in meta["versions"] if e["v"] != v),
                 key=lambda e: e["v"],
@@ -2037,12 +2183,17 @@ class TableStore(TableFormat):
                 if not match_cols:
                     continue
                 cand_fm = self._version_filemap(table, cand)
+                cand_events = self._alter_events(
+                    self._load_manifest(table, cand)
+                )
                 take: dict[str, list[str]] = {}
                 for c, rel in self._bloom_entries(fbp):
                     if (
                         c in match_cols
                         and rel in uncovered[c]
                         and cand_fm.get(rel) == fm[rel]
+                        and not self._col_mapped(own_events, c, fm[rel])
+                        and not self._col_mapped(cand_events, c, fm[rel])
                     ):
                         take.setdefault(c, []).append(rel)
                 if not take:
@@ -2939,9 +3090,12 @@ class TableStore(TableFormat):
 
         pcols = self._partition_cols(all_rels)
         filemap = self._version_filemap(table, entry)
-        # references keep their old physical column names: the base's
-        # rename mapping carries forward (round 11)
-        renames = (self._load_manifest(table, entry) or {}).get("renames", [])
+        # references keep their old physical column layout: the base's
+        # rename mapping AND retired-name history carry forward
+        # (rounds 11+12)
+        base_man = self._load_manifest(table, entry) or {}
+        renames = base_man.get("renames", [])
+        retired = base_man.get("retired", [])
         # read-parity schema for the all-dropped case, resolved BEFORE
         # the base version can change under us. Field METADATA (the
         # add_columns DEFAULT annotations) carries forward from the base
@@ -2980,7 +3134,7 @@ class TableStore(TableFormat):
         if getattr(self.commit, "supports_direct_publish", False):
             return self._cow_commit_direct(
                 table, refs, out, version, path, pcols, schema_json,
-                after_write, renames,
+                after_write, renames, retired,
             )
         staging = os.path.join(self.root, table, f".stage-v{version:04d}")
         try:
@@ -3018,7 +3172,7 @@ class TableStore(TableFormat):
             with open(os.path.join(staging, self._MANIFEST_NAME), "w") as f:
                 f.write(
                     self._manifest_record(
-                        files, pcols, schema_json, renames
+                        files, pcols, schema_json, renames, retired
                     ).decode()
                 )
             # the commit marker _read_meta requires (Spark writes it for
@@ -3041,6 +3195,7 @@ class TableStore(TableFormat):
         schema_json: str,
         after_write,
         renames: list[dict] | None = None,
+        retired: list[dict] | None = None,
     ) -> int:
         """Direct-to-final COW publish (round 10, VERDICT r9 #4): the
         rewrite job writes UNDER THE FINAL VERSION PREFIX — zero staging
@@ -3081,7 +3236,7 @@ class TableStore(TableFormat):
                 moved = len(rels_new)
             self.commit.put_object(
                 os.path.join(path, self._MANIFEST_NAME),
-                self._manifest_record(files, pcols, schema_json, renames),
+                self._manifest_record(files, pcols, schema_json, renames, retired),
             )
             self.commit.commit_direct(
                 path,
@@ -3554,7 +3709,10 @@ class TableStore(TableFormat):
         linked, "copy" when every file copied, "mixed" otherwise (ADVICE
         r10: the last file's mode misreported a mixed export). Byte
         accounting goes through the commit seam (``io_size``), so a
-        non-filesystem backend reports real sizes, not 0."""
+        non-filesystem backend reports real sizes, not 0; a backend that
+        cannot answer size without re-downloading reports ``bytes=None``
+        honestly instead of paying a second full read of the table
+        (ADVICE r11 low)."""
         meta = self._read_meta(table)
         v = meta["current"] if version is None else version
         entry = next((e for e in meta["versions"] if e["v"] == v), None)
@@ -3563,16 +3721,25 @@ class TableStore(TableFormat):
         if self.commit.io_exists(dest):
             raise ValueError(f"materialize_version: {dest} already exists")
         fm = self._version_filemap(table, entry)
-        n_bytes = 0
+        n_bytes, unknown = 0, False
         modes: dict[str, int] = {}
         for rel, vphys in sorted(fm.items()):
             src = os.path.join(self._version_dir(table, vphys), rel)
             m = self.commit.link_or_copy(src, os.path.join(dest, rel))
             modes[m] = modes.get(m, 0) + 1
-            n_bytes += self.commit.io_size(src) or 0
+            sz = self.commit.io_size(src)
+            if sz is None:
+                unknown = True
+            else:
+                n_bytes += sz
         self.commit.put_object(os.path.join(dest, "_SUCCESS"), b"")
         mode = next(iter(modes)) if len(modes) == 1 else ("mixed" if modes else "link")
-        return {"files": len(fm), "bytes": n_bytes, "mode": mode, "modes": modes}
+        return {
+            "files": len(fm),
+            "bytes": None if unknown else n_bytes,
+            "mode": mode,
+            "modes": modes,
+        }
 
     def _commit_schema_only(
         self,
@@ -3580,31 +3747,37 @@ class TableStore(TableFormat):
         entry: dict,
         schema_json: str,
         new_renames: list[dict] | None = None,
+        new_retired: list[str] | None = None,
     ) -> int:
         """Commit a METADATA-ONLY version: the manifest references every
         file of ``entry`` unchanged and records a new schema — zero data
         movement, zero rewrite jobs, O(1) objects written. Marker-last
         (put-if-absent) is atomic visibility on both commit impls because
         the version holds no data objects; the pointer swap is
-        conflict-checked like any mutation. ``new_renames`` entries get
-        their ``since`` stamped with the claimed version (every file the
-        new version references predates it by construction)."""
+        conflict-checked like any mutation. ``new_renames`` entries and
+        ``new_retired`` names get their ``since`` stamped with the
+        claimed version (every file the new version references predates
+        it by construction); both histories carry forward from the
+        base."""
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         fm = self._version_filemap(table, entry)
         pcols = self._partition_cols(list(fm)) if fm else list(
             (self._load_manifest(table, entry) or {}).get("partition_by", [])
         )
-        renames = list(
-            (self._load_manifest(table, entry) or {}).get("renames", [])
-        )
+        base_man = self._load_manifest(table, entry) or {}
+        renames = list(base_man.get("renames", []))
         for rn in new_renames or []:
             renames.append({**rn, "since": version})
+        retired = list(base_man.get("retired", []))
+        for name in new_retired or []:
+            retired.append({"name": name, "since": version})
         record = self._manifest_record(
             [{"rel": rel, "v": v} for rel, v in fm.items()],
             pcols,
             schema_json,
             renames,
+            retired,
         )
         try:
             self.commit.put_object(
@@ -3715,8 +3888,14 @@ class TableStore(TableFormat):
         keep_fields = [f for f in schema.fields if f.name not in set(cols)]
         if not keep_fields:
             raise ValueError(f"drop_columns: cannot drop every column of {table}")
+        # retire the dropped names (round 12, ADVICE r11 high): referenced
+        # generations still physically carry the bytes; the retire entry
+        # makes every reader discard them per generation, so a later
+        # add_columns of the same name serves NULL/DEFAULT — never the
+        # dead data. Retiring the CURRENT logical name is sufficient:
+        # the event replay relabels older physical names first.
         return self._commit_schema_only(
-            table, entry, StructType(keep_fields).json()
+            table, entry, StructType(keep_fields).json(), new_retired=cols
         )
 
     def rename_columns(self, table: str, mapping: dict[str, str]) -> int:

@@ -479,8 +479,11 @@ class ConditionalPutCommit(StorageCommit):
         size = getattr(self.backend, "size", None)
         if size is not None:
             return size(path)
-        raw = self.backend.get(path)  # backend without HEAD: one GET
-        return None if raw is None else len(raw)
+        # backend without HEAD: byte accounting is best-effort — report
+        # unknown rather than re-downloading the object in full just for
+        # the report (ADVICE r11 low: on a real object store the GET
+        # fallback doubled an export's data transfer)
+        return None
 
     def io_mkdirs(self, path: str) -> None:
         pass  # object stores have no directories

@@ -1231,7 +1231,10 @@ def lifecycle_chain_evolution_gate(spark: SparkSession, sf_dir: str) -> DataFram
     work = tempfile.mkdtemp(prefix="taico_lcg_chainevo_")
     try:
         store = TableStore(
-            spark, os.path.join(work, "store"), max_chain_branches=4
+            spark,
+            os.path.join(work, "store"),
+            max_chain_branches=4,
+            chain_policy="compact",
         )
         store.write("cust", cust.repartition(4))
         store.optimize_layout("cust", ["c_custkey"], num_files=8)

@@ -3724,7 +3724,12 @@ def test_chain_budget_bounds_read_plan_growth(spark, tmp_path):
     free = TableStore(spark, str(tmp_path / "free"))
     free.write("t", df.repartition(2))
     free.optimize_layout("t", ["k"], num_files=8)
-    capped = TableStore(spark, str(tmp_path / "capped"), max_chain_branches=4)
+    capped = TableStore(
+        spark,
+        str(tmp_path / "capped"),
+        max_chain_branches=4,
+        chain_policy="compact",
+    )
     capped.write("t", df.repartition(2))
     capped.optimize_layout("t", ["k"], num_files=8)
 
@@ -4326,3 +4331,150 @@ def test_table_changes_across_schema_alters(spark, tmp_path):
 
     with pytest.raises(Exception):  # loud, never a silent wrong diff
         store.diff("t", v0, v3).collect()
+
+
+def test_drop_then_readd_column_does_not_resurrect(spark, tmp_path):
+    """Round 12 (ADVICE r11 high): drop_columns retires the column's
+    PHYSICAL name in the manifest; a later add_columns of the same name
+    reads NULL (or its declared DEFAULT) for every pre-drop generation —
+    never the dropped bytes still shared in referenced files. The rename
+    lineage (drop b; add a; rename a->b) is covered by the same retired
+    mechanism, and stats skipping on the re-added column must not use
+    pre-drop footer stats."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS k", "CAST(id + 100 AS DOUBLE) AS v"
+    )
+    store.write("t", df.repartition(4))
+
+    store.drop_columns("t", ["v"])
+    store.add_columns("t", {"v": "double"})
+    got = store.read("t")
+    assert got.columns == ["k", "v"]
+    # every pre-drop row reads NULL — the dropped bytes stay dead
+    assert got.where("v IS NOT NULL").count() == 0
+
+    # (type, default) re-add serves the DEFAULT, not the stale bytes
+    store.drop_columns("t", ["v"])
+    store.add_columns("t", {"v": ("double", 5.0)})
+    got2 = store.read("t")
+    assert got2.where("v = 5.0").count() == 10_000
+    assert got2.where("v >= 100.0").count() == 0
+
+    # stats skipping on the re-added column must reflect the read-time
+    # values (all 5.0), not the retired bytes (100..10099): a range
+    # around the default keeps every row; the stale range finds none
+    pruned, rep = store.read_pruned("t", "v", lo=4.0, hi=6.0)
+    assert pruned.count() == 10_000
+    pruned2, _ = store.read_pruned("t", "v", lo=200.0, hi=300.0)
+    assert pruned2.count() == 0
+
+    # rows written after the re-add carry their own physical values
+    up = spark.createDataFrame([(3, 7.5)], "k bigint, v double")
+    store.merge_in("t", up, "k")
+    got3 = store.read("t")
+    assert got3.where("k = 3 AND v = 7.5").count() == 1
+    assert got3.where("v = 5.0").count() == 9_999
+
+    # rewrite materializes and purges: post-compact behavior identical
+    store.compact("t")
+    got4 = store.read("t")
+    assert got4.where("v = 5.0").count() == 9_999
+    assert got4.where("v >= 100.0").count() == 0
+
+
+def test_drop_add_rename_lineage_does_not_resurrect(spark, tmp_path):
+    """Round 12 (ADVICE r11 medium): drop b; add a (metadata-only);
+    rename a->b — a pre-drop generation physically carries b but not a,
+    so the rename relabel alone cannot discard the stale bytes; the
+    retired-name replay must. Events apply in commit (since) order, so
+    the inverse case — drop b then rename c->b — serves c's REAL data
+    under b, not a spurious drop."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 1_000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS b", "CAST(-id AS DOUBLE) AS c"
+    )
+    store.write("t", df.repartition(2))
+
+    store.drop_columns("t", ["b"])
+    store.add_columns("t", {"a": "double"})
+    store.rename_columns("t", {"a": "b"})
+    got = store.read("t")
+    assert set(got.columns) == {"k", "c", "b"}
+    assert got.where("b IS NOT NULL").count() == 0
+    assert got.count() == 1_000
+
+    # inverse ordering: rename AFTER the drop re-uses the name with real
+    # data — must survive, the retire fires before the rename in replay
+    store2 = TableStore(spark, str(tmp_path / "s2"))
+    store2.write("t", df.repartition(2))
+    store2.drop_columns("t", ["b"])
+    store2.rename_columns("t", {"c": "b"})
+    got2 = store2.read("t")
+    assert set(got2.columns) == {"k", "b"}
+    assert got2.where("b = CAST(-k AS DOUBLE)").count() == 1_000
+
+
+def test_chain_budget_default_warns_and_none_opts_out(spark, tmp_path):
+    """Round 12 (VERDICT r11 #2): the budget defaults ON — a store built
+    with no arguments carries max_chain_branches=32 / chain_policy='warn'
+    so unbounded scan-branch growth can never be silent; the warning
+    fires at budget+1 branches; None stays the explicit opt-out and
+    silences it; a failed inline compact degrades to a warning, never to
+    the (already durable) mutation's caller (ADVICE r11 low)."""
+    import warnings as _warnings
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    dflt = TableStore(spark, str(tmp_path / "dflt"))
+    assert dflt.max_chain_branches == 32 and dflt.chain_policy == "warn"
+
+    df = spark.range(0, 5_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+
+    def batch(i):
+        return spark.createDataFrame([(i * 7, float(-i))], "k bigint, v double")
+
+    # warn fires at budget+1 (budget 1 here so one merge trips it —
+    # the default 32 shares the same code path, asserted above)
+    warned = TableStore(spark, str(tmp_path / "warned"), max_chain_branches=1)
+    warned.write("t", df.repartition(2))
+    warned.optimize_layout("t", ["k"], num_files=4)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        warned.merge_in("t", batch(1), "k")
+    assert any("compact" in str(x.message) for x in w)
+
+    # None = explicit opt-out: same shape, no warning
+    off = TableStore(spark, str(tmp_path / "off"), max_chain_branches=None)
+    off.write("t", df.repartition(2))
+    off.optimize_layout("t", ["k"], num_files=4)
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        off.merge_in("t", batch(1), "k")
+    assert not [x for x in w2 if "compact" in str(x.message)]
+
+    # a compact that BLOWS UP under policy='compact' downgrades to a
+    # warning — the merge itself committed durably first
+    boom = TableStore(
+        spark,
+        str(tmp_path / "boom"),
+        max_chain_branches=1,
+        chain_policy="compact",
+    )
+    boom.write("t", df.repartition(2))
+    boom.optimize_layout("t", ["k"], num_files=4)
+    orig = boom.compact
+    boom.compact = lambda *a, **k: (_ for _ in ()).throw(OSError("disk full"))
+    try:
+        with _warnings.catch_warnings(record=True) as w3:
+            _warnings.simplefilter("always")
+            v, _ = boom.merge_in("t", batch(2), "k")
+    finally:
+        boom.compact = orig
+    assert any("compaction failed" in str(x.message) for x in w3)
+    assert boom._read_meta("t")["current"] == v  # mutation durably pointed
+    assert boom.read("t").where("v = -2.0").count() == 1

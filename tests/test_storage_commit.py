@@ -852,3 +852,40 @@ def test_multiprocess_cow_stress_on_conditional_put(spark, tmp_path):
         f"cow-stress: {n_workers} procs x {n_ops} ops in {elapsed:.0f}s, "
         f"{total_conflicts} conflicts retried, {len(hist)} live versions"
     )
+
+
+def test_io_size_without_head_reports_unknown_not_full_get(spark, tmp_path):
+    """Round 12 (ADVICE r11 low): on a backend without a size() HEAD,
+    io_size returns None (accounting is best-effort) instead of GETting
+    the whole object — materialize_version must not double an export's
+    data transfer just for the byte report."""
+    backend = LocalEmulatedBackend()
+    backend.put_if_absent("x/obj", b"payload-bytes")
+
+    class NoHead:
+        def __init__(self, inner):
+            self._inner = inner
+            self.gets = 0
+
+        def get(self, key):
+            self.gets += 1
+            return self._inner.get(key)
+
+        def __getattr__(self, name):
+            if name == "size":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    nh = NoHead(backend)
+    commit = ConditionalPutCommit(nh)
+    assert commit.io_size("x/obj") is None
+    assert nh.gets == 0, "io_size paid a full GET for the report"
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path / "s"), commit=ConditionalPutCommit(nh))
+    store.write("t", spark.range(0, 100).selectExpr("id AS k"))
+    rep = store.materialize_version("t", str(tmp_path / "exp"))
+    assert rep["bytes"] is None  # honest unknown, never a partial sum
+    assert rep["files"] >= 1
+    assert spark.read.parquet(str(tmp_path / "exp")).count() == 100
