@@ -45,7 +45,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import ivf_assign, ivf_index, ivf_search, with_norm
+from .similarity import (
+    ivf_assign,
+    ivf_assignment_dispersion,
+    ivf_index,
+    ivf_search,
+    with_norm,
+)
 
 __all__ = ["IvfStaleIndexError", "build", "append", "probe", "pin_info"]
 
@@ -112,7 +118,22 @@ def build(
         "id_col": id_col,
         "vec_col": vec_col,
         "centroids": centroids,
+        # recorded so an on_drift='rebuild' re-quantizes the same way the
+        # original build did — without refinement the deterministic
+        # first-n_lists-ids quantizer would pick the SAME centroids and
+        # the rebuild could not adapt to the drifted distribution
+        "refine_iterations": refine_iterations,
+        # drift watchdog baseline (round 12, VERDICT r11 #3): the mean
+        # 1-cosine to the nearest centroid over the BUILD corpus. Appends
+        # compare their batch's dispersion against this; a distribution
+        # that drifted away from the quantizer assigns loosely, and
+        # recall decays with NO staleness error — this statistic is the
+        # only signal.
+        "build_dispersion": ivf_assignment_dispersion(
+            corpus, centroids, vec_col=vec_col
+        ),
     }
+    rec["last_dispersion"] = rec["build_dispersion"]
     _write_pin(store, index_table, rec)
     return rec
 
@@ -135,12 +156,31 @@ def append(
     index_table: str,
     verify_unchanged: bool = True,
     max_keys: int = 10_000,
+    drift_ratio: float = 1.5,
+    on_drift: str = "warn",
 ) -> dict:
     """Advance the index over an APPEND-shaped corpus change: assign the
     new vectors to the pinned centroids, merge them into the index (pure
     insert — untouched index files share by reference), re-pin. Raises
     :class:`IvfStaleIndexError` when the change is not an append
-    (deleted ids; with ``verify_unchanged``, changed embeddings)."""
+    (deleted ids; with ``verify_unchanged``, changed embeddings).
+
+    Centroid-drift watchdog (round 12, VERDICT r11 #3): appends assign
+    to the ORIGINAL centroids forever, so recall decays silently as the
+    embedding distribution drifts — the one failure mode the staleness
+    error cannot see. Each append measures its batch's assignment
+    dispersion (mean 1-cosine to nearest centroid, one O(batch)
+    aggregate) and compares it to the build-time baseline in the pin;
+    when it exceeds ``drift_ratio`` x baseline the append is flagged:
+    ``on_drift='warn'`` (default) raises a UserWarning and records
+    ``drift_tripped`` in the pin, ``'rebuild'`` rebuilds the whole
+    index against the current corpus (the measured O(corpus) path —
+    fresh centroids, fresh baseline), ``'ignore'`` only records. Pins
+    written before round 12 carry no baseline and skip the check."""
+    if on_drift not in ("warn", "rebuild", "ignore"):
+        raise ValueError(
+            f"on_drift must be 'warn', 'rebuild' or 'ignore', got {on_drift!r}"
+        )
     rec = pin_info(store, index_table)
     corpus_table, id_col, vec_col = (
         rec["corpus_table"], rec["id_col"], rec["vec_col"],
@@ -184,6 +224,47 @@ def append(
             "neighbor_id",
         )
     )
+    # drift watchdog: the batch's own dispersion vs the build baseline
+    base = rec.get("build_dispersion")
+    batch_disp = (
+        ivf_assignment_dispersion(new_rows, rec["centroids"], vec_col=vec_col)
+        if base is not None
+        else None
+    )
+    tripped = (
+        batch_disp is not None
+        and batch_disp > max(base * drift_ratio, base + 1e-9)
+    )
+    if tripped and on_drift == "rebuild":
+        import warnings
+
+        warnings.warn(
+            f"{index_table}: append batch dispersion {batch_disp:.4f} vs "
+            f"build baseline {base:.4f} (ratio budget {drift_ratio}) — "
+            "embedding distribution drifted; REBUILDING the index against "
+            "the current corpus (on_drift='rebuild')",
+            stacklevel=2,
+        )
+        out = build(
+            store, corpus_table, index_table,
+            n_lists=rec["n_lists"], id_col=id_col, vec_col=vec_col,
+            refine_iterations=rec.get("refine_iterations", 0),
+        )
+        out["appended"] = new_rows.count()
+        out["drift_tripped"] = True
+        out["rebuilt"] = True
+        return out
+    if tripped and on_drift == "warn":
+        import warnings
+
+        warnings.warn(
+            f"{index_table}: append batch dispersion {batch_disp:.4f} vs "
+            f"build baseline {base:.4f} (ratio budget {drift_ratio}) — the "
+            "embedding distribution has drifted from the pinned quantizer; "
+            "recall is decaying silently. Rebuild the index (or append "
+            "with on_drift='rebuild')",
+            stacklevel=2,
+        )
     n_new = additions.count()
     if n_new:
         if n_new <= max_keys:
@@ -197,6 +278,9 @@ def append(
                 partition_by=["list_id"],
             )
     rec["corpus_version"] = current
+    if batch_disp is not None:
+        rec["last_dispersion"] = batch_disp
+        rec["drift_tripped"] = bool(tripped)
     _write_pin(store, index_table, rec)
     rec["appended"] = n_new
     return rec

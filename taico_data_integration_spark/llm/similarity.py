@@ -178,6 +178,50 @@ def ivf_centroids_from_sample(df: DataFrame, n_lists: int, id_col: str = "vec_id
 IVF_ASSIGN_LITERAL_MAX = 64
 
 
+def ivf_assignment_dispersion(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    literal_max: int | None = None,
+) -> float | None:
+    """Mean ``1 - cosine(vector, nearest centroid)`` over ``df`` — the
+    assignment-TIGHTNESS statistic the IVF drift watchdog tracks
+    (round 12, VERDICT r11 #3). A batch whose embedding distribution
+    drifted away from the quantizer assigns loosely (dispersion rises),
+    which silently degrades recall long before any staleness error can
+    fire. One aggregate over the batch, O(batch x n_lists) compute,
+    nothing written. Same two physical strategies as :func:`ivf_assign`
+    (inlined literals vs broadcast join); zero-norm vectors are skipped
+    (cosine undefined). None for an empty frame."""
+    cap = IVF_ASSIGN_LITERAL_MAX if literal_max is None else literal_max
+    d = with_norm(df, vec_col).where(F.col("norm") > 0.0)
+    if len(centroids) <= cap:
+        best = (
+            F.array_max(_centroid_scores(F.col("__vec_d"), centroids))["score"]
+            / F.col("norm")
+        )
+        row = d.select(F.avg(F.lit(1.0) - best).alias("disp")).first()
+    else:
+        spark = df.sparkSession
+        rows = []
+        for cid, c in centroids:
+            norm = math.sqrt(sum(x * x for x in c)) or 1.0
+            rows.append((cid, [x / norm for x in c]))
+        cents = spark.createDataFrame(rows, "cid int, __c array<double>")
+        row = (
+            d.select(F.col("__vec_d"), F.col("norm"))
+            .withColumn("__rowid", F.monotonically_increasing_id())
+            .crossJoin(F.broadcast(cents))
+            .groupBy("__rowid", "norm")
+            .agg(F.max(dot(F.col("__vec_d"), F.col("__c"))).alias("__best"))
+            .select(
+                F.avg(F.lit(1.0) - F.col("__best") / F.col("norm")).alias("disp")
+            )
+            .first()
+        )
+    return None if row is None or row["disp"] is None else float(row["disp"])
+
+
 def ivf_assign(
     df: DataFrame,
     centroids,

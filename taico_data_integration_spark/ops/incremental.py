@@ -413,6 +413,7 @@ class TableStore(TableFormat):
         schema_json: str | None,
         renames: list[dict] | None = None,
         retired: list[dict] | None = None,
+        widened: list[dict] | None = None,
     ) -> bytes:
         """``renames`` (round 11, rename_columns) is the version's column
         MAPPING history: entries {"from", "to", "since"} meaning files
@@ -422,11 +423,17 @@ class TableStore(TableFormat):
         entries {"name", "since"} meaning files predating ``since`` may
         still physically carry the column dropped under that name — the
         read path discards it per generation, so a later add_columns of
-        the same name can never resurrect the dropped bytes. Both lists
-        replay together in commit (``since``) order. COW commits carry
-        the base version's lists forward (references keep their old
-        physical layout); full rewrites reset them (the rewrite purges
-        old names physically)."""
+        the same name can never resurrect the dropped bytes.
+        ``widened`` (round 12, VERDICT r11 #5) is the type-widening
+        history: entries {"name", "type", "since"} meaning files
+        predating ``since`` physically store the column in a NARROWER
+        type — the read path casts them per generation (Delta type
+        widening analog), and sidecar reuse (blooms are type-sensitive
+        hashes) is gated on it. All three lists replay together in
+        commit (``since``) order. COW commits carry the base version's
+        lists forward (references keep their old physical layout); full
+        rewrites reset them (the rewrite purges old names/types
+        physically)."""
         rec = {
             "format": 1,
             "schema": schema_json,
@@ -437,6 +444,8 @@ class TableStore(TableFormat):
             rec["renames"] = renames
         if retired:
             rec["retired"] = retired
+        if widened:
+            rec["widened"] = widened
         return json.dumps(rec).encode()
 
     @staticmethod
@@ -448,9 +457,11 @@ class TableStore(TableFormat):
         while drop b / add a / rename a->b must retire b and leave the
         (physically absent) a rename a no-op."""
         man = man or {}
-        evs = [("rename", rn) for rn in man.get("renames", [])] + [
-            ("retire", rt) for rt in man.get("retired", [])
-        ]
+        evs = (
+            [("rename", rn) for rn in man.get("renames", [])]
+            + [("retire", rt) for rt in man.get("retired", [])]
+            + [("widen", wd) for wd in man.get("widened", [])]
+        )
         evs.sort(key=lambda e: e[1]["since"])
         return evs
 
@@ -475,8 +486,9 @@ class TableStore(TableFormat):
                     # shadowed (dropped) by the relabel
                     cur.pop(ev["to"], None)
                     cur[ev["to"]] = cur.pop(ev["from"])
-            else:  # retire
+            elif kind == "retire":
                 cur.pop(ev["name"], None)
+            # "widen" changes a type, never a name: no mapping effect
         return cur
 
     @staticmethod
@@ -494,6 +506,36 @@ class TableStore(TableFormat):
             and c in (ev.get("name"), ev.get("from"), ev.get("to"))
             for _kind, ev in events
         )
+
+    def _recorded_partition_by(
+        self, table: str, entry: dict
+    ) -> list[str] | None:
+        """The version's RECORDED partition spec from its manifest, or
+        None for manifest-less legacy versions (callers fall back to
+        path inference). With partition evolution (round 12) the
+        recorded spec is the CURRENT layout contract — referenced
+        generations may sit under older specs, so inferring one spec
+        from a mixed rel list is no longer meaningful."""
+        man = self._load_manifest(table, entry)
+        if man is None:
+            return None
+        return list(man.get("partition_by", []))
+
+    @staticmethod
+    def _dir_partition_union(rels) -> set[str]:
+        """Every Hive dir-name column appearing in ANY rel path — the
+        union across partition specs. Unlike :meth:`_partition_cols`
+        this never raises on mixed nesting: it is the guard set for
+        schema ALTERs (a column living in any generation's directory
+        names cannot be renamed/dropped/widened), not a layout
+        contract."""
+        cols: set[str] = set()
+        for rel in rels:
+            for comp in rel.split(os.sep)[:-1]:
+                k, sep, _v = comp.partition("=")
+                if sep:
+                    cols.add(k)
+        return cols
 
     def _version_filemap(self, table: str, entry: dict) -> dict[str, int]:
         """rel -> PHYSICAL version for every live file of the version;
@@ -601,9 +643,34 @@ class TableStore(TableFormat):
         dfs = []
         for vphys in sorted(groups):
             vdir = self._version_dir(table, vphys)
-            d = self.spark.read.option("basePath", vdir).parquet(
-                *[os.path.join(vdir, rel) for rel in sorted(groups[vphys])]
+            sel = sorted(groups[vphys])
+            # whole-generation fast path (round 12, measured in
+            # tools/manifest_probe.py): when the selection references
+            # EVERY file the physical holder wrote — the single-generation
+            # table, a fresh compact, a full COW reference — pass the
+            # DIRECTORY instead of N explicit paths. Spark's explicit-path
+            # plan build is ~1.8 ms/path of sequential driver-side work
+            # (7.5 s at 4096 files) while the directory form lists in
+            # parallel and shares the FileStatusCache (0.3-2.1 s) — at
+            # 100k-file versions this is the difference between a
+            # sub-second and a minutes-scale cold read plan. Committed
+            # version dirs are immutable and `_`/`.`-prefixed members are
+            # hidden from the reader, so the directory IS the file set;
+            # the holder's manifest proves the equality (a tombstoned
+            # holder has no manifest and partial references fall back to
+            # explicit paths).
+            own_man = self._load_manifest(table, {"v": vphys, "path": vdir})
+            own = (
+                sorted(f["rel"] for f in own_man["files"] if f["v"] == vphys)
+                if own_man is not None
+                else None
             )
+            if own is not None and own == sel:
+                d = self.spark.read.parquet(vdir)
+            else:
+                d = self.spark.read.option("basePath", vdir).parquet(
+                    *[os.path.join(vdir, rel) for rel in sel]
+                )
             # column mapping (rounds 11+12): generations written before a
             # rename carry the old physical name; generations written
             # before a drop may still physically carry the dropped bytes.
@@ -624,6 +691,30 @@ class TableStore(TableFormat):
                         if p in phys2log
                     ]
                 )
+                # type widening (round 12, VERDICT r11 #5): generations
+                # written before an alter_column_type physically store the
+                # NARROWER type — cast per generation so the union stays
+                # homogeneous at the recorded (widened) type. The event's
+                # name is resolved through any LATER renames to the
+                # post-mapping logical name. Catalyst's
+                # UnwrapCastInBinaryComparison pushes predicates through
+                # the integral/float upcast to the physical column, so
+                # pushdown into old generations survives.
+                for kind, ev in events:
+                    if kind != "widen" or ev["since"] <= vphys:
+                        continue
+                    wname = ev["name"]
+                    for k2, e2 in events:
+                        if (
+                            k2 == "rename"
+                            and e2["since"] > ev["since"]
+                            and e2["from"] == wname
+                        ):
+                            wname = e2["to"]
+                    if wname in d.columns:
+                        d = d.withColumn(
+                            wname, F.col(wname).cast(ev["type"])
+                        )
             # add_columns DEFAULT back-fill is PER GENERATION: a branch
             # predating the add reads the literal — padding after the
             # union would be too late (allowMissingColumns pads NULL)
@@ -1093,7 +1184,7 @@ class TableStore(TableFormat):
         stage_ttl_seconds: float = 3600.0,
         min_age_seconds: float = 0.0,
         dry_run: bool = False,
-    ) -> list[int]:
+    ) -> list[int] | dict:
         """Delta-VACUUM analog: physically delete all but the newest
         `keep_latest` versions. Required after GDPR erasure (ops.deletion) —
         superseded versions still hold the erased rows until vacuumed.
@@ -1126,8 +1217,19 @@ class TableStore(TableFormat):
         a marker-less dir is a crashed writer's residue ONLY if it does
         not carry the ``_VACUUMED`` tombstone marker.
 
-        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` analog) returns
-        the versions a real pass would remove and touches nothing."""
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` analog) returns a
+        structured report of EVERYTHING a real pass would do — version
+        removals AND the residue sweep, where the surprising deletions
+        live (VERDICT r11 #6): ``{"versions": [...], "tombstoned":
+        [...], "tombstones_swept": [...], "orphans": [...], "stages":
+        [...]}`` — and touches nothing. ``versions`` is every version
+        leaving history; ``tombstoned`` is the subset that tombstones
+        (files still referenced by survivors) rather than deleting
+        outright; ``tombstones_swept`` lists older tombstone dirs whose
+        last references are gone this pass; ``orphans``/``stages`` are
+        the aged marker-less dirs and staging dirs the residue sweep
+        reaps. The real pass executes the same plan and returns the
+        removed version list (API unchanged)."""
         import shutil
 
         meta = self._read_meta(table)
@@ -1159,24 +1261,9 @@ class TableStore(TableFormat):
             if e["v"] not in removable:
                 for rel, vphys in self._version_filemap(table, e).items():
                     kept_refs.add((vphys, rel))
-        if dry_run:
-            # Delta VACUUM DRY RUN analog: report what a real pass WOULD
-            # remove (keep-set + retention decisions only — the orphan/
-            # tombstone sweep is residue cleanup, not version removal),
-            # touch nothing
-            return sorted(removable)
-        removed = []
-
-        def _drop_sidecars(v: int) -> None:
-            for key in [k for k in self._bloom_mem if k[0] == table and k[1] == v]:
-                self._bloom_mem.pop(key, None)
-            self._manifest_mem.pop((table, v), None)
-            for mp in (self._stats_path(table, v), self._bloom_path(table, v)):
-                # the bloom sidecar is a parquet DIRECTORY when built by the
-                # distributed writer, a single file for legacy manifests —
-                # io_delete_tree handles both
-                self.commit.io_delete_tree(mp)
-
+        # ---- PLAN (shared by dry-run and the real pass: the report IS
+        # the execution plan, so they agree by construction) ----------
+        ver_plans: list[dict] = []
         for e in versions:
             if e["v"] not in removable:
                 continue
@@ -1186,47 +1273,46 @@ class TableStore(TableFormat):
                 if vphys == e["v"]
             ]
             still_needed = {rel for rel in own if (e["v"], rel) in kept_refs}
-            if still_needed:
-                # tombstone: the version leaves history, its referenced
-                # files stay. Marker FIRST — a crash between the marker
-                # and the _SUCCESS removal leaves a committed version
-                # (retried next vacuum); the other order would leave a
-                # marker-less dir the orphan sweep deletes, destroying
-                # files live versions still reference
-                self.commit.put_object(os.path.join(e["path"], "_VACUUMED"), b"")
-                for name in ("_SUCCESS", self._MANIFEST_NAME):
-                    self.commit.io_delete(os.path.join(e["path"], name))
-                for rel in own:
-                    if rel not in still_needed:
-                        self.commit.io_delete(os.path.join(e["path"], rel))
-            else:
-                self.commit.io_delete_tree(e["path"])
-            removed.append(e["v"])
-            _drop_sidecars(e["v"])
-        # sweep tombstones whose last referencing version is gone, plus
-        # uncommitted orphans (claimed dirs without the commit marker — a
-        # hard-killed writer's leftovers — and .stage-v* staging dirs a
-        # writer died on before the validate+rename); claims stay so
-        # version numbers are never reused
+            ver_plans.append(
+                {
+                    "v": e["v"],
+                    "path": e["path"],
+                    "own": own,
+                    "still_needed": still_needed,
+                }
+            )
+        # residue sweep plan: tombstones whose last referencing version is
+        # gone, uncommitted orphans (claimed dirs without the commit
+        # marker — a hard-killed writer's leftovers), and .stage-v*
+        # staging dirs a writer died on before the validate+rename.
+        # Claims stay so version numbers are never reused.
         tdir = os.path.join(self.root, table)
         committed = {e["v"] for e in meta["versions"]}
+        tomb_plans: list[dict] = []
+        orphan_dirs: list[str] = []
+        stage_dirs: list[str] = []
         for name in self.commit.io_list_dir(tdir):
             m = re.fullmatch(r"v(\d{4,})", name)
             p = os.path.join(tdir, name)
             if m and int(m.group(1)) not in committed:
                 if self.commit.io_exists(os.path.join(p, "_VACUUMED")):
                     vnum = int(m.group(1))
-                    live = []
+                    live, dead = [], []
                     for fpath in self.commit.io_list_files(p):
                         if not fpath.endswith(".parquet"):
                             continue
                         rel = os.path.relpath(fpath, p)
-                        if (vnum, rel) in kept_refs:
-                            live.append(rel)
-                        else:
-                            self.commit.io_delete(fpath)
-                    if not live:
-                        self.commit.io_delete_tree(p)
+                        (live if (vnum, rel) in kept_refs else dead).append(
+                            fpath
+                        )
+                    tomb_plans.append(
+                        {
+                            "version": vnum,
+                            "path": p,
+                            "dead": dead,
+                            "reclaimed": not live,
+                        }
+                    )
                 elif not self.commit.io_exists(os.path.join(p, "_SUCCESS")):
                     # a marker-less version dir may be a LIVE direct-publish
                     # writer's in-flight output (round 10) — sweep only past
@@ -1250,7 +1336,7 @@ class TableStore(TableFormat):
                     if not ages:
                         continue  # changed under us — it's live
                     if time.time() - max(ages) > stage_ttl_seconds:
-                        self.commit.io_delete_tree(p)
+                        orphan_dirs.append(p)
             elif name.startswith(".stage-v") and not m:
                 # NEVER sweep a live writer's staging dir (it may be between
                 # job completion and the validate+rename): only reap stages
@@ -1271,7 +1357,62 @@ class TableStore(TableFormat):
                 if not ages:
                     continue  # renamed/removed under us — it's live
                 if time.time() - max(ages) > stage_ttl_seconds:
-                    self.commit.io_delete_tree(p)
+                    stage_dirs.append(p)
+        if dry_run:
+            return {
+                "versions": sorted(vp["v"] for vp in ver_plans),
+                "tombstoned": sorted(
+                    vp["v"] for vp in ver_plans if vp["still_needed"]
+                ),
+                "tombstones_swept": [
+                    {
+                        "version": tp["version"],
+                        "files": len(tp["dead"]),
+                        "reclaimed": tp["reclaimed"],
+                    }
+                    for tp in tomb_plans
+                ],
+                "orphans": sorted(orphan_dirs),
+                "stages": sorted(stage_dirs),
+            }
+        # ---- EXECUTE -------------------------------------------------
+        removed = []
+
+        def _drop_sidecars(v: int) -> None:
+            for key in [k for k in self._bloom_mem if k[0] == table and k[1] == v]:
+                self._bloom_mem.pop(key, None)
+            self._manifest_mem.pop((table, v), None)
+            for mp in (self._stats_path(table, v), self._bloom_path(table, v)):
+                # the bloom sidecar is a parquet DIRECTORY when built by the
+                # distributed writer, a single file for legacy manifests —
+                # io_delete_tree handles both
+                self.commit.io_delete_tree(mp)
+
+        for vp in ver_plans:
+            if vp["still_needed"]:
+                # tombstone: the version leaves history, its referenced
+                # files stay. Marker FIRST — a crash between the marker
+                # and the _SUCCESS removal leaves a committed version
+                # (retried next vacuum); the other order would leave a
+                # marker-less dir the orphan sweep deletes, destroying
+                # files live versions still reference
+                self.commit.put_object(os.path.join(vp["path"], "_VACUUMED"), b"")
+                for name in ("_SUCCESS", self._MANIFEST_NAME):
+                    self.commit.io_delete(os.path.join(vp["path"], name))
+                for rel in vp["own"]:
+                    if rel not in vp["still_needed"]:
+                        self.commit.io_delete(os.path.join(vp["path"], rel))
+            else:
+                self.commit.io_delete_tree(vp["path"])
+            removed.append(vp["v"])
+            _drop_sidecars(vp["v"])
+        for tp in tomb_plans:
+            for fpath in tp["dead"]:
+                self.commit.io_delete(fpath)
+            if tp["reclaimed"]:
+                self.commit.io_delete_tree(tp["path"])
+        for p in orphan_dirs + stage_dirs:
+            self.commit.io_delete_tree(p)
         return removed
 
     def compact(
@@ -1301,7 +1442,7 @@ class TableStore(TableFormat):
         entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
         rels = list(self._version_filemap(table, entry))
         files_before = len(rels)
-        partition_by = self._resolve_partition_by(partition_by, rels)
+        partition_by = self._resolve_partition_by(table, partition_by, rels)
         df = self.read(table)
         n_rows = df.count()
         target = max(1, math.ceil(n_rows / rows_per_file))
@@ -1379,14 +1520,22 @@ class TableStore(TableFormat):
             )
 
     def _resolve_partition_by(
-        self, partition_by: list[str] | None, rels: list[str]
+        self, table: str, partition_by: list[str] | None, rels: list[str]
     ) -> list[str] | None:
         """Layout-preserving default shared by compact / optimize_layout /
-        optimize_layout_zorder: ``None`` detects the current version's Hive
-        partition columns from its relative paths (non-Hive nesting
-        degrades to flatten), ``[]`` flattens explicitly, a list is taken
-        as given."""
+        optimize_layout_zorder: ``None`` preserves the current version's
+        RECORDED partition spec (the layout contract under partition
+        evolution — path inference is only the legacy manifest-less
+        fallback, and non-Hive nesting degrades to flatten), ``[]``
+        flattens explicitly, a list is taken as given."""
         if partition_by is None:
+            meta = self._read_meta(table)
+            entry = next(
+                e for e in meta["versions"] if e["v"] == meta["current"]
+            )
+            rec = self._recorded_partition_by(table, entry)
+            if rec is not None:
+                return rec or None
             try:
                 return self._partition_cols(rels) or None
             except ValueError:
@@ -1403,7 +1552,14 @@ class TableStore(TableFormat):
         unpartitioned or non-Hive-nested). The layout-preservation probe
         every full-rewrite path should consult before ``write`` — a
         rewrite that omits ``partition_by`` silently flattens the table,
-        losing partition pruning for every downstream reader."""
+        losing partition pruning for every downstream reader. Prefers the
+        RECORDED spec (partition evolution, round 12); path inference is
+        the legacy manifest-less fallback."""
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        rec = self._recorded_partition_by(table, entry)
+        if rec is not None:
+            return rec
         try:
             return self._partition_cols(self._current_rels(table))
         except ValueError:
@@ -1431,7 +1587,9 @@ class TableStore(TableFormat):
         range and its files stay disjoint on the cluster key; ``[]``
         flattens explicitly."""
         base = self._read_meta(table)["current"]
-        pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
+        pcols = self._resolve_partition_by(
+            table, partition_by, self._current_rels(table)
+        )
         df = self.read(table)
         keys = [*(pcols or []), *cluster_by]
         clustered = df.repartitionByRange(num_files, *keys).sortWithinPartitions(
@@ -1458,7 +1616,9 @@ class TableStore(TableFormat):
         Hive-partitioned layouts are preserved by default, the Z-curve
         applying WITHIN each partition (round 9); ``[]`` flattens."""
         base = self._read_meta(table)["current"]
-        pcols = self._resolve_partition_by(partition_by, self._current_rels(table))
+        pcols = self._resolve_partition_by(
+            table, partition_by, self._current_rels(table)
+        )
         df = self.read(table)
         z = zorder_key(
             {c: (F.col(c), lo, hi) for c, (lo, hi) in cols_with_bounds.items()},
@@ -3088,7 +3248,13 @@ class TableStore(TableFormat):
         rewrite output part files."""
         import shutil
 
-        pcols = self._partition_cols(all_rels)
+        # the CURRENT recorded spec governs rewrite outputs and the new
+        # manifest; with partition evolution (round 12) referenced
+        # generations may sit under OLDER specs, so inferring one spec
+        # from the mixed rel list would refuse a perfectly healthy table
+        pcols = self._recorded_partition_by(table, entry)
+        if pcols is None:
+            pcols = self._partition_cols(all_rels)
         filemap = self._version_filemap(table, entry)
         # references keep their old physical column layout: the base's
         # rename mapping AND retired-name history carry forward
@@ -3096,6 +3262,7 @@ class TableStore(TableFormat):
         base_man = self._load_manifest(table, entry) or {}
         renames = base_man.get("renames", [])
         retired = base_man.get("retired", [])
+        widened = base_man.get("widened", [])
         # read-parity schema for the all-dropped case, resolved BEFORE
         # the base version can change under us. Field METADATA (the
         # add_columns DEFAULT annotations) carries forward from the base
@@ -3134,7 +3301,7 @@ class TableStore(TableFormat):
         if getattr(self.commit, "supports_direct_publish", False):
             return self._cow_commit_direct(
                 table, refs, out, version, path, pcols, schema_json,
-                after_write, renames, retired,
+                after_write, renames, retired, widened,
             )
         staging = os.path.join(self.root, table, f".stage-v{version:04d}")
         try:
@@ -3172,7 +3339,7 @@ class TableStore(TableFormat):
             with open(os.path.join(staging, self._MANIFEST_NAME), "w") as f:
                 f.write(
                     self._manifest_record(
-                        files, pcols, schema_json, renames, retired
+                        files, pcols, schema_json, renames, retired, widened
                     ).decode()
                 )
             # the commit marker _read_meta requires (Spark writes it for
@@ -3196,6 +3363,7 @@ class TableStore(TableFormat):
         after_write,
         renames: list[dict] | None = None,
         retired: list[dict] | None = None,
+        widened: list[dict] | None = None,
     ) -> int:
         """Direct-to-final COW publish (round 10, VERDICT r9 #4): the
         rewrite job writes UNDER THE FINAL VERSION PREFIX — zero staging
@@ -3236,7 +3404,9 @@ class TableStore(TableFormat):
                 moved = len(rels_new)
             self.commit.put_object(
                 os.path.join(path, self._MANIFEST_NAME),
-                self._manifest_record(files, pcols, schema_json, renames, retired),
+                self._manifest_record(
+                    files, pcols, schema_json, renames, retired, widened
+                ),
             )
             self.commit.commit_direct(
                 path,
@@ -3748,23 +3918,31 @@ class TableStore(TableFormat):
         schema_json: str,
         new_renames: list[dict] | None = None,
         new_retired: list[str] | None = None,
+        new_widened: list[dict] | None = None,
+        new_partition_by: list[str] | None = None,
     ) -> int:
         """Commit a METADATA-ONLY version: the manifest references every
         file of ``entry`` unchanged and records a new schema — zero data
         movement, zero rewrite jobs, O(1) objects written. Marker-last
         (put-if-absent) is atomic visibility on both commit impls because
         the version holds no data objects; the pointer swap is
-        conflict-checked like any mutation. ``new_renames`` entries and
-        ``new_retired`` names get their ``since`` stamped with the
-        claimed version (every file the new version references predates
-        it by construction); both histories carry forward from the
-        base."""
+        conflict-checked like any mutation. ``new_renames`` /
+        ``new_retired`` / ``new_widened`` entries get their ``since``
+        stamped with the claimed version (every file the new version
+        references predates it by construction); all three histories
+        carry forward from the base. ``new_partition_by`` records a NEW
+        partition spec (partition evolution, round 12) — referenced
+        generations keep their old directory layout and read through the
+        per-generation union path."""
         version = self._claim_version(table)
         path = os.path.join(self.root, table, f"v{version:04d}")
         fm = self._version_filemap(table, entry)
-        pcols = self._partition_cols(list(fm)) if fm else list(
-            (self._load_manifest(table, entry) or {}).get("partition_by", [])
-        )
+        if new_partition_by is not None:
+            pcols = list(new_partition_by)
+        else:
+            pcols = self._recorded_partition_by(table, entry)
+            if pcols is None:
+                pcols = self._partition_cols(list(fm)) if fm else []
         base_man = self._load_manifest(table, entry) or {}
         renames = list(base_man.get("renames", []))
         for rn in new_renames or []:
@@ -3772,12 +3950,16 @@ class TableStore(TableFormat):
         retired = list(base_man.get("retired", []))
         for name in new_retired or []:
             retired.append({"name": name, "since": version})
+        widened = list(base_man.get("widened", []))
+        for wd in new_widened or []:
+            widened.append({**wd, "since": version})
         record = self._manifest_record(
             [{"rel": rel, "v": v} for rel, v in fm.items()],
             pcols,
             schema_json,
             renames,
             retired,
+            widened,
         )
         try:
             self.commit.put_object(
@@ -3869,7 +4051,12 @@ class TableStore(TableFormat):
         if missing:
             raise ValueError(f"drop_columns: {missing} not in {table}'s schema")
         fm = self._version_filemap(table, entry)
-        pcols = self._partition_cols(list(fm)) if fm else []
+        # guard on the RECORDED spec plus every OLDER spec's dir columns:
+        # a column living in any referenced generation's directory names
+        # cannot be dropped (partition evolution, round 12)
+        pcols = set(self._recorded_partition_by(table, entry) or []) | (
+            self._dir_partition_union(fm)
+        )
         part_hits = [c for c in cols if c in pcols]
         if part_hits:
             raise ValueError(
@@ -3943,7 +4130,9 @@ class TableStore(TableFormat):
             dup = sorted({t for t in mapping.values() if post.count(t) > 1})
             raise ValueError(f"rename_columns: target names {dup} collide")
         fm = self._version_filemap(table, entry)
-        pcols = self._partition_cols(list(fm)) if fm else []
+        pcols = set(self._recorded_partition_by(table, entry) or []) | (
+            self._dir_partition_union(fm)
+        )
         part_hits = [c for c in mapping if c in pcols]
         if part_hits:
             raise ValueError(
@@ -3973,6 +4162,154 @@ class TableStore(TableFormat):
             entry,
             new_schema.json(),
             new_renames=[{"from": k, "to": v} for k, v in mapping.items()],
+        )
+
+    #: safe type widenings (Delta type-widening analog): every source
+    #: value is EXACTLY representable in the target. bigint->double is
+    #: deliberately absent (loses integer precision past 2^53), as is
+    #: any narrowing or cross-family cast.
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def alter_column_type(self, table: str, mapping: dict[str, str]) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE, metadata-only (round 12,
+        VERDICT r11 #5): a new version referencing every file unchanged,
+        with the recorded schema's type WIDENED and a {name, type,
+        since} entry appended to the manifest's widening history —
+        generations written before the alter physically store the
+        narrower type and the read path casts them per generation
+        (:meth:`_read_rels`), exactly like the rename relabel. Delta's
+        type widening analog: int->bigint, float->double, and the
+        integral chain (see :data:`_WIDENINGS`) — every source value is
+        exactly representable, so reads before and after the alter are
+        value-identical. Narrowing, lossy (bigint->double), or
+        cross-family changes are refused loudly — rewrite through a
+        projection instead. Stats skipping survives (min/max values are
+        type-agnostic); bloom sidecars are type-SENSITIVE hashes, so
+        copy-forward reuse is gated on the widening event and affected
+        filters rebuild through the (already widened) read. Refuses
+        partition columns (their type is re-inferred from directory
+        names per scan) and unknown columns; CHECK constraints keep
+        working — widening preserves every value they test."""
+        from pyspark.sql.types import StructField, StructType
+
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        schema = self._recorded_schema(table, entry) or self._version_schema(
+            table, entry
+        )
+        missing = [c for c in mapping if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"alter_column_type: {missing} not in {table}'s schema"
+            )
+        fm = self._version_filemap(table, entry)
+        pcols = set(self._recorded_partition_by(table, entry) or []) | (
+            self._dir_partition_union(fm)
+        )
+        part_hits = [c for c in mapping if c in pcols]
+        if part_hits:
+            raise ValueError(
+                f"alter_column_type: {part_hits} are partition columns of "
+                f"{table} — their type is inferred from directory names; "
+                "rewrite with a different partition_by instead"
+            )
+        new_fields, widened = [], []
+        by_name = {f.name: f for f in schema.fields}
+        for name, spec in mapping.items():
+            cur = by_name[name].dataType.simpleString()
+            target = _parse_ddl_type(self.spark, spec)
+            tgt = target.simpleString()
+            if tgt == cur:
+                raise ValueError(
+                    f"alter_column_type: {name} is already {cur}"
+                )
+            if tgt not in self._WIDENINGS.get(cur, ()):  # loud refusal
+                raise ValueError(
+                    f"alter_column_type: {cur} -> {tgt} on {name!r} is not "
+                    f"a safe widening (allowed from {cur}: "
+                    f"{sorted(self._WIDENINGS.get(cur, ())) or 'nothing'}) — "
+                    "narrowing or lossy changes need an explicit rewrite"
+                )
+            widened.append({"name": name, "type": tgt})
+        for f in schema.fields:
+            if f.name in mapping:
+                new_fields.append(
+                    StructField(
+                        f.name,
+                        _parse_ddl_type(self.spark, mapping[f.name]),
+                        f.nullable,
+                        metadata=f.metadata,
+                    )
+                )
+            else:
+                new_fields.append(f)
+        return self._commit_schema_only(
+            table,
+            entry,
+            StructType(new_fields).json(),
+            new_widened=widened,
+        )
+
+    def alter_partition_spec(
+        self, table: str, partition_by: list[str]
+    ) -> int:
+        """Iceberg-style PARTITION EVOLUTION, metadata-only (round 12,
+        VERDICT r11 #7): record a NEW partition spec for the table
+        without rewriting a byte. The commit references every current
+        file unchanged; generations written before the change keep their
+        old directory layout and read through the per-generation union
+        path that already serves renames/retires/widenings (each group
+        reads with ``basePath`` = its own version dir, so Hive partition
+        columns infer per generation). Writes AFTER the change — COW
+        rewrite outputs, merges, compact — land under the new spec, so
+        the layout migrates progressively; ``compact()`` materializes it
+        fully in one O(table) pass when wanted.
+
+        Pruning applies per generation either way: for a file under the
+        OLD spec the (new) spec column is a data column with footer
+        stats; for a file under the NEW spec it is a directory value —
+        :meth:`collect_file_stats` resolves both per rel, so
+        ``read_pruned``/``delete_where`` skip correctly across specs.
+
+        New spec columns must exist in the recorded schema (rows written
+        before a metadata-only ADD partition into the NULL directory on
+        rewrite, exactly like Spark's ``__HIVE_DEFAULT_PARTITION__``);
+        at least one non-partition column must remain (``partitionBy``
+        strips spec columns from file payloads); ``[]`` evolves to an
+        unpartitioned layout for future writes."""
+        meta = self._read_meta(table)
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        schema = self._recorded_schema(table, entry) or self._version_schema(
+            table, entry
+        )
+        missing = [c for c in partition_by if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"alter_partition_spec: {missing} not in {table}'s schema"
+            )
+        if len(set(partition_by)) != len(partition_by):
+            raise ValueError(
+                f"alter_partition_spec: duplicate columns in {partition_by}"
+            )
+        if partition_by and len(partition_by) >= len(schema.names):
+            raise ValueError(
+                "alter_partition_spec: at least one non-partition column "
+                "must remain (partitionBy strips spec columns from file "
+                "payloads)"
+            )
+        current = self._recorded_partition_by(table, entry)
+        if current is not None and list(partition_by) == current:
+            raise ValueError(
+                f"alter_partition_spec: {table} already has spec "
+                f"{partition_by}"
+            )
+        return self._commit_schema_only(
+            table, entry, schema.json(), new_partition_by=list(partition_by)
         )
 
     def rollback(self, table: str, to_version: int | None = None) -> int:

@@ -1293,12 +1293,19 @@ def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a follow-up merge materialized it, the dropped
     ``c_mktsegment`` vanishes while its bytes stay in the referenced
     files, and the renamed ``acctbal`` -> ``balance`` serves old
-    generations through the per-generation column mapping. Hashes
-    against a plain projection oracle."""
+    generations through the per-generation column mapping.
+
+    Round 12 extensions: dropping ``note`` and RE-ADDING it with a
+    DEFAULT must serve the default everywhere — never the dropped
+    bytes still shared in the referenced files (the manifest's retired
+    history, ADVICE r11 high), including the rows a pre-drop merge had
+    materialized 'vip' into; and ``alter_column_type`` widens
+    ``c_custkey`` int -> bigint metadata-only with per-generation casts
+    (VERDICT r11 #5). Hashes against a plain projection oracle."""
     import os as _os
 
     cust = T(spark, sf_dir, "customer").select(
-        "c_custkey",
+        F.col("c_custkey").cast("int").alias("c_custkey"),
         "c_name",
         F.col("c_acctbal").cast("double").alias("acctbal"),
         "c_mktsegment",
@@ -1342,14 +1349,132 @@ def lifecycle_schema_alter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"lifecycle_schema_alter_gate: wrong contract {got.columns}"
             )
+        # round 12: drop + re-add with DEFAULT — the retired history must
+        # serve 'none' for EVERY row, including the keys <= 20 the merge
+        # above physically materialized 'vip' into (resurrection bug)
+        store.drop_columns("cust", ["note"])
+        v_readd = store.add_columns("cust", {"note": ("string", "none")})
+        d_readd = _os.path.join(work, "store", "cust", f"v{v_readd:04d}")
+        if sorted(_os.listdir(d_readd)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: add_columns(default) moved "
+                f"data: {sorted(_os.listdir(d_readd))}"
+            )
+        # round 12: type widening, metadata-only, value-identical
+        v_widen = store.alter_column_type("cust", {"c_custkey": "bigint"})
+        d_widen = _os.path.join(work, "store", "cust", f"v{v_widen:04d}")
+        if sorted(_os.listdir(d_widen)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: alter_column_type moved "
+                f"data: {sorted(_os.listdir(d_widen))}"
+            )
+        got = store.read("cust")
+        if dict(got.dtypes)["c_custkey"] != "bigint":
+            raise RuntimeError(
+                "lifecycle_schema_alter_gate: widen did not take: "
+                f"{got.dtypes}"
+            )
         return _materialize(got)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def lifecycle_partition_evolution_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 12 (VERDICT r11 #7): Iceberg-style partition evolution under
+    the driver's gate. ``alter_partition_spec`` must be a metadata-only
+    commit (manifest + marker, zero data objects — asserted on the
+    version directory); a COW merge after the change must write its
+    rewrite outputs under the NEW spec's directories while the old flat
+    generations stay referenced (asserted on the filemap); a
+    ``delete_where`` range delete must stay correct across the mixed
+    specs (per-generation stats: footer values for pre-evolution files,
+    directory values after); and the final read-back hashes against a
+    plain SQL oracle expressing the end state."""
+    import os as _os
+
+    ord_ = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total"),
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_partevo_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("ord", ord_.repartition(4))
+        store.optimize_layout("ord", ["o_orderkey"], num_files=8)
+
+        v = store.alter_partition_spec("ord", ["o_orderstatus"])
+        d = _os.path.join(work, "store", "ord", f"v{v:04d}")
+        if sorted(_os.listdir(d)) != ["_MANIFEST.json", "_SUCCESS"]:
+            raise RuntimeError(
+                "lifecycle_partition_evolution_gate: spec change moved "
+                f"data: {sorted(_os.listdir(d))}"
+            )
+        if store.current_partition_columns("ord") != ["o_orderstatus"]:
+            raise RuntimeError(
+                "lifecycle_partition_evolution_gate: spec not recorded"
+            )
+        # single-key merge at the keyspace midpoint (an EXISTING key —
+        # TPC-H orderkeys are sparse): the rewrite output must land
+        # under the new spec while the flat generations stay referenced
+        mx = ord_.agg(F.max("o_orderkey")).first()[0]
+        km = (
+            ord_.where(F.col("o_orderkey") <= mx // 2)
+            .agg(F.max("o_orderkey"))
+            .first()[0]
+        )
+        batch = (
+            store.read("ord")
+            .where(F.col("o_orderkey") == km)
+            .withColumn("total", F.lit(1.5).cast("double"))
+        )
+        store.merge_in("ord", batch, "o_orderkey")
+        entry = next(
+            e
+            for e in store._read_meta("ord")["versions"]
+            if e["v"] == store._read_meta("ord")["current"]
+        )
+        fm = store._version_filemap("ord", entry)
+        new_rels = [r for r, vp in fm.items() if vp == entry["v"]]
+        if not new_rels or not all(
+            r.startswith("o_orderstatus=") for r in new_rels
+        ):
+            raise RuntimeError(
+                "lifecycle_partition_evolution_gate: rewrite did not land "
+                f"under the new spec: {new_rels[:3]}"
+            )
+        if not any(vp != entry["v"] for vp in fm.values()):
+            raise RuntimeError(
+                "lifecycle_partition_evolution_gate: old generations were "
+                "rewritten, not referenced"
+            )
+        # range delete across the mixed specs
+        store.delete_where("ord", "total", lo=400000.0, hi=None)
+        return _materialize(store.read("ord"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+PARTITION_EVOLUTION_SQL = """
+WITH km AS (
+  SELECT MAX(o_orderkey) AS k FROM orders
+  WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 2
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CASE WHEN o.o_orderkey = km.k THEN CAST(1.5 AS DOUBLE)
+            ELSE CAST(o.o_totalprice AS DOUBLE) END AS total
+FROM orders o, km
+WHERE CASE WHEN o.o_orderkey = km.k THEN CAST(1.5 AS DOUBLE)
+           ELSE CAST(o.o_totalprice AS DOUBLE) END < CAST(400000.0 AS DOUBLE)
+"""
+
+
 SCHEMA_ALTER_SQL = """
-SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS balance,
-       CASE WHEN c_custkey <= 20 THEN 'vip' ELSE NULL END AS note
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_acctbal AS DOUBLE) AS balance,
+       'none' AS note
 FROM customer
 """
 
@@ -1381,6 +1506,7 @@ QUERIES = {
     "lifecycle_sharedref_commit_gate": lifecycle_sharedref_commit_gate,
     "lifecycle_chain_evolution_gate": lifecycle_chain_evolution_gate,
     "lifecycle_schema_alter_gate": lifecycle_schema_alter_gate,
+    "lifecycle_partition_evolution_gate": lifecycle_partition_evolution_gate,
     "lifecycle_delete_where": lifecycle_delete_where,
     "lifecycle_tablestore_promote": lifecycle_tablestore_promote,
     "lifecycle_sqlwarehouse_promote": lifecycle_sqlwarehouse_promote,
@@ -1403,6 +1529,7 @@ ORACLE = {
     "lifecycle_sharedref_commit_gate": SHAREDREF_COMMIT_SQL,
     "lifecycle_chain_evolution_gate": CHAIN_EVOLUTION_SQL,
     "lifecycle_schema_alter_gate": SCHEMA_ALTER_SQL,
+    "lifecycle_partition_evolution_gate": PARTITION_EVOLUTION_SQL,
     "lifecycle_delete_where": DELETE_WHERE_SQL,
     "lifecycle_tablestore_promote": TABLESTORE_PROMOTE_SQL,
     "lifecycle_sqlwarehouse_promote": SQLWAREHOUSE_PROMOTE_SQL,

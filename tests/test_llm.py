@@ -1066,3 +1066,77 @@ def test_ivf_store_version_pin_append_and_staleness(spark, tmp_path):
     store.merge_in("corpus", mutated, "vec_id")
     with _pt.raises(ivf_store.IvfStaleIndexError, match="changed"):
         ivf_store.append(store, "idx2")
+
+
+def test_ivf_drift_watchdog_trips_on_distribution_shift(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): appends assign to the ORIGINAL
+    centroids forever, so a drifted embedding distribution decays recall
+    with no staleness error. The pin records the build-time assignment
+    dispersion; an append whose batch disperses past drift_ratio x
+    baseline warns (default), records drift_tripped in the pin, and
+    on_drift='rebuild' re-quantizes against the current corpus. An
+    in-distribution append must NOT trip."""
+    import warnings as _warnings
+
+    from taico_data_integration_spark.llm import ivf_store
+    from taico_data_integration_spark.llm.synth import synth_embeddings
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    full = synth_embeddings(spark, 800, n_clusters=8, seed=11).localCheckpoint()
+    first = full.where(F.col("vec_id") < 400)
+    in_dist = full.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    # planted shift: a DIFFERENT cluster seed lands the batch between the
+    # pinned centroids — loose assignment everywhere
+    drifted = (
+        synth_embeddings(spark, 100, n_clusters=8, seed=999)
+        .withColumn("vec_id", F.col("vec_id") + 1_000)
+        .localCheckpoint()
+    )
+
+    store.write("corpus", first)
+    rec = ivf_store.build(store, "corpus", "idx", n_lists=8)
+    base = rec["build_dispersion"]
+    assert base is not None and 0.0 <= base < 1.0
+
+    # in-distribution append: no warning, dispersion recorded
+    store.merge_in("corpus", in_dist, "vec_id")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = ivf_store.append(store, "idx")
+    assert out["appended"] == 100
+    assert not [x for x in w if "drifted" in str(x.message)]
+    assert ivf_store.pin_info(store, "idx")["drift_tripped"] is False
+
+    # drifted append: warns, pin records the trip, index still advances
+    store.merge_in("corpus", drifted, "vec_id")
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        out2 = ivf_store.append(store, "idx")
+    assert out2["appended"] == 100
+    assert any("drifted" in str(x.message) for x in w2), (
+        f"no drift warning; base={base} last="
+        f"{ivf_store.pin_info(store, 'idx')['last_dispersion']}"
+    )
+    pin = ivf_store.pin_info(store, "idx")
+    assert pin["drift_tripped"] is True
+    assert pin["last_dispersion"] > base * 1.5
+
+    # rebuild path: fresh quantizer, fresh baseline, trip cleared
+    store2 = TableStore(spark, str(tmp_path / "s2"))
+    store2.write("corpus", first)
+    ivf_store.build(store2, "corpus", "idx", n_lists=8)
+    store2.merge_in("corpus", drifted, "vec_id")
+    with _warnings.catch_warnings(record=True) as w3:
+        _warnings.simplefilter("always")
+        out3 = ivf_store.append(store2, "idx", on_drift="rebuild")
+    assert out3.get("rebuilt") is True and out3["drift_tripped"] is True
+    pin2 = ivf_store.pin_info(store2, "idx")
+    assert "drift_tripped" not in pin2  # fresh build, fresh baseline
+    assert pin2["corpus_version"] == store2._read_meta("corpus")["current"]
+    # the rebuilt index serves (pin current again)
+    q = full.where(F.col("vec_id") < 8).localCheckpoint()
+    assert ivf_store.probe(store2, "idx", q, k=3, nprobe=2).count() > 0
+
+    with pytest.raises(ValueError, match="on_drift"):
+        ivf_store.append(store2, "idx", on_drift="panic")
