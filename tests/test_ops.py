@@ -4373,6 +4373,33 @@ def test_table_changes_across_schema_alters(spark, tmp_path):
     with pytest.raises(Exception):  # loud, never a silent wrong diff
         store.diff("t", v0, v3).collect()
 
+    # round 12: type widening and partition evolution are CDC-SILENT —
+    # every value is identical (the widen is exact by construction, the
+    # spec change moves no rows), so the feed across either commit is
+    # empty; a post-evolution merge surfaces exactly its own change
+    store.write(
+        "t2",
+        spark.range(0, 500).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id % 5 AS INT) AS p",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+    )
+    a = store._read_meta("t2")["current"]
+    store.alter_column_type("t2", {"k": "bigint"})
+    b = store._read_meta("t2")["current"]
+    assert store.table_changes("t2", a, b, ["k"]).count() == 0
+    store.alter_partition_spec("t2", ["p"])
+    c = store._read_meta("t2")["current"]
+    assert store.table_changes("t2", b, c, ["k"]).count() == 0
+    store.merge_in(
+        "t2",
+        spark.createDataFrame([(7, 2, -1.0)], "k bigint, p int, v double"),
+        "k",
+    )
+    d2 = store._read_meta("t2")["current"]
+    ch = store.table_changes("t2", c, d2, ["k"]).collect()
+    assert {r.k for r in ch} == {7}
+
 
 def test_drop_then_readd_column_does_not_resurrect(spark, tmp_path):
     """Round 12 (ADVICE r11 high): drop_columns retires the column's
@@ -4710,3 +4737,50 @@ def test_alter_partition_spec_evolves_metadata_only(spark, tmp_path):
         store.alter_partition_spec("t", ["k", "p", "v"])
     with pytest.raises(ValueError, match="already has spec"):
         store.alter_partition_spec("t", [])
+
+
+def test_schema_alter_racing_merge_is_conflict_checked(spark, tmp_path):
+    """Round 12: metadata-only ALTERs ride the same conflict-checked
+    pointer swap as COW mutations — an alter computed against a version
+    a concurrent merge superseded must raise ConcurrentWriteError (its
+    manifest would silently drop the merge's rewrite outputs from the
+    reference list), leave the merge current, and succeed on retry."""
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    class Racer(TableStore):
+        arm = False
+
+        def _claim_version(self, table):
+            v = super()._claim_version(table)
+            if Racer.arm:
+                Racer.arm = False
+                other = TableStore(self.spark, self.root)
+                other.merge_in(
+                    table,
+                    self.spark.createDataFrame(
+                        [(5, -1.0)], "k bigint, v double"
+                    ),
+                    "k",
+                )
+            return v
+
+    store = Racer(spark, str(tmp_path))
+    df = spark.range(0, 5_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=4)
+
+    Racer.arm = True
+    with pytest.raises(ConcurrentWriteError):
+        store.add_columns("t", {"w": "string"})
+    # the merge won and is intact
+    assert store.read("t").where("k = 5 AND v = -1.0").count() == 1
+    assert "w" not in store.read("t").columns
+    # retry applies against the merge's result
+    store.add_columns("t", {"w": "string"})
+    got = store.read("t")
+    assert "w" in got.columns
+    assert got.where("k = 5 AND v = -1.0").count() == 1
+    assert got.count() == 5_000
