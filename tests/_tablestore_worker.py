@@ -161,6 +161,39 @@ def cow_stress_main(root: str, worker_id: str, n_ops: str, result: str) -> int:
                 time.sleep(0.02 * (attempt % 5 + 1))
         return False
 
+    # round 12: schema ALTERs race the COW mutations and vacuums too —
+    # each worker cycles add(int) -> widen(bigint) -> drop on its OWN
+    # worker-scoped column name, so every manifest history (schema,
+    # retired, widened) is contended across processes. A retry that
+    # finds its alter already applied (the conflict hit AFTER the
+    # pointer swap of a competing commit, ours re-evaluates) treats the
+    # idempotent ValueError as success.
+    alt_step = 0
+
+    def alter_cycle() -> bool:
+        nonlocal alt_step
+        col = f"c{wid}_{alt_step // 3}"
+        phase = alt_step % 3
+
+        def op():
+            try:
+                if phase == 0:
+                    store.add_columns("t", {col: "int"})
+                elif phase == 1:
+                    store.alter_column_type("t", {col: "bigint"})
+                else:
+                    store.drop_columns("t", [col])
+            except ValueError as exc:
+                msg = str(exc)
+                if "already" in msg or (phase == 2 and "not in" in msg):
+                    return  # applied by our own earlier retry
+                raise
+
+        done = commit_with_retry(op)
+        if done:
+            alt_step += 1
+        return done
+
     ok = True
     for i in range(ops):
         if i % 4 == 3 and len(mine) >= 2:
@@ -172,11 +205,36 @@ def cow_stress_main(root: str, worker_id: str, n_ops: str, result: str) -> int:
         else:
             batch = [(lo + minted + j, float(wid)) for j in range(3)]
             bdf = spark.createDataFrame(batch, "k bigint, v double")
-            if not commit_with_retry(lambda: store.merge_in("t", bdf, "k")):
+
+            def merge_op(up=bdf):
+                # pad to the CURRENT schema inside the retry loop: another
+                # worker's ALTER between our read and the merge's own
+                # schema check is a concurrent write, not a caller bug
+                cur = store.read("t")
+                d = up
+                for fld in cur.schema.fields:
+                    if fld.name not in d.columns:
+                        d = d.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                d = d.select(*cur.columns)
+                try:
+                    store.merge_in("t", d, "k")
+                except ValueError as exc:
+                    msg = str(exc)
+                    if "must cover" in msg or "not in" in msg:
+                        raise ConcurrentWriteError(msg) from exc
+                    raise
+
+            if not commit_with_retry(merge_op):
                 ok = False
                 break
             mine |= {k for k, _ in batch}
             minted += 3
+        if i % 5 == 1:
+            if not alter_cycle():
+                ok = False
+                break
         if i % 3 == 2:
             # racing vacuum: keep_latest covers every version a racing
             # reader can still be planning against in this op cadence

@@ -785,14 +785,17 @@ def test_condput_ivf_store_never_touches_os_directly(spark, tmp_path):
 
 
 def test_multiprocess_cow_stress_on_conditional_put(spark, tmp_path):
-    """VERDICT r10 #5: N real writer PROCESSES x COW mutations x racing
-    vacuums on ONE conditional-put store. Every worker keeps a ledger of
-    its committed inserts/deletes over a private key range and verifies
-    the table against it after every op — zero lost updates, zero torn
-    reads; ConcurrentWriteError (retried) is the only legitimate
-    failure. The parent then checks the global final state: base rows
-    untouched, each worker's range exactly its ledger, pointer/history
-    consistent."""
+    """VERDICT r10 #5 (+r12): N real writer PROCESSES x COW mutations x
+    racing vacuums x racing schema ALTERs (each worker cycles
+    add(int) -> widen(bigint) -> drop on its own column, contending the
+    manifest's schema/retired/widened histories) on ONE conditional-put
+    store. Every worker keeps a ledger of its committed inserts/deletes
+    over a private key range and verifies the table against it after
+    every op — zero lost updates, zero torn reads; ConcurrentWriteError
+    (retried) is the only legitimate failure, and a merge that trips on
+    a mid-flight schema change retries the same way. The parent then
+    checks the global final state: base rows untouched, each worker's
+    range exactly its ledger, pointer/history consistent."""
     import subprocess
     import sys
     import time as _time
