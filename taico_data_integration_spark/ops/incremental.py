@@ -667,6 +667,19 @@ class TableStore(TableFormat):
             )
             if own is not None and own == sel:
                 d = self.spark.read.parquet(vdir)
+                # the pinned-read-races-vacuum contract is LOUD failure,
+                # never a silent subset: a tombstoning vacuum may have
+                # deleted some of this generation's files between the
+                # manifest load (LRU) and the directory listing — the
+                # explicit-path form would fail at scan; the directory
+                # form must check. inputFiles() is the already-built
+                # FileIndex, no extra listing.
+                if len(d.inputFiles()) != len(sel):
+                    raise ValueError(
+                        f"version {vphys} of {table} changed under a "
+                        "pinned read (a racing vacuum reclaimed files) — "
+                        "re-read from the current version"
+                    )
             else:
                 d = self.spark.read.option("basePath", vdir).parquet(
                     *[os.path.join(vdir, rel) for rel in sel]

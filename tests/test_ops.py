@@ -4784,3 +4784,30 @@ def test_schema_alter_racing_merge_is_conflict_checked(spark, tmp_path):
     assert "w" in got.columns
     assert got.where("k = 5 AND v = -1.0").count() == 1
     assert got.count() == 5_000
+
+
+def test_dir_read_detects_vacuum_race_loudly(spark, tmp_path):
+    """Round 12: the whole-generation DIRECTORY read keeps the
+    pinned-read-races-vacuum contract — a generation whose files were
+    reclaimed between the manifest load and the directory listing is a
+    LOUD ValueError, never a silently smaller result (the explicit-path
+    form fails at scan; the dir form must check the listing)."""
+    import glob as _glob
+    import os as _os
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 8_000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.write("t", df.repartition(4))
+    assert store.read("t").count() == 8_000  # dir fast path, healthy
+
+    entry = next(
+        e
+        for e in store._read_meta("t")["versions"]
+        if e["v"] == store._read_meta("t")["current"]
+    )
+    victim = sorted(_glob.glob(_os.path.join(entry["path"], "*.parquet")))[0]
+    _os.remove(victim)  # simulate a racing vacuum's reclamation
+    with pytest.raises(ValueError, match="changed under a pinned read"):
+        store.read("t").count()
