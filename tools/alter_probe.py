@@ -55,6 +55,7 @@ def main() -> int:
             + F.col("rep")
         ).alias("k"),
         F.col("l_quantity").cast("double").alias("v"),
+        F.col("l_linenumber").cast("int").alias("ln"),
     )
     store = TableStore(spark, out_root)
     t0 = time.time()
@@ -94,10 +95,49 @@ def main() -> int:
         "count_after_drop_s", lambda: store.read("t").count()
     )
     up = spark.createDataFrame(
-        [(997, -1.0, "de")], "key_id bigint, v double, lang string"
+        [(997, -1.0, 1, "de")], "key_id bigint, v double, ln int, lang string"
     )
     timed("merge_after_alters_s", lambda: store.merge_in("t", up, "key_id"))
     out["merged_row"] = store.read("t").where("lang = 'de'").count()
+
+    # round 12: drop + RE-ADD with a default over 60M rows — the retired
+    # history must serve the default at read time with no rewrite, and
+    # the per-generation event replay must not tax the scan measurably
+    timed("drop_lang_s", lambda: store.drop_columns("t", ["lang"]))
+    timed("readd_lang_default_s", lambda: store.add_columns(
+        "t", {"lang": ("string", "xx")}
+    ))
+    out["readd_default_count"] = timed(
+        "readd_default_predicate_s",
+        lambda: store.read("t").where("lang = 'xx'").count(),
+    )
+    # round 12: type widening, metadata-only at 60M rows; the stats-
+    # pruned range read must keep skipping through the per-branch cast
+    timed("widen_s", lambda: store.alter_column_type("t", {"ln": "bigint"}))
+
+    def pruned_widened():
+        df, rep_ = store.read_pruned("t", "key_id", lo=1000, hi=2000)
+        c = df.where("ln >= 0").count()
+        out["pruned_files_after_widen"] = (
+            f"{rep_['files_read']}/{rep_['files_total']}"
+        )
+        return c
+
+    out["pruned_rows_after_widen"] = timed(
+        "pruned_read_after_widen_s", pruned_widened
+    )
+    # round 12: partition evolution at 60M rows — metadata-only spec
+    # change; the next single-key merge pays only its rewrite, landing
+    # under the new spec
+    up3 = spark.createDataFrame(
+        [(2003, -3.0, 2, "de")], "key_id bigint, v double, ln bigint, lang string"
+    )
+    timed("evolve_spec_s", lambda: store.alter_partition_spec("t", ["ln"]))
+    timed("merge_under_new_spec_s", lambda: store.merge_in("t", up3, "key_id"))
+    out["count_after_evolution"] = timed(
+        "count_after_evolution_s", lambda: store.read("t").count()
+    )
+
     timed("compact_materialize_s", lambda: store.compact("t"))
     out["final_count"] = store.read("t").count()
     print(json.dumps(out), flush=True)
