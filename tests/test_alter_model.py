@@ -1,0 +1,181 @@
+"""Randomized ALTER-sequence model check (round 12).
+
+The per-generation event replay (renames + retires + widenings +
+partition-spec changes, interleaved with COW merges/deletes, compaction
+and vacuum) has combinatorial surface that example tests cannot cover.
+This test drives a TableStore and an in-memory MODEL of the logical
+table through the same randomized operation sequences (seeded — fully
+deterministic) and asserts the store's read equals the model after
+EVERY operation. The model encodes the documented semantics:
+
+- add_columns: existing rows read NULL (or the DEFAULT literal);
+- drop_columns: the column vanishes; a later re-add NEVER resurrects
+  the dropped values (ADVICE r11 high — the bug class this guards);
+- rename_columns: values move to the new name;
+- alter_column_type: values identical, type widened;
+- alter_partition_spec / compact / vacuum: no logical effect;
+- merge_in: upsert by key, batch covers the current schema;
+- delete_in: rows with the given keys vanish.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from taico_data_integration_spark.ops.incremental import TableStore
+
+N_ROWS = 2_000
+
+
+def _read_state(store) -> dict:
+    rows = store.read("t").collect()
+    cols = store.read("t").columns
+    return {r["k"]: {c: r[c] for c in cols if c != "k"} for r in rows}
+
+
+def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
+    rng = random.Random(seed)
+    store = TableStore(spark, str(tmp_path / f"s{seed}"))
+    df = spark.range(0, N_ROWS).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS c0", "CAST(id % 7 AS INT) AS c1"
+    )
+    store.write("t", df.repartition(4))
+    store.optimize_layout("t", ["k"], num_files=4)
+
+    # model: key -> {col: value}; plus the current logical column types
+    model = {
+        i: {"c0": float(i), "c1": i % 7} for i in range(N_ROWS)
+    }
+    types: dict[str, str] = {"c0": "double", "c1": "int"}
+    next_col = 2
+    trace: list[str] = []
+    # any column EVER placed in a partition spec stays guarded against
+    # drop/rename/widen (its values may live in old generations' dir
+    # names) — the engine refuses those loudly; the generator respects it
+    spec_ever: set[str] = set()
+
+    def check():
+        got = _read_state(store)
+        assert set(got) == set(model), (
+            f"seed {seed} after {trace}: keys differ "
+            f"(missing {sorted(set(model) - set(got))[:5]}, "
+            f"phantom {sorted(set(got) - set(model))[:5]})"
+        )
+        for k in model:
+            for c, want in model[k].items():
+                have = got[k].get(c)
+                if isinstance(want, float) and have is not None:
+                    ok = abs(have - want) < 1e-9
+                else:
+                    ok = have == want
+                assert ok, (
+                    f"seed {seed} after {trace}: t[{k}].{c} = {have!r}, "
+                    f"model says {want!r}"
+                )
+
+    for _i in range(n_ops):
+        op = rng.choice(
+            ["merge", "merge", "delete", "add", "add_default", "drop",
+             "rename", "widen", "spec", "compact", "vacuum"]
+        )
+        cols = sorted(types)
+        if op == "merge":
+            keys = rng.sample(range(N_ROWS + 50), rng.randint(1, 4))
+            rows = []
+            for k in keys:
+                vals = {}
+                for c in cols:
+                    t = types[c]
+                    if t in ("int", "bigint"):
+                        vals[c] = rng.randint(-100, 100)
+                    elif t in ("float", "double"):
+                        vals[c] = float(rng.randint(-100, 100))
+                    else:
+                        vals[c] = rng.choice(["aa", "bb", None])
+                rows.append((k, *[vals[c] for c in cols]))
+                model[k] = vals
+            schema = "k bigint, " + ", ".join(f"{c} {types[c]}" for c in cols)
+            store.merge_in("t", spark.createDataFrame(rows, schema), "k")
+            trace.append(f"merge{keys}")
+        elif op == "delete":
+            live = sorted(model)
+            if not live:
+                continue
+            doomed = rng.sample(live, min(2, len(live)))
+            store.delete_in("t", "k", doomed)
+            for k in doomed:
+                model.pop(k)
+            trace.append(f"delete{doomed}")
+        elif op in ("add", "add_default"):
+            c = f"c{next_col}"
+            next_col += 1
+            t = rng.choice(["int", "double", "string"])
+            if op == "add_default":
+                dv = {"int": 5, "double": 2.5, "string": "dd"}[t]
+                store.add_columns("t", {c: (t, dv)})
+                for k in model:
+                    model[k][c] = dv
+            else:
+                store.add_columns("t", {c: t})
+                for k in model:
+                    model[k][c] = None
+            types[c] = t
+            trace.append(f"{op}:{c}:{t}")
+        elif op == "drop":
+            victims = [c for c in cols if c not in spec_ever]
+            if not victims or len(cols) <= 1:
+                continue
+            c = rng.choice(victims)
+            store.drop_columns("t", [c])
+            for k in model:
+                model[k].pop(c, None)
+            types.pop(c)
+            trace.append(f"drop:{c}")
+        elif op == "rename":
+            cands = [c for c in cols if c not in spec_ever]
+            if not cands:
+                continue
+            c = rng.choice(cands)
+            c2 = f"c{next_col}"
+            next_col += 1
+            store.rename_columns("t", {c: c2})
+            for k in model:
+                model[k][c2] = model[k].pop(c)
+            types[c2] = types.pop(c)
+            trace.append(f"rename:{c}->{c2}")
+        elif op == "widen":
+            cands = [
+                c for c in cols
+                if types[c] in ("int", "float") and c not in spec_ever
+            ]
+            if not cands:
+                continue
+            c = rng.choice(cands)
+            t2 = {"int": "bigint", "float": "double"}[types[c]]
+            store.alter_column_type("t", {c: t2})
+            types[c] = t2
+            trace.append(f"widen:{c}->{t2}")
+        elif op == "spec":
+            cands = [c for c in cols if types[c] in ("int", "string")]
+            new_spec = [rng.choice(cands)] if cands and rng.random() < 0.7 else []
+            try:
+                store.alter_partition_spec("t", new_spec)
+                spec_ever.update(new_spec)
+                trace.append(f"spec:{new_spec}")
+            except ValueError:
+                continue  # same spec / all-columns guard
+        elif op == "compact":
+            store.compact("t")
+            trace.append("compact")
+        else:
+            store.vacuum("t", keep_latest=2, stage_ttl_seconds=3600.0)
+            trace.append("vacuum")
+        check()
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_alter_sequences_match_model(spark, tmp_path, seed):
+    _run_case(spark, tmp_path, seed)
