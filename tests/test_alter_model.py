@@ -15,11 +15,16 @@ EVERY operation. The model encodes the documented semantics:
 - alter_column_type: values identical, type widened;
 - alter_partition_spec / compact / vacuum: no logical effect;
 - merge_in: upsert by key, batch covers the current schema;
-- delete_in: rows with the given keys vanish.
+- delete_in: rows with the given keys vanish;
+- TIME TRAVEL: a pinned earlier version keeps serving its own
+  historical schema and values through its own manifest's event
+  history, whatever ALTERs happened after it (vacuumed pins raise the
+  documented ValueError, never a wrong result).
 """
 
 from __future__ import annotations
 
+import copy
 import random
 
 import pytest
@@ -30,10 +35,29 @@ from taico_data_integration_spark.ops.incremental import TableStore
 N_ROWS = 2_000
 
 
-def _read_state(store) -> dict:
-    rows = store.read("t").collect()
-    cols = store.read("t").columns
-    return {r["k"]: {c: r[c] for c in cols if c != "k"} for r in rows}
+def _read_state(store, version=None) -> dict:
+    df = store.read("t", version=version)
+    cols = df.columns
+    return {r["k"]: {c: r[c] for c in cols if c != "k"} for r in df.collect()}
+
+
+def _assert_state(got: dict, model: dict, label: str) -> None:
+    assert set(got) == set(model), (
+        f"{label}: keys differ (missing {sorted(set(model) - set(got))[:5]}, "
+        f"phantom {sorted(set(got) - set(model))[:5]})"
+    )
+    for k in model:
+        for c, want in model[k].items():
+            have = got[k].get(c)
+            if isinstance(want, float) and have is not None:
+                ok = abs(have - want) < 1e-9
+            else:
+                ok = have == want
+            assert ok, f"{label}: t[{k}].{c} = {have!r}, model says {want!r}"
+        assert set(got[k]) == set(model[k]), (
+            f"{label}: t[{k}] columns {sorted(got[k])} vs "
+            f"model {sorted(model[k])}"
+        )
 
 
 def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
@@ -57,23 +81,27 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
     # names) — the engine refuses those loudly; the generator respects it
     spec_ever: set[str] = set()
 
+    # (version, frozen model) pins for time-travel checks
+    pins: list[tuple[int, dict]] = []
+
     def check():
-        got = _read_state(store)
-        assert set(got) == set(model), (
-            f"seed {seed} after {trace}: keys differ "
-            f"(missing {sorted(set(model) - set(got))[:5]}, "
-            f"phantom {sorted(set(got) - set(model))[:5]})"
+        _assert_state(_read_state(store), model, f"seed {seed} after {trace}")
+        pins.append(
+            (store._read_meta("t")["current"], copy.deepcopy(model))
         )
-        for k in model:
-            for c, want in model[k].items():
-                have = got[k].get(c)
-                if isinstance(want, float) and have is not None:
-                    ok = abs(have - want) < 1e-9
-                else:
-                    ok = have == want
-                assert ok, (
-                    f"seed {seed} after {trace}: t[{k}].{c} = {have!r}, "
-                    f"model says {want!r}"
+        # a random earlier pin must still serve ITS schema and values —
+        # or raise the documented vacuumed-version ValueError, never a
+        # silent wrong result
+        if len(pins) > 1:
+            v_old, m_old = rng.choice(pins[:-1])
+            try:
+                old = _read_state(store, version=v_old)
+            except ValueError:
+                pins[:] = [p for p in pins if p[0] != v_old]  # vacuumed
+            else:
+                _assert_state(
+                    old, m_old,
+                    f"seed {seed} time-travel v{v_old} after {trace}",
                 )
 
     for _i in range(n_ops):
