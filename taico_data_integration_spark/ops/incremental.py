@@ -728,6 +728,25 @@ class TableStore(TableFormat):
                         d = d.withColumn(
                             wname, F.col(wname).cast(ev["type"])
                         )
+            # an ALL-NULL Hive partition directory (every row of the
+            # generation in __HIVE_DEFAULT_PARTITION__) makes Spark infer
+            # the partition column as VOID, silently losing the recorded
+            # type (found by the randomized ALTER model sweep: add col ->
+            # evolve spec onto it -> compact; also reachable by a plain
+            # partitioned write of an all-null column). The recorded
+            # schema is the contract — restore the real type per branch.
+            if rec_schema is not None:
+                from pyspark.sql.types import NullType
+
+                for f in rec_schema.fields:
+                    if (
+                        f.name in d.columns
+                        and isinstance(d.schema[f.name].dataType, NullType)
+                        and not isinstance(f.dataType, NullType)
+                    ):
+                        d = d.withColumn(
+                            f.name, F.col(f.name).cast(f.dataType)
+                        )
             # add_columns DEFAULT back-fill is PER GENERATION: a branch
             # predating the add reads the literal — padding after the
             # union would be too late (allowMissingColumns pads NULL)

@@ -16,6 +16,12 @@ EVERY operation. The model encodes the documented semantics:
 - alter_partition_spec / compact / vacuum: no logical effect;
 - merge_in: upsert by key, batch covers the current schema;
 - delete_in: rows with the given keys vanish;
+- delete_where: rows with the column in [lo, hi] vanish (NULLs never
+  match a range);
+- read_pruned / read_point after every step must agree with a plain
+  model filter — wrong file skipping under the event stack (retired
+  stats, widened bloom hashes, partition-spec moves) is silent data
+  loss, the worst failure class here;
 - TIME TRAVEL: a pinned earlier version keeps serving its own
   historical schema and values through its own manifest's event
   history, whatever ALTERs happened after it (vacuumed pins raise the
@@ -89,6 +95,30 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
         pins.append(
             (store._read_meta("t")["current"], copy.deepcopy(model))
         )
+        # skipping probes: a pruned range read and a point lookup must
+        # agree with a plain model filter — stats/bloom mistakes under
+        # the event stack silently LOSE rows
+        num_cols = [c for c in sorted(types) if types[c] in ("int", "bigint", "double", "float")]
+        if num_cols:
+            c = rng.choice(num_cols)
+            lo = rng.randint(-50, 50)
+            hi = lo + rng.randint(0, 30)
+            pdf, _rep = store.read_pruned("t", c, lo=lo, hi=hi)
+            got_keys = {r["k"] for r in pdf.select("k").collect()}
+            want_keys = {
+                k for k, vals in model.items()
+                if vals.get(c) is not None and lo <= vals[c] <= hi
+            }
+            assert got_keys == want_keys, (
+                f"seed {seed} read_pruned({c},[{lo},{hi}]) after {trace}: "
+                f"missing {sorted(want_keys - got_keys)[:5]}, "
+                f"phantom {sorted(got_keys - want_keys)[:5]}"
+            )
+        probe_k = rng.randint(0, N_ROWS + 50)
+        hit, _prep = store.read_point("t", "k", probe_k)
+        assert hit.count() == (1 if probe_k in model else 0), (
+            f"seed {seed} read_point(k={probe_k}) after {trace}"
+        )
         # a random earlier pin must still serve ITS schema and values —
         # or raise the documented vacuumed-version ValueError, never a
         # silent wrong result
@@ -106,8 +136,9 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
 
     for _i in range(n_ops):
         op = rng.choice(
-            ["merge", "merge", "delete", "add", "add_default", "drop",
-             "rename", "widen", "spec", "compact", "vacuum"]
+            ["merge", "merge", "delete", "delete_range", "add",
+             "add_default", "drop", "rename", "widen", "spec", "compact",
+             "vacuum"]
         )
         cols = sorted(types)
         if op == "merge":
@@ -137,6 +168,22 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
             for k in doomed:
                 model.pop(k)
             trace.append(f"delete{doomed}")
+        elif op == "delete_range":
+            cands = [c for c in cols if types[c] in ("int", "bigint", "double", "float")]
+            if not cands:
+                continue
+            c = rng.choice(cands)
+            lo = rng.randint(-50, 50)
+            hi = lo + rng.randint(0, 10)
+            if types[c] in ("double", "float"):
+                lo, hi = float(lo), float(hi)
+            store.delete_where("t", c, lo=lo, hi=hi)
+            for k in [
+                k for k, vals in model.items()
+                if vals.get(c) is not None and lo <= vals[c] <= hi
+            ]:
+                model.pop(k)
+            trace.append(f"delete_where:{c}[{lo},{hi}]")
         elif op in ("add", "add_default"):
             c = f"c{next_col}"
             next_col += 1

@@ -4811,3 +4811,43 @@ def test_dir_read_detects_vacuum_race_loudly(spark, tmp_path):
     _os.remove(victim)  # simulate a racing vacuum's reclamation
     with pytest.raises(ValueError, match="changed under a pinned read"):
         store.read("t").count()
+
+
+def test_all_null_partition_column_keeps_recorded_type(spark, tmp_path):
+    """Round 12 (found by the randomized ALTER model sweep): a partition
+    column whose every row is NULL lands entirely in
+    __HIVE_DEFAULT_PARTITION__ and Spark's directory inference types it
+    VOID — silently losing the recorded type and breaking the next merge
+    (CAST(string AS void)). The recorded schema is the contract: reads
+    must restore the real type. Reachable by a plain partitioned write
+    of an all-null column, and by add_columns -> alter_partition_spec ->
+    compact."""
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 2_000).selectExpr(
+        "id AS k", "CAST(NULL AS STRING) AS tag", "CAST(id AS DOUBLE) AS v"
+    )
+    store.write("t", df, partition_by=["tag"])
+    got = store.read("t")
+    assert dict(got.dtypes)["tag"] == "string", got.dtypes
+    assert got.count() == 2_000
+
+    # the merge that used to blow up on CAST(... AS VOID)
+    up = spark.createDataFrame([(5, "x", -1.0)], "k bigint, tag string, v double")
+    store.merge_in("t", up, "k")
+    got2 = store.read("t")
+    assert got2.where("tag = 'x'").count() == 1
+    assert dict(got2.dtypes)["tag"] == "string"
+
+    # the evolution lineage: metadata-added column -> spec -> compact
+    store2 = TableStore(spark, str(tmp_path / "s2"))
+    store2.write("t", spark.range(0, 1_000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"))
+    store2.add_columns("t", {"c": "string"})
+    store2.alter_partition_spec("t", ["c"])
+    store2.compact("t")
+    assert dict(store2.read("t").dtypes)["c"] == "string"
+    up2 = spark.createDataFrame([(3, -2.0, "y")], "k bigint, v double, c string")
+    store2.merge_in("t", up2, "k")
+    assert store2.read("t").where("c = 'y'").count() == 1
