@@ -3298,31 +3298,33 @@ class TableStore(TableFormat):
         # read-parity schema for the all-dropped case, resolved BEFORE
         # the base version can change under us. Field METADATA (the
         # add_columns DEFAULT annotations) carries forward from the base
-        # recorded schema: out.schema comes from a plain DataFrame and
-        # has none, but referenced pre-add generations still need the
-        # back-fill applied at read time.
-        if out is not None:
-            sch = out.schema
-            base_rec = self._recorded_schema(table, entry)
-            if base_rec is not None:
-                base_md = {f.name: f.metadata for f in base_rec.fields if f.metadata}
-                if base_md:
-                    from pyspark.sql.types import StructField, StructType
+        # recorded schema in BOTH branches: out.schema comes from a plain
+        # DataFrame and has none, and _version_schema derives from a read
+        # plan whose default back-fill is a metadata-stripping withColumn
+        # (found by the randomized model sweep: add_columns DEFAULT ->
+        # delete_where that only drops/links files recorded a schema with
+        # the annotation gone, so every referenced pre-add generation
+        # padded NULL instead of the default from then on). Referenced
+        # pre-add generations need the back-fill applied at read time.
+        sch = out.schema if out is not None else self._version_schema(table, entry)
+        base_rec = self._recorded_schema(table, entry)
+        if base_rec is not None:
+            base_md = {f.name: f.metadata for f in base_rec.fields if f.metadata}
+            if base_md:
+                from pyspark.sql.types import StructField, StructType
 
-                    sch = StructType(
-                        [
-                            StructField(
-                                f.name,
-                                f.dataType,
-                                f.nullable,
-                                metadata=f.metadata or base_md.get(f.name) or {},
-                            )
-                            for f in sch.fields
-                        ]
-                    )
-            schema_json = sch.json()
-        else:
-            schema_json = self._version_schema(table, entry).json()
+                sch = StructType(
+                    [
+                        StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            metadata=f.metadata or base_md.get(f.name) or {},
+                        )
+                        for f in sch.fields
+                    ]
+                )
+        schema_json = sch.json()
         path = os.path.join(self.root, table, f"v{version:04d}")
         affected_set = set(affected)
         refs = [

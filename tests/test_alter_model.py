@@ -22,6 +22,9 @@ EVERY operation. The model encodes the documented semantics:
   model filter — wrong file skipping under the event stack (retired
   stats, widened bloom hashes, partition-spec moves) is silent data
   loss, the worst failure class here;
+- rollback: current re-points to an earlier version — the table
+  equals that pin's model exactly (schema included), and history built
+  after it keeps time-traveling correctly;
 - TIME TRAVEL: a pinned earlier version keeps serving its own
   historical schema and values through its own manifest's event
   history, whatever ALTERs happened after it (vacuumed pins raise the
@@ -87,13 +90,18 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
     # names) — the engine refuses those loudly; the generator respects it
     spec_ever: set[str] = set()
 
-    # (version, frozen model) pins for time-travel checks
-    pins: list[tuple[int, dict]] = []
+    # (version, frozen model, frozen types) pins for time-travel and
+    # rollback checks
+    pins: list = []
 
     def check():
         _assert_state(_read_state(store), model, f"seed {seed} after {trace}")
         pins.append(
-            (store._read_meta("t")["current"], copy.deepcopy(model))
+            (
+                store._read_meta("t")["current"],
+                copy.deepcopy(model),
+                dict(types),
+            )
         )
         # skipping probes: a pruned range read and a point lookup must
         # agree with a plain model filter — stats/bloom mistakes under
@@ -123,7 +131,7 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
         # or raise the documented vacuumed-version ValueError, never a
         # silent wrong result
         if len(pins) > 1:
-            v_old, m_old = rng.choice(pins[:-1])
+            v_old, m_old, _t_old = rng.choice(pins[:-1])
             try:
                 old = _read_state(store, version=v_old)
             except ValueError:
@@ -138,7 +146,7 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
         op = rng.choice(
             ["merge", "merge", "delete", "delete_range", "add",
              "add_default", "drop", "rename", "widen", "spec", "compact",
-             "vacuum"]
+             "vacuum", "rollback", "zorder"]
         )
         cols = sorted(types)
         if op == "merge":
@@ -242,6 +250,32 @@ def _run_case(spark, tmp_path, seed: int, n_ops: int = 10) -> None:
                 trace.append(f"spec:{new_spec}")
             except ValueError:
                 continue  # same spec / all-columns guard
+        elif op == "rollback":
+            if len(pins) < 2:
+                continue
+            v_old, m_old, t_old = rng.choice(pins[:-1])
+            try:
+                store.rollback("t", v_old)
+            except ValueError:
+                # the pin was vacuumed away — a loud refusal, drop it
+                pins[:] = [p for p in pins if p[0] != v_old]
+                continue
+            model = copy.deepcopy(m_old)
+            types = dict(t_old)
+            trace.append(f"rollback:v{v_old}")
+        elif op == "zorder":
+            # full-rewrite path distinct from compact: range-partition +
+            # in-file sort, recorded-spec-preserving; like compact it must
+            # have zero logical effect whatever the event stack says
+            zc = [
+                c for c in cols
+                if types[c] in ("int", "bigint", "double", "float")
+            ]
+            zcols = ["k"] + (
+                [rng.choice(zc)] if zc and rng.random() < 0.5 else []
+            )
+            store.optimize_layout("t", zcols, num_files=4)
+            trace.append(f"zorder:{zcols}")
         elif op == "compact":
             store.compact("t")
             trace.append("compact")

@@ -4284,6 +4284,51 @@ def test_add_columns_with_default_backfill(spark, tmp_path):
         store.add_columns("t", {"bad": ("array<int>", [1, 2])})
 
 
+def test_default_survives_no_rewrite_cow_commit(spark, tmp_path):
+    """Round 12 (found by the randomized ALTER model sweep, seeds
+    205/215): a COW commit with NO rewrite job — a delete_where whose
+    doomed files are dropped by stats alone and everything else links
+    through — used to record the new manifest schema via
+    _version_schema, which derives from a READ plan; the read's default
+    back-fill is a metadata-stripping withColumn, so the taico.default
+    annotation vanished from the recorded schema and every referenced
+    pre-add generation padded NULL instead of the default from then on.
+    The base recorded schema's field metadata must carry through BOTH
+    _cow_commit branches."""
+    import json as _json
+
+    from taico_data_integration_spark.ops.incremental import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 1_000).selectExpr("id AS k", "CAST(id % 7 AS INT) AS n")
+    store.write("t", df.repartition(2))
+    store.optimize_layout("t", ["k"], num_files=4)
+    store.add_columns("t", {"lang": ("string", "en")})
+    # one merged file physically carries the column; its n is in range
+    up = spark.createDataFrame([(5, -100, "xx")], "k bigint, n int, lang string")
+    store.merge_in("t", up, "k")
+
+    # n in [-100, -100] dooms ONLY the merged rewrite file (int stats
+    # prove every row in range, zero nulls), links the rest: out=None,
+    # zero rewrite jobs
+    _v, rep = store.delete_where("t", "n", lo=-100, hi=-100)
+    assert rep["files_rewritten"] == 0 and rep["files_dropped"] >= 1, rep
+
+    # the recorded schema keeps the DEFAULT annotation...
+    meta = store._read_meta("t")
+    entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+    man = store._load_manifest("t", entry)
+    fields = {
+        f["name"]: f for f in _json.loads(man["schema"])["fields"]
+    }
+    assert fields["lang"]["metadata"].get("taico.default") == "en"
+
+    # ...and every linked pre-add row still reads the default
+    got = store.read("t")
+    assert got.where("lang = 'en'").count() == 999
+    assert got.where("lang IS NULL").count() == 0
+
+
 def test_vacuum_dry_run_reports_without_removing(spark, tmp_path):
     """Rounds 11+12: vacuum(dry_run=True) returns a STRUCTURED report of
     everything a real pass would do — version removals AND the residue
