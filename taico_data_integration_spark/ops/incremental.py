@@ -324,6 +324,12 @@ class TableStore(TableFormat):
         self._bloom_mem: OrderedDict[tuple[str, int, str], dict] = OrderedDict()
         # per-(table, version) manifest cache ({} = probed, no manifest)
         self._manifest_mem: OrderedDict[tuple[str, int], dict] = OrderedDict()
+        # per-table clone marker cache (None = probed, not a clone). The
+        # marker is immutable once written; negatives are safe to cache
+        # because a table becomes a clone only at creation — before it
+        # has any readable version — and clone() busts this instance's
+        # entry itself.
+        self._clone_mem: dict[str, dict | None] = {}
 
     _BLOOM_MEM_MAX = 16
 
@@ -389,6 +395,57 @@ class TableStore(TableFormat):
 
     def _version_dir(self, table: str, v: int) -> str:
         return os.path.join(self.root, table, f"v{v:04d}")
+
+    #: table-level clone marker (Delta SHALLOW CLONE analog, round 12):
+    #: ``{"of": <source table>, "base": <max source version at clone
+    #: time>}``. Written exactly once, before the clone's first version
+    #: commits; immutable thereafter.
+    _CLONE_NAME = "_CLONE.json"
+
+    def _clone_info(self, table: str) -> dict | None:
+        """``{"of", "base"}`` if ``table`` is a shallow clone, else None.
+        Cached per instance — the marker is written once at clone
+        creation, before the table has any readable version."""
+        if table in self._clone_mem:
+            return self._clone_mem[table]
+        raw = self.commit.io_get(
+            os.path.join(self.root, table, self._CLONE_NAME)
+        )
+        info = json.loads(raw) if raw is not None else None
+        self._clone_mem[table] = info
+        return info
+
+    def _physical_dir(self, table: str, vphys: int) -> str:
+        """Directory physically holding generation ``vphys`` as seen from
+        ``table``. For a shallow clone, generations at or below the clone
+        base live in the SOURCE table's tree (the clone's own versions
+        start at base+1, so the number spaces never collide); everything
+        else is the table's own version dir. Every DATA access by
+        (table, physical version) must resolve through here — version
+        CREATION keeps using :meth:`_version_dir` (new versions are
+        always local)."""
+        cl = self._clone_info(table)
+        if cl is not None and vphys <= cl["base"]:
+            return os.path.join(self.root, cl["of"], f"v{vphys:04d}")
+        return os.path.join(self.root, table, f"v{vphys:04d}")
+
+    def _clone_dependents(self, table: str) -> list[tuple[str, int]]:
+        """Every live shallow clone of ``table`` in this store, as
+        (clone table, base). Uncached — clones can be created between
+        calls; one marker probe per sibling dir, O(tables)."""
+        out = []
+        for name in self.commit.io_list_dir(self.root):
+            if name == table or name.startswith((".", "_")):
+                continue
+            raw = self.commit.io_get(
+                os.path.join(self.root, name, self._CLONE_NAME)
+            )
+            if raw is None:
+                continue
+            info = json.loads(raw)
+            if info.get("of") == table:
+                out.append((name, info["base"]))
+        return out
 
     def _load_manifest(self, table: str, entry: dict) -> dict | None:
         """The version's manifest, or None for a pre-r10 version. Cached
@@ -642,7 +699,7 @@ class TableStore(TableFormat):
         ]
         dfs = []
         for vphys in sorted(groups):
-            vdir = self._version_dir(table, vphys)
+            vdir = self._physical_dir(table, vphys)
             sel = sorted(groups[vphys])
             # whole-generation fast path (round 12, measured in
             # tools/manifest_probe.py): when the selection references
@@ -842,7 +899,12 @@ class TableStore(TableFormat):
         otherwise re-propose the same stale max forever)."""
         tdir = os.path.join(self.root, table)
         claims = os.path.join(tdir, "_claims")
-        floor = 0
+        # a shallow clone's own versions start ABOVE the clone base: its
+        # references into the source carry numbers <= base, and the
+        # resolution rule (_physical_dir) depends on the spaces never
+        # overlapping
+        cl = self._clone_info(table)
+        floor = cl["base"] + 1 if cl is not None else 0
         for _ in range(256):
             taken = [
                 int(m.group(1))
@@ -1293,6 +1355,18 @@ class TableStore(TableFormat):
             if e["v"] not in removable:
                 for rel, vphys in self._version_filemap(table, e).items():
                     kept_refs.add((vphys, rel))
+        # shallow clones (round 12) reference THIS table's generations at
+        # numbers <= their clone base; every live clone version pins its
+        # references exactly like a surviving local version would — a
+        # clone is a reader with no expiry, so reclaiming under it is
+        # data loss, not a retention-window race. Removable-but-referenced
+        # versions tombstone (files stay) and reclaim on a later pass
+        # once the clone compacts or vacuums its referencing versions.
+        for other, base in self._clone_dependents(table):
+            for oe in self._read_meta(other)["versions"]:
+                for rel, vphys in self._version_filemap(other, oe).items():
+                    if vphys <= base:
+                        kept_refs.add((vphys, rel))
         # ---- PLAN (shared by dry-run and the real pass: the report IS
         # the execution plan, so they agree by construction) ----------
         ver_plans: list[dict] = []
@@ -1830,7 +1904,7 @@ class TableStore(TableFormat):
                 _reuse(rel, vphys, rec, missing)
                 if not missing and rec["rows"] is not None:
                     continue
-            path = os.path.join(self._version_dir(table, vphys), rel)
+            path = os.path.join(self._physical_dir(table, vphys), rel)
             with self.commit.io_open_input(path) as _fh:
                 md = pq.read_metadata(_fh)
             rec["rows"] = md.num_rows
@@ -3928,7 +4002,7 @@ class TableStore(TableFormat):
         n_bytes, unknown = 0, False
         modes: dict[str, int] = {}
         for rel, vphys in sorted(fm.items()):
-            src = os.path.join(self._version_dir(table, vphys), rel)
+            src = os.path.join(self._physical_dir(table, vphys), rel)
             m = self.commit.link_or_copy(src, os.path.join(dest, rel))
             modes[m] = modes.get(m, 0) + 1
             sz = self.commit.io_size(src)
@@ -4360,6 +4434,136 @@ class TableStore(TableFormat):
             raise ValueError(f"version {to_version} not committed for {table}")
         self._write_pointer(table, to_version)
         return to_version
+
+    def clone(self, src: str, dst: str) -> dict:
+        """Delta ``CREATE TABLE ... SHALLOW CLONE`` analog: a new table
+        whose first version REFERENCES every live file of ``src``'s
+        current version — zero bytes moved, zero copy requests, O(1)
+        objects written at ANY table size (the same share-by-reference
+        manifest a COW commit writes). The clone then evolves fully
+        independently: merges/deletes COW only its own touched files,
+        ALTERs are metadata-only on its own manifest chain, and compact
+        materializes it physically, dropping the last source dependency.
+
+        Mechanics: the clone's table dir carries an immutable
+        ``_CLONE.json {"of", "base"}`` marker, ``base`` = the highest
+        version number ``src`` had committed at clone time. Manifest
+        references numbered <= base resolve into the SOURCE's version
+        dirs (:meth:`_physical_dir`); the clone's own versions are
+        claimed from base+1 up, so the two number spaces never overlap
+        and a reference is unambiguous without any per-entry table
+        field. Schema (field metadata included — DEFAULT annotations),
+        rename/retire/widen histories, the partition spec and CHECK
+        constraints all copy; vacuum on the source treats every live
+        clone version's references as pinned (a clone is a reader with
+        no expiry), tombstoning rather than reclaiming, and vacuum on
+        the clone never touches source files (its own files all live
+        above base). Unlike Delta — where VACUUM on a shallow clone's
+        source silently breaks the clone — reclamation is
+        reference-counted across the dependency.
+
+        Caveats (documented contract): cloning RACES source vacuum like
+        any pinned read — the commit re-verifies the pinned source
+        version afterwards and fails LOUDLY if a concurrent vacuum won
+        (size ``min_age_seconds`` above clone latency to exclude it);
+        clones of clones are refused (depth-1 keeps resolution and
+        vacuum refcounting one hop — compact the clone first)."""
+        meta = self._read_meta(src)
+        if meta["current"] is None:
+            raise ValueError(f"clone: source table {src!r} has no current version")
+        if self._clone_info(src) is not None:
+            raise ValueError(
+                f"clone: {src!r} is itself a shallow clone — compact it "
+                "first (clone chains are refused to keep reference "
+                "resolution and vacuum refcounting one hop deep)"
+            )
+        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        base = max(e["v"] for e in meta["versions"])
+        dmeta = self._read_meta(dst)
+        if dmeta["versions"] or dmeta["current"] is not None:
+            raise ValueError(f"clone: destination table {dst!r} already exists")
+        ddir = os.path.join(self.root, dst)
+        self.commit.io_mkdirs(ddir)
+        marker = json.dumps({"of": src, "base": base}).encode()
+        if not self.commit.put_if_absent(
+            os.path.join(ddir, self._CLONE_NAME), marker
+        ):
+            # a crashed clone() may have left the marker without a
+            # committed version — resume iff it pins the same source
+            prev = self.commit.io_get(os.path.join(ddir, self._CLONE_NAME))
+            info = json.loads(prev) if prev is not None else {}
+            if info.get("of") != src:
+                raise ValueError(
+                    f"clone: {dst!r} already carries a clone marker for "
+                    f"{info.get('of')!r}"
+                )
+            base = info["base"]
+        self._clone_mem.pop(dst, None)
+        fm = self._version_filemap(src, entry)
+        schema = self._recorded_schema(src, entry) or self._version_schema(
+            src, entry
+        )
+        pcols = self._recorded_partition_by(src, entry)
+        if pcols is None:
+            pcols = self._partition_cols(list(fm))
+        base_man = self._load_manifest(src, entry) or {}
+        version = self._claim_version(dst)
+        path = os.path.join(ddir, f"v{version:04d}")
+        record = self._manifest_record(
+            [{"rel": rel, "v": v} for rel, v in fm.items()],
+            pcols,
+            schema.json(),
+            base_man.get("renames", []),
+            base_man.get("retired", []),
+            base_man.get("widened", []),
+        )
+        try:
+            self.commit.put_object(
+                os.path.join(path, self._MANIFEST_NAME), record
+            )
+            smarker = json.dumps({"files": [self._MANIFEST_NAME], "n": 0}).encode()
+            if not self.commit.put_if_absent(os.path.join(path, "_SUCCESS"), smarker):
+                raise FileExistsError(
+                    f"commit marker already present at {path} — version "
+                    "already committed by another writer"
+                )
+        except BaseException:
+            self.commit.io_delete_tree(path)
+            raise
+        # CHECK constraints copy verbatim (already validated on this very
+        # data in the source; re-validating would scan the whole table)
+        scdir = self._constraints_dir(src)
+        for fname in self.commit.io_list_dir(scdir):
+            if fname.endswith(".json") and not fname.startswith("."):
+                raw = self.commit.io_get(os.path.join(scdir, fname))
+                if raw is not None:
+                    self.commit.put_object(
+                        os.path.join(self._constraints_dir(dst), fname), raw
+                    )
+        self._write_pointer(dst, version)
+        # pinned-read-vs-vacuum contract, applied to the clone commit: if
+        # a racing source vacuum reclaimed the pinned version while we
+        # were committing, fail LOUDLY now — never hand back a clone
+        # whose first read would die mid-scan. (The marker was visible to
+        # any vacuum that started after it was written; this closes the
+        # window for one that was already past its planning phase.)
+        src_vdir = self._physical_dir(src, entry["v"])
+        # the pinned version must still be COMMITTED — a tombstone is not
+        # enough (a vacuum that planned before our marker was visible
+        # kept only the files the source's own survivors reference,
+        # which can be a strict subset of what this clone needs)
+        still = self.commit.io_exists(os.path.join(src_vdir, "_SUCCESS"))
+        if not still:
+            self.commit.io_delete_tree(path)
+            self.commit.io_delete(os.path.join(ddir, self._CLONE_NAME))
+            self._clone_mem.pop(dst, None)
+            raise ValueError(
+                f"clone: source version {entry['v']} of {src!r} was "
+                "vacuumed during the clone — re-run against the new "
+                "current (and size vacuum min_age_seconds above clone "
+                "latency)"
+            )
+        return {"version": version, "base": base, "files": len(fm)}
 
     def history(self, table: str) -> list[dict]:
         """DESCRIBE HISTORY analog: every version with path/timestamp,

@@ -1497,7 +1497,101 @@ FROM customer c, m
 """
 
 
+def lifecycle_clone_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: shallow clone under the driver's gate (Delta ``CREATE
+    TABLE ... SHALLOW CLONE`` analog; the reference's staging copies are
+    full re-syncs — include/scripts/sync_data.py — so zero-copy cloning
+    is strictly stronger surface). Asserted in-entry: the clone is
+    ZERO-COPY (no parquet object under its tree, O(1) objects written at
+    any size); mutations are INDEPENDENT both ways (a merge on the clone
+    never leaks to the source, a range delete on the source never leaks
+    to the clone); source vacuum REFERENCE-COUNTS across the dependency
+    (the dry run announces tombstoning — unlike Delta, where VACUUM on
+    the source silently breaks shallow clones) and the clone reads
+    identically afterwards. The hashed result is the clone's final
+    state, which the oracle derives from the raw table."""
+    import glob as _glob
+
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    work = tempfile.mkdtemp(prefix="taico_lcg_clone_")
+    try:
+        store = TableStore(spark, os.path.join(work, "store"))
+        store.write("p", part.repartition(4))
+        store.optimize_layout("p", ["p_partkey"], num_files=8)
+        # a defaulted add BEFORE the clone: the annotation must ride the
+        # clone's manifest so referenced pre-add generations back-fill
+        store.add_columns("p", {"note": ("string", "none")})
+
+        rep = store.clone("p", "p2")
+        if rep["files"] == 0:
+            raise RuntimeError("lifecycle_clone_gate: empty clone")
+        own = _glob.glob(
+            os.path.join(work, "store", "p2", "**", "*.parquet"),
+            recursive=True,
+        )
+        if own:
+            raise RuntimeError(
+                f"lifecycle_clone_gate: clone moved data: {own[:3]}"
+            )
+        # single-key merge ON THE CLONE at the keyspace midpoint (an
+        # existing key, layout-independent at every SF)
+        mx = part.agg(F.max("p_partkey")).first()[0]
+        km = (
+            part.where(F.col("p_partkey") <= mx // 2)
+            .agg(F.max("p_partkey"))
+            .first()[0]
+        )
+        batch = (
+            store.read("p2")
+            .where(F.col("p_partkey") == km)
+            .withColumn("price", F.lit(1.5).cast("double"))
+            .withColumn("note", F.lit("clone"))
+        )
+        store.merge_in("p2", batch, "p_partkey")
+        if store.read("p").where(F.col("p_partkey") == km).first()["note"] != "none":
+            raise RuntimeError(
+                "lifecycle_clone_gate: clone merge leaked into the source"
+            )
+        # source-side mutation + materialization, then vacuum: the old
+        # source generations are now pinned ONLY by the clone — the
+        # refcount must tombstone them, and the clone must read on
+        store.delete_where("p", "price", lo=1000.0, hi=None)
+        store.compact("p")
+        plan = store.vacuum(
+            "p", keep_latest=1, stage_ttl_seconds=3600.0, dry_run=True
+        )
+        if not plan["tombstoned"]:
+            raise RuntimeError(
+                "lifecycle_clone_gate: source vacuum plan does not pin "
+                f"the clone's references: {plan}"
+            )
+        store.vacuum("p", keep_latest=1, stage_ttl_seconds=3600.0)
+        if store.read("p").where(F.col("price") >= 1000.0).count() != 0:
+            raise RuntimeError("lifecycle_clone_gate: source delete lost")
+        return _materialize(store.read("p2"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+CLONE_GATE_SQL = """
+WITH km AS (
+  SELECT MAX(p_partkey) AS k FROM part
+  WHERE p_partkey <= (SELECT MAX(p_partkey) FROM part) // 2
+)
+SELECT p.p_partkey, p.p_name,
+       CASE WHEN p.p_partkey = km.k THEN CAST(1.5 AS DOUBLE)
+            ELSE CAST(p.p_retailprice AS DOUBLE) END AS price,
+       CASE WHEN p.p_partkey = km.k THEN 'clone' ELSE 'none' END AS note
+FROM part p, km
+"""
+
+
 QUERIES = {
+    "lifecycle_clone_gate": lifecycle_clone_gate,
     "lifecycle_copy_on_write_delete": lifecycle_copy_on_write_delete,
     "lifecycle_cow_merge": lifecycle_cow_merge,
     "lifecycle_cow_merge_composite": lifecycle_cow_merge_composite,
@@ -1521,6 +1615,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lifecycle_clone_gate": CLONE_GATE_SQL,
     "lifecycle_copy_on_write_delete": COW_DELETE_SQL,
     "lifecycle_cow_merge": COW_MERGE_SQL,
     "lifecycle_cow_merge_composite": COW_MERGE_COMPOSITE_SQL,

@@ -140,6 +140,31 @@ def main() -> int:
 
     timed("compact_materialize_s", lambda: store.compact("t"))
     out["final_count"] = store.read("t").count()
+    # round 12: shallow clone at 60M rows — O(1) objects written, zero
+    # data moved, whatever the table size; the clone's first count pays
+    # only the read; a single-key merge on the clone COWs one file; a
+    # source delete + vacuum with the live clone must tombstone
+    # (cross-table refcount) in metadata time and the clone reads on.
+    timed("clone_s", lambda: store.clone("t", "t2"))
+    out["clone_count"] = timed(
+        "clone_count_s", lambda: store.read("t2").count()
+    )
+    up5 = spark.createDataFrame(
+        [(4005, -5.0, 3, "cl")],
+        "key_id bigint, v double, ln bigint, lang string",
+    )
+    timed("clone_merge_s", lambda: store.merge_in("t2", up5, "key_id"))
+    timed(
+        "src_delete_s",
+        lambda: store.delete_where("t", "key_id", lo=None, hi=5000),
+    )
+    timed(
+        "src_vacuum_with_clone_s",
+        lambda: store.vacuum("t", keep_latest=1, stage_ttl_seconds=3600.0),
+    )
+    out["clone_count_after_src_vacuum"] = timed(
+        "clone_count_after_src_vacuum_s", lambda: store.read("t2").count()
+    )
     print(json.dumps(out), flush=True)
     spark.stop()
     return 0
