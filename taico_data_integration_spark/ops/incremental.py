@@ -1362,11 +1362,16 @@ class TableStore(TableFormat):
         # data loss, not a retention-window race. Removable-but-referenced
         # versions tombstone (files stay) and reclaim on a later pass
         # once the clone compacts or vacuums its referencing versions.
-        for other, base in self._clone_dependents(table):
-            for oe in self._read_meta(other)["versions"]:
-                for rel, vphys in self._version_filemap(other, oe).items():
-                    if vphys <= base:
-                        kept_refs.add((vphys, rel))
+        def _clone_pins() -> set[tuple[int, str]]:
+            pins: set[tuple[int, str]] = set()
+            for other, base in self._clone_dependents(table):
+                for oe in self._read_meta(other)["versions"]:
+                    for rel, vphys in self._version_filemap(other, oe).items():
+                        if vphys <= base:
+                            pins.add((vphys, rel))
+            return pins
+
+        kept_refs |= _clone_pins()
         # ---- PLAN (shared by dry-run and the real pass: the report IS
         # the execution plan, so they agree by construction) ----------
         ver_plans: list[dict] = []
@@ -1482,6 +1487,31 @@ class TableStore(TableFormat):
                 "stages": sorted(stage_dirs),
             }
         # ---- EXECUTE -------------------------------------------------
+        # clone-vs-vacuum TOCTOU hardening (round 12): a clone whose
+        # marker landed AFTER the plan above was built would lose its
+        # references to deletions planned before it existed. Re-probe
+        # the dependents now, immediately before deleting — newly pinned
+        # files flip their version to tombstone instead of reclaim. The
+        # residual (marker lands between this probe and the deletes) is
+        # the same retention-window contract pinned readers get: size
+        # ``min_age_seconds`` above clone latency.
+        fresh = _clone_pins() - kept_refs
+        if fresh:
+            kept_refs |= fresh
+            for vp in ver_plans:
+                vp["still_needed"] = {
+                    rel for rel in vp["own"] if (vp["v"], rel) in kept_refs
+                }
+            for tp in tomb_plans:
+                now_live = [
+                    f
+                    for f in tp["dead"]
+                    if (tp["version"], os.path.relpath(f, tp["path"]))
+                    in kept_refs
+                ]
+                if now_live:
+                    tp["dead"] = [f for f in tp["dead"] if f not in set(now_live)]
+                    tp["reclaimed"] = False
         removed = []
 
         def _drop_sidecars(v: int) -> None:
@@ -1823,24 +1853,44 @@ class TableStore(TableFormat):
         # usually has everything). A COW commit's first probe therefore
         # re-footers only the rewrite outputs, keeping probe cost
         # O(changed files) too.
-        foreign_stats: dict[int, dict] = {}
+        foreign_stats: dict[tuple[str, int], dict] = {}
 
-        def _foreign(cand_v: int) -> dict:
-            if cand_v not in foreign_stats:
-                fraw = self.commit.io_get(self._stats_path(table, cand_v))
+        def _foreign(cand_tbl: str, cand_v: int) -> dict:
+            key = (cand_tbl, cand_v)
+            if key not in foreign_stats:
+                fraw = self.commit.io_get(self._stats_path(cand_tbl, cand_v))
                 try:
-                    foreign_stats[cand_v] = (
+                    foreign_stats[key] = (
                         json.loads(fraw).get("files", {}) if fraw is not None else {}
                     )
                 except json.JSONDecodeError:
-                    foreign_stats[cand_v] = {}
-            return foreign_stats[cand_v]
+                    foreign_stats[key] = {}
+            return foreign_stats[key]
 
-        cand_entries = sorted(
-            (e for e in meta["versions"] if e["v"] != v),
-            key=lambda e: e["v"],
-            reverse=True,
-        )
+        # clone-aware candidates (round 12): a shallow clone's foreign
+        # references (vphys <= clone base) are the same physical bytes
+        # the SOURCE's versions list, so the source's stats sidecars
+        # qualify under the identical per-rel checks — restricted to
+        # foreign rels (a clone-LOCAL generation number can coincide
+        # with a post-clone source version number without sharing bytes)
+        _cl = self._clone_info(table)
+        cand_entries = [
+            (table, e)
+            for e in sorted(
+                (e for e in meta["versions"] if e["v"] != v),
+                key=lambda e: e["v"],
+                reverse=True,
+            )
+        ]
+        if _cl is not None:
+            cand_entries += [
+                (_cl["of"], e)
+                for e in sorted(
+                    self._read_meta(_cl["of"])["versions"],
+                    key=lambda e: e["v"],
+                    reverse=True,
+                )
+            ]
         # column mapping (rounds 11+12): a generation written before a
         # rename carries the column under its OLD physical name, and a
         # generation written before a drop may still carry RETIRED bytes
@@ -1859,30 +1909,51 @@ class TableStore(TableFormat):
             # the physical holder's own manifest first (rel is its own
             # file there — no filemap load needed; its event history
             # cannot reach past its own version, so its records are
-            # identity-mapped), then any other version that provably
-            # resolves rel to the same bytes AND whose event history
-            # leaves the column untouched for this generation — a
-            # sidecar record keyed by a logical name that some manifest
-            # renamed or retired may describe different physical bytes
-            candidates = [vphys] + [e["v"] for e in cand_entries if e["v"] != vphys]
-            for cand_v in candidates:
+            # identity-mapped; for a clone's foreign generation the
+            # holder lives in the SOURCE's tree), then any other version
+            # that provably resolves rel to the same bytes AND whose
+            # event history leaves the column untouched for this
+            # generation — a sidecar record keyed by a logical name that
+            # some manifest renamed or retired may describe different
+            # physical bytes
+            holder_tbl = (
+                _cl["of"]
+                if _cl is not None and vphys <= _cl["base"]
+                else table
+            )
+            candidates = [(holder_tbl, vphys)] + [
+                (t2, e["v"])
+                for t2, e in cand_entries
+                if not (t2 == holder_tbl and e["v"] == vphys)
+            ]
+            for cand_tbl, cand_v in candidates:
                 if not missing and rec["rows"] is not None:
                     return
-                frec = _foreign(cand_v).get(rel)
+                frec = _foreign(cand_tbl, cand_v).get(rel)
                 if frec is None or frec.get("rows") is None:
                     continue
                 cand_events: list = []
-                if cand_v != vphys:
+                if (cand_tbl, cand_v) != (holder_tbl, vphys):
+                    if cand_tbl != table and not (
+                        _cl is not None and vphys <= _cl["base"]
+                    ):
+                        continue  # source sidecars only vouch for foreign rels
                     cand_e = next(
-                        (e for e in cand_entries if e["v"] == cand_v), None
+                        (
+                            e
+                            for t2, e in cand_entries
+                            if t2 == cand_tbl and e["v"] == cand_v
+                        ),
+                        None,
                     )
                     if (
                         cand_e is None
-                        or self._version_filemap(table, cand_e).get(rel) != vphys
+                        or self._version_filemap(cand_tbl, cand_e).get(rel)
+                        != vphys
                     ):
                         continue
                     cand_events = self._alter_events(
-                        self._load_manifest(table, cand_e)
+                        self._load_manifest(cand_tbl, cand_e)
                     )
                 rec["rows"] = frec["rows"]
                 for c in list(missing):
@@ -2305,6 +2376,32 @@ class TableStore(TableFormat):
                     rec["files"][rel] = blob
         return rec
 
+    def _stored_bloom_sizing(
+        self, table: str, meta: dict, col: str
+    ) -> tuple[int, int] | None:
+        """Sizing (m, k) of the newest already-built filter for ``col``
+        in any candidate sidecar the probed version could copy-forward
+        from — the table's own versions and, for a shallow clone, the
+        source's. Implicit read-side builds adopt it (round 12): a fresh
+        sizing computed from the table can never match the stored rows,
+        so without this the first probe after EVERY COW commit (or on a
+        fresh clone) re-hashed the whole table instead of copying the
+        still-valid filters forward (measured at 60M rows: 110 s rebuild
+        vs seconds of row copies)."""
+        cand = [(table, e) for e in meta["versions"]]
+        cl = self._clone_info(table)
+        if cl is not None:
+            cand += [
+                (cl["of"], e) for e in self._read_meta(cl["of"])["versions"]
+            ]
+        for tbl, e in sorted(cand, key=lambda te: te[1]["v"], reverse=True):
+            p = self._bloom_path(tbl, e["v"])
+            if self.commit.io_exists(p):
+                mk = self._bloom_cols(p).get(col)
+                if mk is not None:
+                    return mk
+        return None
+
     @staticmethod
     def bloom_sizing(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
         """Optimal (num_bits, num_hashes) for ``expected_items`` distinct
@@ -2430,14 +2527,26 @@ class TableStore(TableFormat):
             # physical bytes than a read of ours serves — rebuild those
             # through read()/_read_rels (mapping applied) instead
             own_events = self._alter_events(self._load_manifest(table, entry))
-            for cand in sorted(
-                (e for e in meta["versions"] if e["v"] != v),
-                key=lambda e: e["v"],
-                reverse=True,
+            # clone-aware candidates (round 12): a shallow clone's
+            # foreign references (vphys <= clone base) are the SAME
+            # physical bytes the source's versions list, so the source's
+            # sidecars qualify for copy-forward under the identical
+            # per-rel soundness checks — restricted to foreign rels,
+            # because a clone-LOCAL generation number can coincide with
+            # a post-clone source version number without sharing bytes.
+            cl = self._clone_info(table)
+            cand_list = [(table, e) for e in meta["versions"] if e["v"] != v]
+            if cl is not None:
+                cand_list += [
+                    (cl["of"], e)
+                    for e in self._read_meta(cl["of"])["versions"]
+                ]
+            for cand_tbl, cand in sorted(
+                cand_list, key=lambda te: te[1]["v"], reverse=True
             ):
                 if not any(uncovered.values()):
                     break
-                fbp = self._bloom_path(table, cand["v"])
+                fbp = self._bloom_path(cand_tbl, cand["v"])
                 if not self.commit.io_exists(fbp):
                     continue
                 fcols = self._bloom_cols(fbp)
@@ -2448,9 +2557,9 @@ class TableStore(TableFormat):
                 ]
                 if not match_cols:
                     continue
-                cand_fm = self._version_filemap(table, cand)
+                cand_fm = self._version_filemap(cand_tbl, cand)
                 cand_events = self._alter_events(
-                    self._load_manifest(table, cand)
+                    self._load_manifest(cand_tbl, cand)
                 )
                 take: dict[str, list[str]] = {}
                 for c, rel in self._bloom_entries(fbp):
@@ -2458,6 +2567,7 @@ class TableStore(TableFormat):
                         c in match_cols
                         and rel in uncovered[c]
                         and cand_fm.get(rel) == fm[rel]
+                        and (cand_tbl == table or fm[rel] <= cl["base"])
                         and not self._col_mapped(own_events, c, fm[rel])
                         and not self._col_mapped(cand_events, c, fm[rel])
                     ):
@@ -2494,10 +2604,14 @@ class TableStore(TableFormat):
                     uncovered[c] -= set(rels)
             words_per_filter = num_bits // 64
             # files may be resolved across several physical version dirs
-            # (share-by-reference): rel paths are computed from the TABLE
-            # dir and the leading vNNNN component stripped, restoring the
-            # version-relative LOGICAL rel the probes key on
-            base = os.path.join(self.root, table)
+            # (share-by-reference) — and, for a shallow clone's foreign
+            # generations, across TABLE trees: rel paths are computed
+            # from the STORE ROOT with the leading <table>/vNNNN
+            # components stripped, restoring the version-relative
+            # LOGICAL rel the probes key on (relative to the table dir
+            # alone, a foreign file would resolve to ../<src>/... and
+            # the sidecar row would never match a probe)
+            base = self.root
             parts = []
             for c in missing:
                 # scan only the files copy-forward did NOT cover for this
@@ -2559,11 +2673,12 @@ class TableStore(TableFormat):
                 # scheme+bucket or relpath degenerates
                 b = unquote(urlparse(base).path) if "://" in base else base
                 rel = _os.path.relpath(path, b)
-                # drop the leading version-dir component: the sidecar is
-                # keyed by the version-relative LOGICAL rel, which by the
-                # share-by-reference invariant equals the path inside
-                # whichever physical version dir holds the file
-                rel = rel.split(_os.sep, 1)[1]
+                # drop the leading <table>/<version-dir> components: the
+                # sidecar is keyed by the version-relative LOGICAL rel,
+                # which by the share-by-reference invariant equals the
+                # path inside whichever physical version dir (of
+                # whichever table tree) holds the file
+                rel = rel.split(_os.sep, 2)[2]
                 return pd.DataFrame(
                     {
                         "col": [key[1]],
@@ -2691,6 +2806,13 @@ class TableStore(TableFormat):
             if bloom is not None:
                 self._bloom_mem_put(table, v, col, bloom)
         if bloom is None:
+            # implicit build: adopt the sizing already stored for this
+            # column in a candidate sidecar (own versions; clone source)
+            # so the copy-forward engages instead of a full re-scan
+            stored = self._stored_bloom_sizing(table, meta, col)
+            if stored is not None:
+                num_bits, num_hashes = stored
+                expected_items_per_file = None
             bloom = self.collect_file_blooms(
                 table,
                 [col],
@@ -3138,7 +3260,15 @@ class TableStore(TableFormat):
                 if b is not None:
                     blooms[j] = b
             if not blooms and len(file_live) > max(1, len(stats["files"]) // 2):
-                if expected_items_per_file is None:
+                # adopt the sizing already stored in a candidate sidecar
+                # (own versions; clone source) so the copy-forward
+                # engages — a freshly-derived sizing can never match the
+                # stored rows and forces an O(table) re-hash
+                stored = self._stored_bloom_sizing(table, meta, cols[0])
+                if stored is not None:
+                    num_bits, num_hashes = stored
+                    expected_items_per_file = None
+                elif expected_items_per_file is None:
                     # size the implicit build from the table itself — the
                     # fixed default saturates at high distinct-per-file
                     total_rows = sum(
@@ -3832,7 +3962,17 @@ class TableStore(TableFormat):
         / rows_replaced (target rows removed) / rows_written (all update
         rows — they always land)."""
         key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
-        target_cols = self.read(table).columns
+        # ONE schema snapshot for both the column list and the types: a
+        # second read here can see a LATER version under concurrent
+        # ALTERs, and a column list from snapshot A indexed into types
+        # from snapshot B crashes with KeyError instead of reaching the
+        # conflict-checked pointer swap (found by the multi-process
+        # stress once shallow clones joined the op mix). Divergence from
+        # the version the merge actually computes against is caught by
+        # expect_base at commit and retried as ConcurrentWriteError.
+        _target = self.read(table)
+        target_cols = _target.columns
+        target_types = dict(_target.dtypes)
         missing_cols = [c for c in target_cols if c not in updates.columns]
         if missing_cols:
             raise ValueError(
@@ -3870,12 +4010,12 @@ class TableStore(TableFormat):
         version = self._claim_version(table)
         from pyspark.sql import Observation
 
-        # cast updates to the TARGET's exact column types: the new part
-        # files must carry the same parquet physical types as the
-        # hard-linked ones (a bigint target updated from an int batch
-        # would otherwise produce a mixed-type version that reads
-        # wrongly under the single-footer schema)
-        target_types = dict(self.read(table).dtypes)
+        # cast updates to the TARGET's exact column types (snapshot taken
+        # above, same read as target_cols): the new part files must carry
+        # the same parquet physical types as the hard-linked ones (a
+        # bigint target updated from an int batch would otherwise produce
+        # a mixed-type version that reads wrongly under the single-footer
+        # schema)
         up = updates.select(
             *[F.col(c).cast(target_types[c]).alias(c) for c in target_cols],
             *[F.col(c) for c in new_cols],
@@ -4563,6 +4703,27 @@ class TableStore(TableFormat):
                 "current (and size vacuum min_age_seconds above clone "
                 "latency)"
             )
+        # sidecar copy-forward: the clone's first version is the SAME
+        # file set (and the same ALTER-event history) as the source's
+        # current, so the source's stats/bloom sidecars describe it
+        # verbatim. Seeding them keeps the clone's first point lookup /
+        # merge candidate probe O(metadata) instead of an O(table) bloom
+        # rebuild (measured at 60M rows: 165 s cold, seconds seeded);
+        # later clone versions reuse from here through the normal
+        # copy-forward. Best-effort — a miss just recollects.
+        raw = self.commit.io_get(self._stats_path(src, entry["v"]))
+        if raw is not None:
+            self.commit.put_object(self._stats_path(dst, version), raw)
+        sbp = self._bloom_path(src, entry["v"])
+        dbp = self._bloom_path(dst, version)
+        bloom_files = self.commit.io_list_files(sbp)
+        if bloom_files:
+            for f in bloom_files:
+                self.commit.link_or_copy(
+                    f, os.path.join(dbp, os.path.relpath(f, sbp))
+                )
+        elif self.commit.io_exists(sbp):
+            self.commit.link_or_copy(sbp, dbp)
         return {"version": version, "base": base, "files": len(fm)}
 
     def history(self, table: str) -> list[dict]:

@@ -235,9 +235,49 @@ def cow_stress_main(root: str, worker_id: str, n_ops: str, result: str) -> int:
             if not alter_cycle():
                 ok = False
                 break
+        if i % 6 == 4:
+            # round 12: shallow clones race the mutations and vacuums.
+            # Only THIS worker writes its key range and its ops are
+            # sequential, so a clone taken between its own commits must
+            # hold EXACTLY its ledger — any drift is a torn snapshot.
+            # The documented clone-vs-vacuum refusal is a legitimate
+            # retry (same contract as ConcurrentWriteError); everything
+            # else propagates.
+            cname = f"clone_w{wid}_{i}"
+
+            def clone_op(name=cname):
+                try:
+                    store.clone("t", name)
+                except ValueError as exc:
+                    if "vacuumed during the clone" in str(exc):
+                        raise ConcurrentWriteError(str(exc)) from exc
+                    raise
+
+            if commit_with_retry(clone_op):
+                got_c = {
+                    r.k
+                    for r in store.read(cname)
+                    .where((F.col("k") >= lo) & (F.col("k") < hi))
+                    .select("k")
+                    .collect()
+                }
+                if got_c != mine:
+                    torn.append(
+                        {
+                            "op": i,
+                            "clone": cname,
+                            "missing": sorted(mine - got_c)[:10],
+                            "phantom": sorted(got_c - mine)[:10],
+                        }
+                    )
+            else:
+                ok = False
+                break
         if i % 3 == 2:
             # racing vacuum: keep_latest covers every version a racing
-            # reader can still be planning against in this op cadence
+            # reader can still be planning against in this op cadence —
+            # and (round 12) must refcount across every clone the
+            # workers have spun up so far
             store.vacuum("t", keep_latest=8, stage_ttl_seconds=3600.0)
         got = {
             r.k

@@ -145,6 +145,21 @@ def main() -> int:
     # only the read; a single-key merge on the clone COWs one file; a
     # source delete + vacuum with the live clone must tombstone
     # (cross-table refcount) in metadata time and the clone reads on.
+    # the once-per-version bloom build on the freshly-compacted source
+    # (stats cannot prune the cluster key after the ln-partitioned
+    # compact, so the probe would otherwise build this implicitly inside
+    # the NEXT merge — source or clone alike, O(table) scan either way)
+    timed("src_bloom_build_s", lambda: store.collect_file_blooms(
+        "t", ["key_id"], expected_items_per_file=4_000_000
+    ))
+    timed("src_merge_warm_s", lambda: store.merge_in(
+        "t",
+        spark.createDataFrame(
+            [(3001, -4.0, 1, "wm")],
+            "key_id bigint, v double, ln bigint, lang string",
+        ),
+        "key_id",
+    ))
     timed("clone_s", lambda: store.clone("t", "t2"))
     out["clone_count"] = timed(
         "clone_count_s", lambda: store.read("t2").count()
