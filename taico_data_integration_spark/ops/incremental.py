@@ -4575,10 +4575,12 @@ class TableStore(TableFormat):
         self._write_pointer(table, to_version)
         return to_version
 
-    def clone(self, src: str, dst: str) -> dict:
+    def clone(self, src: str, dst: str, version: int | None = None) -> dict:
         """Delta ``CREATE TABLE ... SHALLOW CLONE`` analog: a new table
         whose first version REFERENCES every live file of ``src``'s
-        current version — zero bytes moved, zero copy requests, O(1)
+        current version (or the pinned ``version`` — Delta's
+        ``CLONE ... VERSION AS OF``) — zero bytes moved, zero copy
+        requests, O(1)
         objects written at ANY table size (the same share-by-reference
         manifest a COW commit writes). The clone then evolves fully
         independently: merges/deletes COW only its own touched files,
@@ -4617,7 +4619,12 @@ class TableStore(TableFormat):
                 "first (clone chains are refused to keep reference "
                 "resolution and vacuum refcounting one hop deep)"
             )
-        entry = next(e for e in meta["versions"] if e["v"] == meta["current"])
+        pin = meta["current"] if version is None else version
+        entry = next((e for e in meta["versions"] if e["v"] == pin), None)
+        if entry is None:
+            raise ValueError(
+                f"clone: version {pin} not committed (or vacuumed) for {src!r}"
+            )
         base = max(e["v"] for e in meta["versions"])
         dmeta = self._read_meta(dst)
         if dmeta["versions"] or dmeta["current"] is not None:

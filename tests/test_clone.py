@@ -190,6 +190,34 @@ def test_clone_partitioned_source(spark, tmp_path):
     assert own, "clone rewrite did not land under the recorded spec"
 
 
+def test_clone_version_as_of(spark, tmp_path):
+    """``clone(src, dst, version=N)`` pins a historical snapshot (Delta
+    ``CLONE ... VERSION AS OF``): the clone serves that version's state
+    and schema forever, survives the source moving on AND vacuuming
+    (refcount tombstones the pinned generations), and a vacuumed pin is
+    refused loudly."""
+    store = _mk_src(spark, tmp_path)
+    v_before = store._read_meta("t")["current"]
+    up = spark.createDataFrame([(5, -1.0, 3)], "k bigint, v double, n int")
+    store.merge_in("t", up, "k")
+    store.add_columns("t", {"note": ("string", "x")})
+
+    store.clone("t", "t_old", version=v_before)
+    got = store.read("t_old")
+    assert got.columns == ["k", "v", "n"]  # pre-ALTER schema
+    assert got.where("k = 5").collect()[0]["v"] == 5.0  # pre-merge value
+    assert got.count() == 1_000
+
+    # the source vacuums everything but current; the pin survives by
+    # refcount and the clone still reads its snapshot
+    store.compact("t")
+    store.vacuum("t", keep_latest=1, stage_ttl_seconds=3600.0)
+    assert store.read("t_old").where("k = 5").collect()[0]["v"] == 5.0
+    # a now-vacuumed version is a loud refusal for NEW clones
+    with pytest.raises(ValueError, match="not committed"):
+        store.clone("t", "t_old2", version=v_before)
+
+
 def test_clone_reuses_source_sidecars(spark, tmp_path):
     """The clone's skipping probes must stay O(metadata): its foreign
     references are the same physical bytes the source's versions list,
