@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FIXTURE_TABLES = (
     "region",
@@ -82,13 +83,101 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# --- small-input scan fan-out (guide §2.5 "input skew") -------------------
+#
+# A parquet file is splittable only at row-group boundaries, so a table
+# written as one file with one row group scans as ONE task no matter how many
+# cores the cluster has — and every narrow transform stacked on that scan
+# (surrogate-key md5s, tokenization, HOF dot products) runs single-threaded.
+# The classic fix is an explicit repartition right after the read, but it
+# only pays where per-row compute is HEAVY: an interleaved A/B over all 34
+# headline queries (5 passes each, same session) measured blanket-on at
+# 48.1 s vs 35.2 s off — cheap aggregation queries lose more to the extra
+# exchange + 32-task scheduling than they gain in map parallelism, while the
+# expression-heavy ones win big (embedding_neardup 1.35->0.51 s,
+# retail_fct_invoices 2.85->2.12 s, text_langid 0.89->0.48 s). So fan-out is
+# OPT-IN per call site (``load_table(..., fan_out=True)``) and additionally
+# guarded to small inputs: few files AND total bytes under
+# (defaultParallelism x maxPartitionBytes) — i.e. exactly the inputs whose
+# native split count cannot reach the cluster's parallelism. On a real
+# multi-file/multi-row-group table the guard short-circuits on file count
+# and the scan is untouched. Kill switch: SPARK_GRAFT_SMALL_SCAN_REPARTITION=0.
+
+_SCAN_PARALLELIZE_MIN_BYTES = 256 * 1024  # below this, single-task compute is trivial
+
+_scan_stats_cache: dict[str, tuple[int, int] | None] = {}
+
+
+def _local_scan_stats(path: str) -> tuple[int, int] | None:
+    """(n_files, total_bytes) for a local parquet file/dir; None when the
+    path is not local-filesystem-resolvable (object stores: stay untouched,
+    those deployments size their files at write time)."""
+    if path in _scan_stats_cache:
+        return _scan_stats_cache[path]
+    p = path[7:] if path.startswith("file://") else path
+    stats: tuple[int, int] | None
+    try:
+        if os.path.isfile(p):
+            stats = (1, os.path.getsize(p))
+        elif os.path.isdir(p):
+            files = [
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(p)
+                for f in fs
+                if not f.startswith((".", "_"))
+            ]
+            stats = (len(files), sum(os.path.getsize(f) for f in files))
+        else:
+            stats = None
+    except OSError:
+        stats = None
+    _scan_stats_cache[path] = stats
+    return stats
+
+
+def _maybe_parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SMALL_SCAN_REPARTITION", "1") == "0":
+        return df
+    par = spark.sparkContext.defaultParallelism
+    stats = _local_scan_stats(path)
+    if stats is None:
+        return df
+    n_files, total_bytes = stats
+    if n_files >= par or total_bytes < _SCAN_PARALLELIZE_MIN_BYTES:
+        return df
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    except (ValueError, AttributeError):
+        max_split = 128 * 1024 * 1024
+    if total_bytes > par * max_split:
+        return df  # native splits already reach full parallelism
+    # Hash-partition on a content hash rather than round-robin: keyless
+    # repartition(n) pays a local sort of the map side (sort-before-
+    # repartition, needed for deterministic retries) which serializes in the
+    # single scan task this helper exists to relieve; a deterministic
+    # content hash needs no sort, is retry-stable (guide §2.5: never derive
+    # a synthetic key from rand()), and spreads fixture rows evenly
+    # (measured: retail invoice synthesis 2.0 -> 1.4 s vs round-robin).
+    return df.repartition(par, F.xxhash64(*[F.col(c) for c in df.columns]))
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Parquet scan. Filters/projections applied by callers reach the scan
-    via Catalyst pushdown (verified in tests/test_plans.py)."""
+    via Catalyst pushdown (verified in tests/test_plans.py — pushdown and
+    pruning traverse the conditional small-input repartition).
+
+    ``fan_out=True`` opts in to the small-input repartition above — use it
+    ONLY where the per-row compute stacked on the scan is heavy enough to
+    amortize an extra exchange (see the A/B numbers at the helper)."""
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
+    if fan_out:
+        df = _maybe_parallelize_scan(spark, df, path)
     return df
 
 

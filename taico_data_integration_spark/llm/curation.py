@@ -168,18 +168,54 @@ def curation_flags(
 ) -> DataFrame:
     """One-pass composite curation verdict per document: every filter is a
     flag column plus the final keep decision, so downstream can both filter
-    and report per-reason drop rates from a single scan."""
-    n_tok = F.size(tokens(text_col)).cast("bigint")
-    rep = repetition_ratio(text_col)
-    qual = quality_score(text_col)
-    lang = detect_language(text_col)
-    out = df.select(
+    and report per-reason drop rates from a single scan.
+
+    Execution shape: tokenization and the per-language/stat counts are
+    STAGED as real columns (two narrow projections) rather than inlined —
+    the naive single-projection form re-evaluates the split/regexp token
+    tree once per reference (~30x for the language argmax + flag columns),
+    and Catalyst's subexpression elimination does not hoist subtrees out of
+    CASE WHEN branches. Results are bit-identical (same exprs, same fold
+    order); only the evaluation count changes."""
+    from .text import STOPWORDS, language_argmax, tokens as _tokens
+
+    langs = ("en", "de", "es", "fr")
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
+    )
+    hits = {
+        lang: F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS[lang]))).cast("bigint")
+        for lang in langs
+    }
+    stats = base.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        F.size("__toks").cast("bigint").alias("__n_tok"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_dist"),
+        *[hits[lang].alias(f"__hits_{lang}") for lang in langs],
+        F.regexp_count("__t", F.lit(r"[A-Za-z]")).cast("double").alias("__alpha"),
+        F.length("__t").cast("double").alias("__len"),
+    )
+    # cheap scalar math over the staged stats — duplication-free to inline;
+    # each formula matches the Column-API twin (repetition_ratio,
+    # quality_score, detect_language) term for term.
+    n_tok_d = F.col("__n_tok").cast("double")
+    rep = F.round(
+        F.lit(1.0) - F.col("__n_dist").cast("double") / F.greatest(n_tok_d, F.lit(1.0)), 6
+    )
+    stop_ratio = F.col("__hits_en").cast("double") / F.greatest(n_tok_d, F.lit(1.0))
+    alpha_ratio = F.col("__alpha") / F.greatest(F.col("__len"), F.lit(1.0))
+    len_sat = F.least(n_tok_d / F.lit(100.0), F.lit(1.0))
+    qual = F.round(
+        F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio + F.lit(0.3) * len_sat, 6
+    )
+    lang = language_argmax({l: F.col(f"__hits_{l}") for l in langs}, langs)
+    out = stats.select(
+        F.col(id_col),
+        F.col("__n_tok").alias("n_tokens"),
         rep.alias("repetition"),
         qual.alias("quality"),
         lang.alias("detected_lang"),
-        (n_tok < min_tokens).alias("too_short"),
+        (F.col("__n_tok") < min_tokens).alias("too_short"),
         (rep > max_repetition).alias("high_repetition"),
         (qual < min_quality).alias("low_quality"),
         (lang != "en").alias("non_en"),

@@ -59,10 +59,18 @@ def with_shingles(
     source is a single parquet file."""
     spark = df.sparkSession
     extras = [F.col(c) for c in keep_cols]
-    toks = df.select(
-        F.col(id_col), *extras, F.split(normalized_text(text_col), " ").alias("__toks")
+    # The exchange sits BELOW tokenization (raw text crosses it, not token
+    # arrays) so the regexp normalize + split run at full parallelism too —
+    # with the exchange above them they all ran inside the single scan task
+    # this barrier exists to relieve. Hash-partitioning on the id avoids the
+    # local sort a keyless round-robin repartition pays for retry
+    # determinism (guide §2.5) while staying retry-stable.
+    staged = df.select(F.col(id_col), *extras, F.col(text_col).alias("__text")).repartition(
+        spark.sparkContext.defaultParallelism, F.xxhash64(F.col(id_col))
     )
-    toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    toks = staged.select(
+        F.col(id_col), *extras, F.split(normalized_text("__text"), " ").alias("__toks")
+    )
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("__toks") - k),
@@ -128,8 +136,13 @@ def materialized_shingles(
     here, so without materialization each branch re-runs tokenization
     (+explode +shuffle) — measured 8x slower. At cluster scale the same
     pattern is a staging write of the shingle index (one scan, N readers).
+
+    eager=False: the checkpoint materializes inside the FIRST consuming
+    action instead of paying a dedicated materialize-only job at plan-build
+    time (the local checkpoint is persist-backed, so branches within that
+    first action still compute tokenization once and read the cache).
     """
-    return with_shingles(df, text_col, id_col, k, keep_cols).localCheckpoint()
+    return with_shingles(df, text_col, id_col, k, keep_cols).localCheckpoint(eager=False)
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -239,17 +252,34 @@ def simhash_bits(
     all bits (md5 nibbles are independent). Returns (id, simhash) with
     simhash as a '01...' string of length `bits` — engine-portable (no
     64-bit int overflow concerns in oracles). bits <= 32 (md5 hex length).
+
+    Execution shape (r12): ZERO shuffles. Distinctness is per-document, so
+    ``array_distinct`` inside the projection replaces the old
+    explode -> DISTINCT -> groupBy(id) pipeline that shuffled the exploded
+    token set twice; the md5 array is staged as a real column (one md5 per
+    token, as before) and each bit's weight is an integer HOF fold over it.
+    Integer sums are order-free, so the results are bit-identical to the
+    aggregation form.
     """
-    toks = (
-        df.select(F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
-        .distinct()
-        .withColumn("__h", F.md5("tok"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(normalized_text(text_col), " ")), lambda t: F.md5(t)
+        ).alias("__hs"),
     )
-    weights = []
-    for b in range(bits):
-        nib = F.instr(F.lit(HEX), F.substring("__h", b + 1, 1)) - 1
-        weights.append(F.sum(F.when(nib % 2 == 1, 1).otherwise(-1)).alias(f"w{b}"))
-    agg = toks.groupBy(id_col).agg(*weights)
+    def _weight(b: int):
+        def merge(acc, h):
+            nib = F.instr(F.lit(HEX), F.substring(h, b + 1, 1)) - 1
+            return acc + F.when(nib % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        # NB: the merge lambda must be strictly binary — pyspark counts
+        # parameters to decide the HOF shape.
+        return F.aggregate(F.col("__hs"), F.lit(0), merge)
+
+    weights = [_weight(b).alias(f"w{b}") for b in range(bits)]
+    # NULL text produced zero exploded rows (doc absent) in the aggregation
+    # form; the null-array filter preserves that contract.
+    agg = hashed.where(F.col("__hs").isNotNull()).select(F.col(id_col), *weights)
     bit_chars = [F.when(F.col(f"w{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
 
@@ -356,10 +386,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-iteration label (__old) through to the checkpointed
+        # frame: convergence is then a filter+count over rows already
+        # materialized, not an extra labels-vs-new-labels join+shuffle job
+        # per iteration.
         hopped = labels.join(
             neighbor_min, labels.vertex == neighbor_min.u, "left"
         ).select(
             "vertex",
+            F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
         )
         # pointer jump: label := label-of-label. Every label is a vertex id
@@ -368,21 +403,17 @@ def connected_components(
         jump = hopped.select(
             F.col("vertex").alias("__lv"), F.col("label").alias("__ll")
         )
-        new_labels = ckpt(
+        stepped = ckpt(
             hopped.join(jump, hopped.label == jump["__lv"], "left").select(
                 "vertex",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("__ll"), F.col("label"))
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("vertex", "label")
         if changed == 0:
             break
     else:

@@ -52,13 +52,14 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(tokens(col), lambda t: t.isin(*words))).cast("bigint")
 
 
-def detect_language(col: Column | str, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
-    """argmax of stopword hits with deterministic precedence order; 'unknown'
-    when no list scores a hit."""
-    hits = {lang: stopword_hits(col, lang) for lang in langs}
-    best = None
-    # precedence = declaration order on ties: a lang wins only with a STRICTLY
-    # greater score than every earlier lang and >= every later one.
+def language_argmax(hits: dict[str, Column], langs: tuple[str, ...] | None = None) -> Column:
+    """argmax of per-language hit counts with deterministic precedence order;
+    'unknown' when no list scores a hit. Precedence = declaration order on
+    ties: a lang wins only with a STRICTLY greater score than every earlier
+    lang and >= every later one. Pass CHEAP column references when the hit
+    counts are staged as real columns — the chain references each hit ~7x,
+    which duplicates the full expression tree when fed raw exprs."""
+    langs = langs or tuple(hits)
     expr = F.lit("unknown")
     for i, lang in enumerate(langs):
         cond = hits[lang] > 0
@@ -70,6 +71,49 @@ def detect_language(col: Column | str, langs: tuple[str, ...] = ("en", "de", "es
             )
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def detect_language(col: Column | str, langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> Column:
+    """argmax of stopword hits (single-Column form — re-tokenizes per hit
+    reference; prefer `with_language` / staged hit columns in scan-heavy
+    pipelines)."""
+    return language_argmax({lang: stopword_hits(col, lang) for lang in langs}, langs)
+
+
+def staged_language_hits(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """keep_cols + one `__hits_<lang>` bigint column per language, with
+    tokenization staged as a real column so the split/regexp runs ONCE per
+    row (the naive detect_language expression re-tokenizes per hit
+    reference — ~28 evaluations for 4 languages). CollapseProject keeps the
+    staging projection because the token array is non-cheap and referenced
+    by every hit column."""
+    base = df.select(*keep_cols, tokens(text_col).alias("__toks"))
+    hit_cols = [
+        F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS[lang])))
+        .cast("bigint")
+        .alias(f"__hits_{lang}")
+        for lang in langs
+    ]
+    return base.select(*keep_cols, *hit_cols)
+
+
+def with_language(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    out: str = "detected_lang",
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """keep_cols + detected language, via staged hit columns (one
+    tokenization pass per row; identical results to detect_language)."""
+    staged = staged_language_hits(df, text_col, keep_cols, langs)
+    lang = language_argmax({l: F.col(f"__hits_{l}") for l in langs}, langs)
+    return staged.select(*keep_cols, lang.alias(out))
 
 
 def punct_count(col: Column | str) -> Column:

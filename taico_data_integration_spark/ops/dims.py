@@ -145,7 +145,10 @@ def mint_ids_distributed(
     # wrong trade for a long-lived service. The two-read cost over the
     # materialized shuffle is the floor for a dense global id: count-then-
     # assign is the same shape as RDD.zipWithIndex.
-    local = parts.localCheckpoint().withColumn("__rn", F.row_number().over(w))
+    # eager=False: the checkpoint materializes inside the count job below
+    # (the first action) instead of paying a separate materialize-only pass
+    # over the upstream; the assignment job still reads the pinned copy.
+    local = parts.localCheckpoint(eager=False).withColumn("__rn", F.row_number().over(w))
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     acc = start_at - 1
     offsets = []

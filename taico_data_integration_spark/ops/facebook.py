@@ -32,8 +32,12 @@ KNOWN_CLUSTERS = ("Classical", "CRM", "Digital")
 
 def ads_insights_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ads_insights built from events: comma-decimal money
-    strings, numeric-as-string counts, 'n/a' garbage on error events."""
-    e = load_table(spark, sf_dir, "events")
+    strings, numeric-as-string counts, 'n/a' garbage on error events.
+
+    fan_out: the synthesis stacks ~12 string-building expressions per row
+    (date_format x2, concat, replace, element_at) on the scan — a
+    single-row-group fixture would run it all on one core."""
+    e = load_table(spark, sf_dir, "events", fan_out=True)
     camp_key = (F.col("user_id") % 50).cast("string")
     return e.select(
         F.concat(F.lit("ad_"), F.col("event_id").cast("string")).alias("ad_id"),
@@ -115,11 +119,17 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     # both engines) via range partitioning + per-partition numbering — no
     # single-partition sort anywhere in the plan, so the transform scales
     # past the reference's daily-batch assumption to arbitrary fact size.
-    joined = mint_ids_distributed(
-        cleaned.join(F.broadcast(camp), "campaign_id", "left"),
-        order_cols=["ad_id"],
-        id_col="id",
-    )
+    #
+    # Mint over the NARROW key only (guide §2.3 "shuffle keys and metadata
+    # instead of payloads"): the mint pipeline range-shuffles, checkpoints and
+    # counts its input, so feeding it the full 17-column cleaned fact paid
+    # those passes on every payload byte. The ad_id projection prunes the
+    # scan to one column for all of that; the minted (ad_id, id) map is then
+    # attached back with one equi-join — on the key the ids were derived
+    # from, so the attachment cannot reintroduce a payload-wide range sort.
+    wide = cleaned.join(F.broadcast(camp), "campaign_id", "left")
+    ids = mint_ids_distributed(ads.select("ad_id"), order_cols=["ad_id"], id_col="id")
+    joined = wide.join(ids, "ad_id")
     return (
         joined
         .select(

@@ -26,7 +26,10 @@ def raw_invoices_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     invoice = order, stock code = part key, unit price = extprice/qty
     rounded to DECIMAL(18,2), invoice date = dual-format string of
     o_orderdate (even orderkeys in year >= 2000 use the 2-digit form)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    # fan_out: the invoice synthesis + downstream surrogate-key md5s are the
+    # heaviest per-row expression stack in the engine; a single-row-group
+    # fixture would otherwise run it all on one core (A/B: 2.85 -> 2.12 s)
+    l = load_table(spark, sf_dir, "lineitem", fan_out=True)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

@@ -8,8 +8,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def T(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> DataFrame:
+    return load_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 def dec2(col: str | Column, precision: int = 18) -> Column:

@@ -152,7 +152,8 @@ FROM (
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curation_flags(T(spark, sf_dir, "documents"))
+    # fan_out: tokenization + per-language filters are compute-bound per row
+    return curation_flags(T(spark, sf_dir, "documents", fan_out=True))
 
 
 _EN = _hits_sql("en")

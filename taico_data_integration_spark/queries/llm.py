@@ -506,7 +506,9 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_bits(T(spark, sf_dir, "documents"), bits=16)
+    # fan_out: simhash_bits is now shuffle-free, so all md5/fold compute
+    # stacks on the scan — parallelize the single-row-group fixture read
+    return simhash_bits(T(spark, sf_dir, "documents", fan_out=True), bits=16)
 
 
 SIMHASH_SQL = f"""
@@ -533,7 +535,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold; the deployment path for wide blocks is the BLAS twin
     ``llm.similarity.embedding_neardup_pairs_blas`` (7.1x at sf10, parity
     pinned in tests — see BENCH_NOTES_r05.md)."""
-    e = T(spark, sf_dir, "embeddings")
+    # fan_out: HOF dot products per candidate pair are compute-bound; the
+    # single-row-group fixture scans as 1 task otherwise (A/B: 1.35 -> 0.51 s)
+    e = T(spark, sf_dir, "embeddings", fan_out=True)
     return embedding_neardup_pairs(e, min_cosine=0.35, block_col="label")
 
 
@@ -857,8 +861,12 @@ FROM documents
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", detect_language("text").alias("detected_lang"))
+    from ..llm.text import with_language
+
+    d = T(spark, sf_dir, "documents", fan_out=True)
+    # staged form: one tokenization per row instead of one per hit reference
+    # (~28x for 4 languages); results identical to detect_language
+    return with_language(d, "text", keep_cols=("doc_id", "lang"))
 
 
 def _hits_sql(lang: str) -> str:

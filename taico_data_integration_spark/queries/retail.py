@@ -209,6 +209,13 @@ def media_relations_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
+    # NOTE (r12 A/B, measured): deriving the four dims + bridge from ONE
+    # materialized `fact.distinct()` (lazy localCheckpoint) is the
+    # single-scan shape for a fact too big to rescan — but at bench scale it
+    # LOSES (+0.3-0.4 s: the checkpoint barrier serializes branches that run
+    # concurrently here, and each branch is a cheap partial-agg distinct).
+    # Kept as-is: the five branches share the page-cached scan, and a 100 TB
+    # deployment stages the combination table explicitly instead.
     dims = {
         # max_rows=None: inputs are distinct extracts of low-cardinality
         # dimension columns — bounded by construction, so skip the guard's

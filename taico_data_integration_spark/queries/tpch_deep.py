@@ -376,24 +376,40 @@ WHERE s_suppkey IN (
 
 
 def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan formulation: one groupBy collapses lineitem to
-    (order, supplier, #R-lines); the EXISTS ('another supplier on the
-    order') and NOT EXISTS ('another supplier who also returned') both
-    reduce to per-order counts over that pair table — lineitem is read
-    once, vs. three scans in the naive EXISTS translation the oracle runs."""
+    """Single-scan, SINGLE-SHUFFLE formulation: one explicit repartition by
+    l_orderkey feeds (a) the (order, supplier, #R-lines) pair aggregation —
+    HashPartitioning(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+    clustering, so the groupBy adds no exchange — and (b) the per-order
+    EXISTS / NOT EXISTS counts, computed as window aggregates over the same
+    partitioning instead of the old per_order groupBy + self-join (which
+    cost three more shuffles: per-order agg, and a re-shuffle of each join
+    side back onto l_orderkey). Results are identical: the window sees
+    exactly the pair rows of its order, so n_supp/n_r_supp match the
+    aggregate-join values row for row. Skew-safe: window groups are bounded
+    by per-order line counts (~7), not data volume."""
+    from pyspark.sql import Window
+
     l = T(spark, sf_dir, "lineitem")
     s = T(spark, sf_dir, "supplier")
-    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r_lines")
+    pair = (
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r_lines")
+        )
     )
-    per_order = pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).alias("n_r_supp"),
+    w = Window.partitionBy("l_orderkey")
+    stats = pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_r_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).over(w).alias("n_r_supp"),
     )
-    qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1)).select(
-        "l_orderkey"
+    waiting = stats.where(
+        (F.col("n_supp") > 1) & (F.col("n_r_supp") == 1) & (F.col("n_r_lines") > 0)
     )
-    waiting = pair.where(F.col("n_r_lines") > 0).join(qualifying, "l_orderkey")
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
