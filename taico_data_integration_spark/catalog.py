@@ -135,7 +135,9 @@ def _local_scan_stats(path: str) -> tuple[int, int] | None:
     return stats
 
 
-def _maybe_parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _maybe_parallelize_scan(
+    spark: SparkSession, df: DataFrame, path: str, key_cols: tuple[str, ...] | None = None
+) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_SMALL_SCAN_REPARTITION", "1") == "0":
         return df
     par = spark.sparkContext.defaultParallelism
@@ -151,14 +153,33 @@ def _maybe_parallelize_scan(spark: SparkSession, df: DataFrame, path: str) -> Da
         max_split = 128 * 1024 * 1024
     if total_bytes > par * max_split:
         return df  # native splits already reach full parallelism
-    # Hash-partition on a content hash rather than round-robin: keyless
-    # repartition(n) pays a local sort of the map side (sort-before-
+    # Hash-partition on a deterministic content hash rather than round-robin:
+    # keyless repartition(n) pays a local sort of the map side (sort-before-
     # repartition, needed for deterministic retries) which serializes in the
-    # single scan task this helper exists to relieve; a deterministic
-    # content hash needs no sort, is retry-stable (guide §2.5: never derive
-    # a synthetic key from rand()), and spreads fixture rows evenly
-    # (measured: retail invoice synthesis 2.0 -> 1.4 s vs round-robin).
-    return df.repartition(par, F.xxhash64(*[F.col(c) for c in df.columns]))
+    # single scan task this helper exists to relieve; a deterministic hash
+    # needs no sort and is retry-stable (guide §2.5: never derive a synthetic
+    # key from rand()). Measured: retail invoice synthesis 2.0 s (round-
+    # robin) -> 1.4 s (hash). Hash the caller-named KEY columns, not every
+    # column: an all-column hash references the full schema and silently
+    # disables column pruning for every downstream branch (measured on the
+    # fb narrow-key mint: the one-column id pipeline re-read all 12 events
+    # columns, +0.6 s).
+    keys = key_cols or tuple(df.columns)
+    return df.repartition(par, F.xxhash64(*[F.col(c) for c in keys]))
+
+
+# unique-ish key per fixture table, used for the fan-out partitioner so
+# downstream column pruning survives (hash only references the key)
+_FAN_OUT_KEYS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
 
 def load_table(
@@ -177,7 +198,7 @@ def load_table(
     if name == "events":
         df = normalize_event_ts(df)
     if fan_out:
-        df = _maybe_parallelize_scan(spark, df, path)
+        df = _maybe_parallelize_scan(spark, df, path, _FAN_OUT_KEYS.get(name))
     return df
 
 

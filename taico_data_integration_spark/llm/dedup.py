@@ -324,6 +324,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    small_graph_max_edges: int = 100_000,
 ) -> DataFrame:
     """Near-dup clusters from a pair list: (doc_id, cluster_id) where
     cluster_id = min doc id reachable through the pair graph. Iterative
@@ -375,6 +376,44 @@ def connected_components(
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    # Small-graph fast path: near-dup graphs are usually a few thousand
+    # edges even on a huge corpus (only near-dup MEMBERS appear), while the
+    # distributed loop below costs ~10 sequential jobs (per-iteration joins
+    # + checkpoints + convergence counts) regardless of size. Below the cap,
+    # collect the (already materialized) edge list — bounded by the cap, the
+    # same bounded-collect contract as ops.incremental.merge_in — and run an
+    # exact union-find on the driver; the result (min reachable id per
+    # vertex) is the same fixpoint the loop converges to. Above the cap the
+    # distributed O(log diameter) loop runs unchanged, so scale behavior is
+    # untouched. Set small_graph_max_edges=0 to force the distributed path.
+    n_edges = edges.count()
+    if n_edges <= small_graph_max_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so every root is its component's minimum
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out = [(x, find(x)) for x in parent]
+        schema = edges.select(
+            F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
+        ).schema
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = ckpt(
         edges.select(F.col("u").alias("vertex"))
         .distinct()

@@ -34,10 +34,12 @@ def ads_insights_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ads_insights built from events: comma-decimal money
     strings, numeric-as-string counts, 'n/a' garbage on error events.
 
-    fan_out: the synthesis stacks ~12 string-building expressions per row
-    (date_format x2, concat, replace, element_at) on the scan — a
-    single-row-group fixture would run it all on one core."""
-    e = load_table(spark, sf_dir, "events", fan_out=True)
+    No fan_out (measured, r12): the string synthesis alone wins from a
+    fan-out (1.9 -> 1.1 s) but the full fb transform LOSES (+0.5 s) — the
+    narrow id-mint pipeline downstream runs several sequential jobs
+    (range-boundary sample, checkpoint+count, assignment) and each pays the
+    extra exchange stage, which outweighs the parallel-synthesis gain."""
+    e = load_table(spark, sf_dir, "events")
     camp_key = (F.col("user_id") % 50).cast("string")
     return e.select(
         F.concat(F.lit("ad_"), F.col("event_id").cast("string")).alias("ad_id"),

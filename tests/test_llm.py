@@ -857,6 +857,16 @@ def test_connected_components_fuzz_matches_union_find(spark, seed):
         for r in connected_components(pairs, max_iter=path_len + 5).collect()
     }
     assert got == expected
+    # both execution paths must agree: the driver union-find fast path
+    # (default, these graphs are under the cap) and the distributed
+    # min-label + pointer-jump loop (forced via small_graph_max_edges=0)
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, max_iter=path_len + 5, small_graph_max_edges=0
+        ).collect()
+    }
+    assert got_dist == expected
 
 
 def test_connected_components_adversarial_chain_diameter(spark):
@@ -870,7 +880,9 @@ def test_connected_components_adversarial_chain_diameter(spark):
 
     n = 500
     pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
-    rows = connected_components(pairs).collect()  # default max_iter=20
+    # small_graph_max_edges=0 forces the distributed loop — this test pins
+    # the pointer-jump convergence budget, not the driver fast path
+    rows = connected_components(pairs, small_graph_max_edges=0).collect()
     assert len(rows) == n
     assert all(r.cluster_id == 0 for r in rows)
 
@@ -882,7 +894,10 @@ def test_connected_components_adversarial_chain_diameter(spark):
     ).unionByName(
         spark.range(m - 1).selectExpr("2 * id + 1 AS doc_a", "2 * id + 3 AS doc_b")
     )
-    got = {r.doc_id: r.cluster_id for r in connected_components(inter).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(inter, small_graph_max_edges=0).collect()
+    }
     assert len(got) == 2 * m
     assert all(c == (0 if v % 2 == 0 else 1) for v, c in got.items())
 
