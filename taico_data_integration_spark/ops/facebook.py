@@ -130,8 +130,16 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     # attached back with one equi-join — on the key the ids were derived
     # from, so the attachment cannot reintroduce a payload-wide range sort.
     wide = cleaned.join(F.broadcast(camp), "campaign_id", "left")
-    ids = mint_ids_distributed(ads.select("ad_id"), order_cols=["ad_id"], id_col="id")
-    joined = wide.join(ids, "ad_id")
+    ids, n_ids = mint_ids_distributed(
+        ads.select("ad_id"), order_cols=["ad_id"], id_col="id", with_total=True
+    )
+    # Deliberate join-strategy pick (guide §3.1): the minted map is
+    # checkpoint-backed, so the planner sees no stats and defaults to a
+    # sort-merge join that re-shuffles the payload. mint already collected
+    # the exact row count for its offsets — broadcast when the map is small
+    # enough (key+long ≈ 50 MB at the cap), shuffle join beyond that (at
+    # fact scale the map is fact-sized and broadcasting would be the bug).
+    joined = wide.join(F.broadcast(ids) if n_ids <= 1_000_000 else ids, "ad_id")
     return (
         joined
         .select(

@@ -877,7 +877,12 @@ class TableStore(TableFormat):
         def mutate(prev: dict | None) -> dict:
             if expect_base is not None:
                 prev_cur = (prev or {}).get("current")
-                if prev_cur is not None and prev_cur != expect_base:
+                # prev_cur None with a base in hand is NOT a free pass: the
+                # base version existed when this mutation was computed, so
+                # a missing pointer record means the log was torn/reset
+                # underneath us (r12 hardening alongside the _latest
+                # stale-listing fix) — retry like any lost race.
+                if prev_cur != expect_base:
                     raise ConcurrentWriteError(
                         f"{table}: version v{current} was computed against "
                         f"v{expect_base} but v{prev_cur} is now current — "
@@ -3962,15 +3967,29 @@ class TableStore(TableFormat):
         / rows_replaced (target rows removed) / rows_written (all update
         rows — they always land)."""
         key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
-        # ONE schema snapshot for both the column list and the types: a
-        # second read here can see a LATER version under concurrent
-        # ALTERs, and a column list from snapshot A indexed into types
-        # from snapshot B crashes with KeyError instead of reaching the
-        # conflict-checked pointer swap (found by the multi-process
-        # stress once shallow clones joined the op mix). Divergence from
-        # the version the merge actually computes against is caught by
-        # expect_base at commit and retried as ConcurrentWriteError.
-        _target = self.read(table)
+        # ONE base-version snapshot for the ENTIRE merge — the target
+        # schema/types, the candidate probe, the reference list AND the
+        # commit's expect_base all derive from the same entry. The merge
+        # used to take the schema from one read and the refs/expect_base
+        # from a LATER meta read inside the candidate probe; a schema
+        # ALTER committed between the two passed the expect_base check
+        # (taken from the second read) while the recorded output schema
+        # came from the first — silently erasing the concurrent ALTER
+        # from the table (caught by the multi-process ALTER stress: a
+        # committed add_columns vanished with no ConcurrentWriteError
+        # anywhere, r12). With the single snapshot, any commit that lands
+        # after it — ALTER or data — fails expect_base and retries.
+        meta0 = self._read_meta(table)
+        entry0 = next(
+            (e for e in meta0["versions"] if e["v"] == meta0["current"]), None
+        )
+        if entry0 is None:
+            raise ValueError(f"merge_in: {table} has no current version")
+        if self._load_manifest(table, entry0) is not None:
+            fm0 = self._version_filemap(table, entry0)
+            _target = self._read_rels(table, entry0, list(fm0), fm0)
+        else:  # pre-r10 version: plain directory read
+            _target = self.spark.read.parquet(entry0["path"])
         target_cols = _target.columns
         target_types = dict(_target.dtypes)
         missing_cols = [c for c in target_cols if c not in updates.columns]
@@ -4002,8 +4021,10 @@ class TableStore(TableFormat):
                 f"merge_in got more than max_keys={max_keys} distinct keys: "
                 "use write(merge_upsert(...)) — the anti-join full rewrite — at this size"
             )
+        # the probe is PINNED to the snapshot version: entry returned here
+        # is entry0, so refs and expect_base cannot drift from the schema
         entry, dtypes, live, affected, probe_report = self._in_candidates_multi(
-            table, key_cols, keys, None, 1 << 17, 7, None, 0.01, max_keys
+            table, key_cols, keys, entry0["v"], 1 << 17, 7, None, 0.01, max_keys
         )
         stats = self.collect_file_stats(table, key_cols, version=entry["v"])
         all_rels = list(stats["files"])

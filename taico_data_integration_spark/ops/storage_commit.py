@@ -289,18 +289,36 @@ class StorageCommit(ABC):
         return json.loads(raw) if raw is not None else None
 
     def _latest(self, table_dir: str) -> tuple[int, dict | None, list[int]]:
-        seqs = []
-        for key in self._obj_list(self._ptr_dir(table_dir)):
-            m = self._PTR.search(key)
-            if m:
-                seqs.append(int(m.group(1)))
-        for seq in sorted(seqs, reverse=True):
-            raw = self._obj_get(
-                os.path.join(self._ptr_dir(table_dir), f"ptr-{seq:012d}.json")
-            )
-            if raw is not None:  # pruned between list and get — take the next
-                return seq, json.loads(raw), seqs
-        return -1, self._legacy_pointer(table_dir), seqs
+        # Torn-read guard (r12, found by the multi-process ALTER stress):
+        # if EVERY listed entry reads back None, the log did not vanish —
+        # it ADVANCED past our stale listing while concurrent swaps pruned
+        # everything we saw (the prune keeps keep_log entries, so a live
+        # log always holds at least one). Falling through to "no pointer"
+        # here made a racing writer CAS at a long-pruned low sequence: the
+        # put_if_absent SUCCEEDS (that key was deleted ages ago) but every
+        # reader takes max(seq), so the swap is silently invisible — a
+        # committed ALTER/merge whose pointer update is lost without any
+        # ConcurrentWriteError. Re-list and retry instead; only an
+        # actually-EMPTY listing means "no pointer yet".
+        for _ in range(64):
+            seqs = []
+            for key in self._obj_list(self._ptr_dir(table_dir)):
+                m = self._PTR.search(key)
+                if m:
+                    seqs.append(int(m.group(1)))
+            if not seqs:
+                return -1, self._legacy_pointer(table_dir), seqs
+            for seq in sorted(seqs, reverse=True):
+                raw = self._obj_get(
+                    os.path.join(self._ptr_dir(table_dir), f"ptr-{seq:012d}.json")
+                )
+                if raw is not None:  # pruned between list and get — take the next
+                    return seq, json.loads(raw), seqs
+            # every listed entry pruned under us: the log moved on — re-list
+        raise RuntimeError(
+            f"pointer log at {table_dir} advanced past 64 consecutive stale "
+            "listings — pathological prune churn or a broken backend listing"
+        )
 
     def read_pointer(self, table_dir: str) -> dict | None:
         """The table's pointer record ({current, txns}), or None."""

@@ -125,7 +125,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     s = T(spark, sf_dir, "supplier")
     o = T(spark, sf_dir, "orders")
-    l = T(spark, sf_dir, "lineitem")
+    # fan_out: the probe side drives 5 broadcast joins + decimal revenue
+    # math — heavy enough per row to amortize the fan-out exchange
+    # (measured 1.61 -> 1.21 s; q1's plain aggregate is NOT, see catalog)
+    l = T(spark, sf_dir, "lineitem", fan_out=True)
     rev = dec2("l_extendedprice") * (one() - dec2("l_discount", 4))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)

@@ -603,27 +603,35 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-shuffle formulation (r12): the three stage timestamps are
+    cascaded window minima over ONE per-user partitioning instead of three
+    groupBy+join rounds (6 shuffles -> 1 + the final scalar aggregate).
+    Equivalence to the join form: c_ts = min(click ts > v_ts) is NULL
+    whenever v_ts is NULL (NULL comparison -> no rows qualify), exactly as
+    the inner join dropped those users; same for p_ts vs c_ts. The
+    user-grain distinct and the per-user stage columns share the window's
+    hash partitioning, so neither adds an exchange."""
     e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    first_view = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    w = Window.partitionBy("user_id")
+    v_ts = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("v_ts", v_ts)
+    c_ts = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("c_ts", c_ts)
+    p_ts = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("p_ts", p_ts)
+    per_user = (
+        staged.select("user_id", "v_ts", "c_ts", "p_ts")
+        .distinct()
+        .where(F.col("v_ts").isNotNull())
     )
-    clicks = e.where(F.col("event_type") == "click").join(first_view, "user_id")
-    first_click = clicks.where(F.col("ts") > F.col("v_ts")).groupBy("user_id").agg(
-        F.min("ts").alias("c_ts")
-    )
-    purchases = e.where(F.col("event_type") == "purchase").join(first_click, "user_id")
-    first_purchase = purchases.where(F.col("ts") > F.col("c_ts")).groupBy("user_id").agg(
-        F.min("ts").alias("p_ts")
-    )
-    return (
-        first_view.where(F.col("v_ts").isNotNull())
-        .join(first_click, "user_id", "left")
-        .join(first_purchase, "user_id", "left")
-        .agg(
-            F.count(F.lit(1)).alias("viewers"),
-            F.count("c_ts").alias("clicked_after_view"),
-            F.count("p_ts").alias("purchased_after_click"),
-        )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("viewers"),
+        F.count("c_ts").alias("clicked_after_view"),
+        F.count("p_ts").alias("purchased_after_click"),
     )
 
 

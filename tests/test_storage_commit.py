@@ -863,7 +863,10 @@ def test_io_size_without_head_reports_unknown_not_full_get(spark, tmp_path):
     the whole object — materialize_version must not double an export's
     data transfer just for the byte report."""
     backend = LocalEmulatedBackend()
-    backend.put_if_absent("x/obj", b"payload-bytes")
+    # key rooted under tmp_path: a bare relative key writes into the
+    # repo checkout (r12 cleanup — "x/obj" debris was committed once)
+    obj_key = str(tmp_path / "x" / "obj")
+    backend.put_if_absent(obj_key, b"payload-bytes")
 
     class NoHead:
         def __init__(self, inner):
@@ -881,7 +884,7 @@ def test_io_size_without_head_reports_unknown_not_full_get(spark, tmp_path):
 
     nh = NoHead(backend)
     commit = ConditionalPutCommit(nh)
-    assert commit.io_size("x/obj") is None
+    assert commit.io_size(obj_key) is None
     assert nh.gets == 0, "io_size paid a full GET for the report"
 
     from taico_data_integration_spark.ops.incremental import TableStore
@@ -892,3 +895,97 @@ def test_io_size_without_head_reports_unknown_not_full_get(spark, tmp_path):
     assert rep["bytes"] is None  # honest unknown, never a partial sum
     assert rep["files"] >= 1
     assert spark.read.parquet(str(tmp_path / "exp")).count() == 100
+
+
+def test_pointer_read_survives_stale_listing_under_prune_churn(tmp_path):
+    """r12 race fix: _latest must never conclude "no pointer" from a stale
+    listing whose every entry was pruned between the list and the gets —
+    that made a racing writer CAS at a long-pruned low sequence, where the
+    put_if_absent SUCCEEDS but every reader takes max(seq), silently losing
+    the swap (the multi-process ALTER stress caught a committed add_columns
+    vanishing this way). A stale-then-fresh listing must re-list and return
+    the live record; an actually-empty log still reads as None."""
+    commit = PosixCommit(keep_log=4)
+    tdir = str(tmp_path / "t")
+    for v in range(12):  # advances the log well past keep_log; prunes ran
+        commit.write_pointer(tdir, lambda prev, v=v: {"current": v, "txns": {}})
+    live = commit.read_pointer(tdir)
+    assert live == {"current": 11, "txns": {}}
+
+    # serve ONE stale listing: only sequence numbers that were pruned away
+    ptr_dir = commit._ptr_dir(tdir)
+    stale = [os.path.join(ptr_dir, f"ptr-{s:012d}.json") for s in range(0, 4)]
+    real_list = commit._obj_list
+    served = {"n": 0}
+
+    def stale_once(prefix):
+        if prefix == ptr_dir and served["n"] == 0:
+            served["n"] += 1
+            return stale
+        return real_list(prefix)
+
+    commit._obj_list = stale_once
+    try:
+        assert commit.read_pointer(tdir) == {"current": 11, "txns": {}}
+        assert served["n"] == 1  # the stale listing was actually consumed
+    finally:
+        commit._obj_list = real_list
+
+    # a CAS through the same window lands at the REAL head, not seq 3+1
+    served["n"] = 0
+    commit._obj_list = stale_once
+    try:
+        commit.write_pointer(tdir, lambda prev: {"current": 99, "txns": {}})
+    finally:
+        commit._obj_list = real_list
+    assert commit.read_pointer(tdir) == {"current": 99, "txns": {}}
+
+    # genuinely empty log still reads as no-pointer
+    assert commit.read_pointer(str(tmp_path / "never")) is None
+
+
+def test_merge_in_single_snapshot_cannot_erase_concurrent_alter(spark, tmp_path):
+    """r12 race fix #2 (found by the multi-process ALTER stress): merge_in
+    used to take its target schema from one meta read and its references +
+    expect_base from a LATER read inside the candidate probe; an ALTER
+    committed between the two passed the conflict check while the recorded
+    output schema predated it — silently erasing the ALTER. This pins the
+    fix deterministically: an add_columns injected exactly in that window
+    must surface as ConcurrentWriteError (retryable), and after the retry
+    the added column must still exist."""
+    from taico_data_integration_spark.ops.incremental import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore(
+        spark, str(tmp_path / "s"), commit=ConditionalPutCommit(LocalEmulatedBackend())
+    )
+    store.write("t", spark.range(0, 100).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"))
+    store.collect_file_stats("t", ["k"])
+
+    real_probe = store._in_candidates_multi
+    fired = {"n": 0}
+
+    def probe_with_interleaved_alter(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            store.add_columns("t", {"c_alter": "int"})  # the concurrent ALTER
+        return real_probe(*args, **kwargs)
+
+    store._in_candidates_multi = probe_with_interleaved_alter
+    up = spark.createDataFrame([(5, 2.0)], "k bigint, v double")
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.merge_in("t", up, "k")
+    finally:
+        store._in_candidates_multi = real_probe
+
+    assert fired["n"] == 1  # the alter really ran mid-merge
+    assert "c_alter" in store.read("t").columns
+    # the retry (fresh snapshot, schema now includes the column) succeeds
+    up2 = spark.createDataFrame([(5, 2.0, None)], "k bigint, v double, c_alter int")
+    store.merge_in("t", up2.selectExpr("k", "v", "CAST(c_alter AS INT) AS c_alter"), "k")
+    got = store.read("t")
+    assert "c_alter" in got.columns
+    assert got.where("k = 5").select("v").collect()[0][0] == 2.0
