@@ -115,6 +115,15 @@ def main() -> None:
     provenance = _provenance()  # sampled BEFORE our own JVM boots
     spark = get_spark("taico-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Record the EFFECTIVE execution shape, not just os.cpu_count(): the
+    # driver re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+    # scaling, and os.cpu_count() reads the same 32 either way — master /
+    # defaultParallelism / shuffle partitions are what actually changed
+    # (VERDICT r12 #2: the scaling probe flagged suspect_cpus_ignored
+    # because provenance could not show the master it ran under).
+    provenance["master"] = spark.sparkContext.master
+    provenance["default_parallelism"] = spark.sparkContext.defaultParallelism
+    provenance["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
     qs = all_queries()
 
     # Warm the JVM/codegen/parquet paths: run every benchmark query once at

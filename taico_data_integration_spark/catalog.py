@@ -105,16 +105,24 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 _SCAN_PARALLELIZE_MIN_BYTES = 256 * 1024  # below this, single-task compute is trivial
 
-_scan_stats_cache: dict[str, tuple[int, int] | None] = {}
+_scan_stats_cache: dict[tuple[str, int], tuple[int, int] | None] = {}
 
 
 def _local_scan_stats(path: str) -> tuple[int, int] | None:
     """(n_files, total_bytes) for a local parquet file/dir; None when the
     path is not local-filesystem-resolvable (object stores: stay untouched,
     those deployments size their files at write time)."""
-    if path in _scan_stats_cache:
-        return _scan_stats_cache[path]
     p = path[7:] if path.startswith("file://") else path
+    # Cache key includes the path's mtime so a fixture rewritten at the same
+    # path within one process re-derives its stats (ADVICE r12 #3 — stale
+    # stats could silently flip the fan-out decision in long-lived sessions).
+    try:
+        mtime = os.stat(p).st_mtime_ns
+    except OSError:
+        mtime = -1
+    cache_key = (path, mtime)
+    if cache_key in _scan_stats_cache:
+        return _scan_stats_cache[cache_key]
     stats: tuple[int, int] | None
     try:
         if os.path.isfile(p):
@@ -131,7 +139,7 @@ def _local_scan_stats(path: str) -> tuple[int, int] | None:
             stats = None
     except OSError:
         stats = None
-    _scan_stats_cache[path] = stats
+    _scan_stats_cache[cache_key] = stats
     return stats
 
 

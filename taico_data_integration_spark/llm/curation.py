@@ -91,9 +91,15 @@ def contamination_hits(
     are ~1e5 docs, not TBs) and is broadcast, so the big corpus side is
     never shuffled. No cross join anywhere.
     """
+    # fan_out=False: the downstream here is a broadcast semi-join + count —
+    # too cheap to amortize the fan-out exchange (r12 driver bench regressed
+    # contamination_check 1.17->1.46 s with it; r13 paired A/B measured
+    # 1.20 s with the exchange vs 0.72 s without, and the 8-core scaling
+    # ratio 0.78 showed the 32-task scheduling was the overhead). The lazy
+    # checkpoint stays: without it both consumers re-tokenize (11.7 s).
     base = materialized_shingles(
         df.withColumn("__is_bench", benchmark_pred), text_col, id_col, k,
-        keep_cols=("__is_bench",),
+        keep_cols=("__is_bench",), fan_out=False,
     )
     bench = (
         base.where(F.col("__is_bench"))

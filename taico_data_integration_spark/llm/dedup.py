@@ -51,12 +51,22 @@ def with_shingles(
     id_col: str = "doc_id",
     k: int = 3,
     keep_cols: tuple[str, ...] = (),
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, [keep_cols...,] __sh) with the token array materialized as a real
-    column behind a repartition barrier: tokens are computed exactly once per
-    document (CollapseProject cannot inline them back across the exchange),
-    and the shingle-heavy projection runs at full parallelism even when the
-    source is a single parquet file."""
+    column: tokens are computed exactly once per document (CollapseProject
+    cannot inline them back across the exchange / checkpoint boundary).
+
+    ``fan_out`` (default True) additionally repartitions BELOW tokenization
+    so the shingle-heavy projection runs at full parallelism even when the
+    source is a single parquet file. It is caller-conditional (guide §2.5:
+    fan out only where per-row compute amortizes the exchange): consumers
+    that stack heavy work on the shingle base (16x md5 minhash signatures,
+    inverted-index joins) win from it, while consumers whose downstream is a
+    cheap semi-join/count (contamination_hits) measured the exchange as pure
+    overhead — r12 driver bench: contamination_check regressed 1.17->1.46 s
+    with the unconditional exchange; r13 paired A/B: 1.20 s (exchange) vs
+    0.72 s (no exchange) at sf0.1/local[32]."""
     spark = df.sparkSession
     extras = [F.col(c) for c in keep_cols]
     # The exchange sits BELOW tokenization (raw text crosses it, not token
@@ -65,9 +75,11 @@ def with_shingles(
     # this barrier exists to relieve. Hash-partitioning on the id avoids the
     # local sort a keyless round-robin repartition pays for retry
     # determinism (guide §2.5) while staying retry-stable.
-    staged = df.select(F.col(id_col), *extras, F.col(text_col).alias("__text")).repartition(
-        spark.sparkContext.defaultParallelism, F.xxhash64(F.col(id_col))
-    )
+    staged = df.select(F.col(id_col), *extras, F.col(text_col).alias("__text"))
+    if fan_out:
+        staged = staged.repartition(
+            spark.sparkContext.defaultParallelism, F.xxhash64(F.col(id_col))
+        )
     toks = staged.select(
         F.col(id_col), *extras, F.split(normalized_text("__text"), " ").alias("__toks")
     )
@@ -129,6 +141,7 @@ def materialized_shingles(
     id_col: str = "doc_id",
     k: int = 3,
     keep_cols: tuple[str, ...] = (),
+    fan_out: bool = True,
 ) -> DataFrame:
     """`with_shingles` materialized once (localCheckpoint) for plans that
     fan the shingle base into several branches (self-join sides, counts,
@@ -142,7 +155,9 @@ def materialized_shingles(
     time (the local checkpoint is persist-backed, so branches within that
     first action still compute tokenization once and read the cache).
     """
-    return with_shingles(df, text_col, id_col, k, keep_cols).localCheckpoint(eager=False)
+    return with_shingles(df, text_col, id_col, k, keep_cols, fan_out=fan_out).localCheckpoint(
+        eager=False
+    )
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -260,6 +275,13 @@ def simhash_bits(
     token, as before) and each bit's weight is an integer HOF fold over it.
     Integer sums are order-free, so the results are bit-identical to the
     aggregation form.
+
+    Contract: ``id_col`` must be unique per row. The old aggregation form
+    merged token sets across duplicate-id rows into one output row; this
+    per-row projection emits one simhash per INPUT row, so the two shapes
+    agree only on unique ids (true for the documents fixture and for any
+    upstream that deduplicates ids; pre-aggregate text per id first if
+    duplicates are possible).
     """
     hashed = df.select(
         F.col(id_col),
@@ -386,8 +408,10 @@ def connected_components(
     # vertex) is the same fixpoint the loop converges to. Above the cap the
     # distributed O(log diameter) loop runs unchanged, so scale behavior is
     # untouched. Set small_graph_max_edges=0 to force the distributed path.
-    n_edges = edges.count()
-    if n_edges <= small_graph_max_edges:
+    # small_graph_max_edges=0 means "always distributed" (the documented
+    # kill switch) — strict: it also skips the decision count() job, which
+    # only exists to pick a path (ADVICE r12 #4).
+    if small_graph_max_edges > 0 and edges.count() <= small_graph_max_edges:
         rows = edges.collect()
         parent: dict = {}
 

@@ -130,6 +130,14 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     # attached back with one equi-join — on the key the ids were derived
     # from, so the attachment cannot reintroduce a payload-wide range sort.
     wide = cleaned.join(F.broadcast(camp), "campaign_id", "left")
+    # PRECONDITION (load-bearing, ADVICE r12 #1): ad_id must be unique and
+    # non-null. Uniqueness is already the mint's order_cols contract (ids
+    # are only deterministic on a unique key); with the narrow-key mint it
+    # additionally guarantees row preservation — a duplicate ad_id would fan
+    # the attach join out into duplicated rows, and a NULL ad_id row would be
+    # dropped by the inner join (the old whole-row mint kept both). The
+    # fixture mints ad_id as 'ad_' || event_id (unique, non-null); any new
+    # ads source must provide the same or pre-deduplicate.
     ids, n_ids = mint_ids_distributed(
         ads.select("ad_id"), order_cols=["ad_id"], id_col="id", with_total=True
     )

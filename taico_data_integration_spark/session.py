@@ -13,12 +13,38 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = "32"
+DEFAULT_SHUFFLE_PARTITIONS = "32"  # fallback when core count is unparseable
+
+
+def _default_shuffle_partitions(master: str) -> str:
+    """Derive the shuffle-partition default from the master's core count so
+    the scaling probe (driver re-runs the bench at a lower
+    $SPARK_GRAFT_CPUS) gets a proportionally shaped shuffle, not a 32-task
+    plan on an 8-core master (VERDICT r12 #2). Cluster masters (yarn/k8s)
+    fall back to the constant — deployments size shuffle partitions via
+    SPARK_GRAFT_SHUFFLE_PARTITIONS / their own conf."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner == "*":
+            return str(os.cpu_count() or int(DEFAULT_SHUFFLE_PARTITIONS))
+        if inner.isdigit():
+            return inner
+    return DEFAULT_SHUFFLE_PARTITIONS
 
 
 def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # A stray SPARK_GRAFT_MASTER silently overriding SPARK_GRAFT_CPUS would
+    # invalidate the driver's core-scaling measurement — fail loudly when
+    # both are set and disagree (VERDICT r12 #2).
+    if "SPARK_GRAFT_MASTER" in os.environ and "SPARK_GRAFT_CPUS" in os.environ:
+        if master != f"local[{cpus}]":
+            raise ValueError(
+                f"SPARK_GRAFT_MASTER={master!r} conflicts with "
+                f"SPARK_GRAFT_CPUS={cpus!r} (expected local[{cpus}]); "
+                "set only one of them"
+            )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -33,7 +59,10 @@ def get_spark(app_name: str = "taico-spark", shuffle_partitions: str | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS),
+            shuffle_partitions
+            or os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS", _default_shuffle_partitions(master)
+            ),
         )
         # Non-ANSI: cast('garbage' as int) -> NULL, matching the reference's
         # tolerant parsing; oracle SQL mirrors with TRY_CAST.
