@@ -98,6 +98,21 @@ def mint_ids(
     return df.withColumn(id_col, (F.row_number().over(w) + F.lit(start_at - 1)).cast("int"))
 
 
+# Planner-estimate ceiling for the small-input mint fast path: inputs whose
+# optimized-plan sizeInBytes is above this never pay the confirming count()
+# (at fact scale the estimate is huge and the distributed path runs with
+# ZERO extra jobs). Below it, one exact count decides; a wrong-low estimate
+# costs only that count before falling back to the distributed path.
+_SMALL_MINT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable (e.g. non-JVM-backed test frame)
+        return None
+
+
 def mint_ids_distributed(
     df: DataFrame,
     order_cols: list,
@@ -105,6 +120,7 @@ def mint_ids_distributed(
     id_col: str = "id",
     num_partitions: int | None = None,
     with_total: bool = False,
+    small_input_max_rows: int = 1_000_000,
 ):
     """Scale-safe ``mint_ids``: same dense, deterministically-ordered ids
     without ever collapsing to one partition.
@@ -120,10 +136,41 @@ def mint_ids_distributed(
     ``with_total=True`` returns ``(frame, total_rows)`` — the row count is
     the sum of the per-partition counts this function collects anyway, so
     callers that need n (e.g. NTILE bucket arithmetic) avoid a second
-    full-pass count job."""
+    full-pass count job.
+
+    Small-input fast path (r13, guide §1.2 "choose the algorithm by size"):
+    when the optimizer's size estimate says the input is provably small AND
+    an exact count confirms it is under ``small_input_max_rows``, the ids
+    come from a plain global window (one exchange to a single partition of
+    NARROW rows) instead of the sample + checkpoint + offsets pipeline —
+    2 fewer sequential jobs and no checkpoint materialization. This is safe
+    exactly because the count bounds the single-partition sort the same way
+    mint_ids' cap does; at fact scale the planner estimate exceeds the byte
+    gate, no count runs, and the distributed path is byte-for-byte the r12
+    one. The two paths produce IDENTICAL ids (unique-key contract; pinned
+    by test_mint_fast_path_matches_distributed). ``small_input_max_rows=0``
+    forces the distributed path."""
     if id_col in ("__pid", "__rn", "__off"):
         raise ValueError(f"id_col {id_col!r} collides with an internal column")
     exprs = _order_exprs(order_cols)
+    if small_input_max_rows > 0:
+        est = _estimated_plan_bytes(df)
+        if est is not None and est <= _SMALL_MINT_MAX_BYTES:
+            n = df.count()
+            if n <= small_input_max_rows:
+                w = Window.orderBy(*exprs)
+                # Same name/type as the distributed path's id (long); only
+                # Spark-side nullability differs (non-null here vs post-join
+                # nullable), which no consumer or comparator observes — the
+                # driver gate materializes both engines to pandas, where the
+                # dtype is int64 either way.
+                out = df.withColumn(
+                    id_col,
+                    (F.row_number().over(w) + F.lit(start_at - 1)).cast("long"),
+                )
+                return (out, n) if with_total else out
+            # estimate was wrong-low: fall through to the distributed path
+            # (the count above is the only wasted work)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n, *exprs).withColumn(
         "__pid", F.spark_partition_id()

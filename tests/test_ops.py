@@ -1882,6 +1882,34 @@ def test_mint_ids_distributed_matches_global(spark):
     assert dist == glob  # dense, same deterministic order, same start offset
 
 
+def test_mint_fast_path_matches_distributed(spark):
+    """The r13 small-input fast path (global window) must be value-identical
+    to the forced distributed path (range partition + offsets) — including
+    duplicate order-key inputs? No: the contract requires a unique key, so
+    the pin uses unique keys, a desc() expression entry, and an offset."""
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("k"), F.lpad((F.col("id") * 7 % 500).cast("string"), 4, "0")).alias("name"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    for order in (["name"], [F.col("name").desc()]):
+        fast = mint_ids_distributed(df, order, start_at=11)
+        dist = mint_ids_distributed(df, order, start_at=11, small_input_max_rows=0)
+        assert [f.name for f in fast.schema.fields] == [f.name for f in dist.schema.fields]
+        assert dict(fast.dtypes)["id"] == dict(dist.dtypes)["id"] == "bigint"
+        assert sorted((r.id, r.name, r.grp) for r in fast.collect()) == sorted(
+            (r.id, r.name, r.grp) for r in dist.collect()
+        )
+    # the fast path must NOT fire when the exact count exceeds the cap, even
+    # though the planner estimate is tiny: ids still dense and correct
+    over = mint_ids_distributed(df, ["name"], small_input_max_rows=100)
+    got = sorted(r.id for r in over.collect())
+    assert got == list(range(1, 501))
+    # with_total returns the same n on both paths
+    _, n_fast = mint_ids_distributed(df, ["name"], with_total=True)
+    _, n_dist = mint_ids_distributed(df, ["name"], with_total=True, small_input_max_rows=0)
+    assert n_fast == n_dist == 500
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be result-invariant: same rows as the plain join, for
     inner and left, on data with one dominating hot key."""
