@@ -393,51 +393,57 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint()
 
-    edges = ckpt(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Small-graph fast path: near-dup graphs are usually a few thousand
     # edges even on a huge corpus (only near-dup MEMBERS appear), while the
     # distributed loop below costs ~10 sequential jobs (per-iteration joins
     # + checkpoints + convergence counts) regardless of size. Below the cap,
-    # collect the (already materialized) edge list — bounded by the cap, the
-    # same bounded-collect contract as ops.incremental.merge_in — and run an
+    # collect the pair list — bounded by the cap via limit(cap+1), the same
+    # bounded-collect contract as ops.incremental.merge_in — and run an
     # exact union-find on the driver; the result (min reachable id per
-    # vertex) is the same fixpoint the loop converges to. Above the cap the
-    # distributed O(log diameter) loop runs unchanged, so scale behavior is
-    # untouched. Set small_graph_max_edges=0 to force the distributed path.
-    # small_graph_max_edges=0 means "always distributed" (the documented
-    # kill switch) — strict: it also skips the decision count() job, which
+    # vertex) is the same fixpoint the loop converges to. r13 shape: ONE
+    # probe job (limit-collect over a lazily-checkpointed pair list)
+    # replaces the eager checkpoint + count + collect sequence, and the
+    # union-find consumes RAW pairs — union-find needs neither the
+    # symmetrized double edge list nor its distinct shuffle, so the small
+    # path skips both. Above the cap the probe's persisted pairs feed the
+    # unchanged distributed O(log diameter) loop, so scale behavior is
+    # untouched. small_graph_max_edges=0 means "always distributed" (the
+    # documented kill switch) — strict: it also skips the probe job, which
     # only exists to pick a path (ADVICE r12 #4).
-    if small_graph_max_edges > 0 and edges.count() <= small_graph_max_edges:
-        rows = edges.collect()
-        parent: dict = {}
+    if small_graph_max_edges > 0:
+        raw = raw.localCheckpoint(eager=False)
+        rows = raw.limit(small_graph_max_edges + 1).collect()
+        if len(rows) <= small_graph_max_edges:
+            parent: dict = {}
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
 
-        for r in rows:
-            u, v = r["u"], r["v"]
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # union by MIN id so every root is its component's minimum
-                if rv < ru:
-                    ru, rv = rv, ru
-                parent[rv] = ru
-        out = [(x, find(x)) for x in parent]
-        schema = edges.select(
-            F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
-        ).schema
-        return pairs.sparkSession.createDataFrame(out, schema)
+            for r in rows:
+                u, v = r["u"], r["v"]
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN id so every root is its component's minimum
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            out = [(x, find(x)) for x in parent]
+            schema = raw.select(
+                F.col("u").alias("doc_id"), F.col("u").alias("cluster_id")
+            ).schema
+            return pairs.sparkSession.createDataFrame(out, schema)
+    edges = ckpt(
+        raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
     labels = ckpt(
         edges.select(F.col("u").alias("vertex"))
         .distinct()

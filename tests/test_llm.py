@@ -928,7 +928,13 @@ def test_connected_components_uses_reliable_checkpoints_when_configured(spark, t
     d = str(tmp_path / "cc_ckpt")
     sc.setCheckpointDir(d)
     try:
-        got2 = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+        # force the distributed loop (small_graph_max_edges=0): the r13
+        # small-graph path collects pairs to the driver and never iterates,
+        # so reliable checkpointing only applies to the distributed path.
+        got2 = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(pairs, small_graph_max_edges=0).collect()
+        }
         assert got2 == expected
         assert sum(len(fs) for _, _, fs in os.walk(d)) > 0, "no reliable checkpoint files written"
     finally:
