@@ -189,6 +189,14 @@ GROUP BY year
 # M7: media-relations bridge rebuild over fixture "dimensions".
 
 
+# Byte threshold above which media_relations_rebuild stages the distinct
+# combination table instead of re-deriving each dim from the joined fact.
+# 1 GiB ~= the point where five rescans of the join output clearly cost more
+# than one materialization; every bench/test fixture estimates far below it
+# (sf0.1 fact estimate ~tens of MB), so the gated variant only runs at scale.
+_MEDIA_FACT_STAGE_MIN_BYTES = 1 << 30
+
+
 def media_relations_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 5-way combination rows -> 5 broadcast id-mapping joins ->
     dedup (sync_data.py:106-187 restated). Dimensions are minted
@@ -209,13 +217,26 @@ def media_relations_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
-    # NOTE (r12 A/B, measured): deriving the four dims + bridge from ONE
-    # materialized `fact.distinct()` (lazy localCheckpoint) is the
-    # single-scan shape for a fact too big to rescan — but at bench scale it
-    # LOSES (+0.3-0.4 s: the checkpoint barrier serializes branches that run
-    # concurrently here, and each branch is a cheap partial-agg distinct).
-    # Kept as-is: the five branches share the page-cached scan, and a 100 TB
-    # deployment stages the combination table explicitly instead.
+    # Size-gated staging (r12 A/B + VERDICT r12 #8): deriving the four dims
+    # + bridge from ONE materialized `fact.distinct()` is the single-scan
+    # shape for a fact too big to rescan — but at bench scale it LOSES
+    # (+0.3-0.4 s: the checkpoint barrier serializes branches that run
+    # concurrently over a page-cached 2.6 MB scan, and each branch is a
+    # cheap partial-agg distinct). Below the byte threshold the five
+    # branches re-derive from the (page-cached) scan; above it the distinct
+    # combination table is materialized once and every dim reads it —
+    # rescanning a TB-scale 5-way join five times is the thing that does
+    # not survive 100 TB. The gate reads the DRIVING TABLE's scan estimate
+    # (file bytes — accurate), not the join output's (multiplicative
+    # no-stats estimates read 10^14+ even at sf0.001), so the bench-scale
+    # plan (and its numbers) are unchanged.
+    from ..ops.dims import _estimated_plan_bytes
+
+    est = _estimated_plan_bytes(o)
+    if est is not None and est > _MEDIA_FACT_STAGE_MIN_BYTES:
+        fact = fact.select(
+            "order_year", "status", "priority", "segment", "nation"
+        ).distinct().localCheckpoint(eager=False)
     dims = {
         # max_rows=None: inputs are distinct extracts of low-cardinality
         # dimension columns — bounded by construction, so skip the guard's

@@ -196,3 +196,22 @@ def test_distributed_ntile_matches_window_ntile(spark):
             assert got == want, f"n={n}"
     finally:
         ext.T = orig_t
+
+
+def test_media_relations_staged_variant_matches_flat(spark):
+    """The r13 size-gated staging in media_relations_rebuild (VERDICT r12
+    #8): above the byte threshold the distinct combination table is
+    materialized once and feeds dims + bridge; below it the five branches
+    re-derive from the scan. Both shapes must be row-identical."""
+    import taico_data_integration_spark.queries.retail as retail
+
+    flat = {tuple(r) for r in retail.media_relations_rebuild(spark, SF_DIR).collect()}
+    orig = retail._MEDIA_FACT_STAGE_MIN_BYTES
+    retail._MEDIA_FACT_STAGE_MIN_BYTES = 0  # force the staged shape
+    try:
+        staged = {
+            tuple(r) for r in retail.media_relations_rebuild(spark, SF_DIR).collect()
+        }
+    finally:
+        retail._MEDIA_FACT_STAGE_MIN_BYTES = orig
+    assert staged == flat and len(flat) > 0
