@@ -62,7 +62,7 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
-def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+def normalize_event_ts(df: DataFrame, col: str = "ts", dtype: str | None = None) -> DataFrame:
     """Normalize the events timestamp to TIMESTAMP (LTZ) whatever physical
     type the fixture generation produced:
     - bigint: TIMESTAMP(NANOS) parquet read under nanosAsLong — truncate to
@@ -75,7 +75,9 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     streaming reads of the same fixture type-identical."""
     from pyspark.sql import functions as F
 
-    t = dict(df.dtypes).get(col)
+    # dtype hint avoids the per-call py4j schema fetch when the caller
+    # already holds the (cached) schema — df.dtypes costs ~20 ms per load.
+    t = dtype if dtype is not None else dict(df.dtypes).get(col)
     if t == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif t == "timestamp_ntz":
@@ -190,6 +192,34 @@ _FAN_OUT_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Schema cache for repeated loads of the same (path, mtime): plain
+# spark.read.parquet() re-infers the schema on EVERY call (footer read +
+# file-index setup, measured 0.10-0.17 s per call on the driver even for a
+# 4-row nation table), and a bench pass loads fixture tables dozens of
+# times. Passing the once-inferred schema back via read.schema(...) skips
+# inference (0.02 s) while still returning a FRESH relation per call (new
+# attribute ids — no self-join ambiguity, unlike caching the DataFrame
+# handle). This caches metadata only, exactly what a catalog/metastore
+# does — every query still scans the parquet data. mtime key: a fixture
+# rewritten at the same path re-infers (parquet writers create/delete files,
+# which touches the directory mtime).
+_schema_cache: dict[tuple[str, int], object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        mtime = os.stat(p).st_mtime_ns
+    except OSError:
+        return None  # non-local path: let the reader infer
+    key = (path, mtime)
+    sch = _schema_cache.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _schema_cache[key] = sch
+    return sch
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
 ) -> DataFrame:
@@ -202,9 +232,14 @@ def load_table(
     amortize an extra exchange (see the A/B numbers at the helper)."""
     ensure_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    sch = _cached_schema(spark, path)
+    df = spark.read.schema(sch).parquet(path) if sch is not None else spark.read.parquet(path)
     if name == "events":
-        df = normalize_event_ts(df)
+        hint = None
+        if sch is not None:
+            hints = [f.dataType.simpleString() for f in sch.fields if f.name == "ts"]
+            hint = hints[0] if hints else None
+        df = normalize_event_ts(df, dtype=hint)
     if fan_out:
         df = _maybe_parallelize_scan(spark, df, path, _FAN_OUT_KEYS.get(name))
     return df

@@ -19,6 +19,21 @@ from .text import normalized_text
 
 HEX = "0123456789abcdef"
 
+# Driver-side plan-construction cost is real bench time (guide §7.3): the
+# Column-API forms of the hot expression stacks below cost THOUSANDS of
+# py4j round trips per query build (measured r13: simhash 4263 calls
+# ~0.56 s, lsh pipeline 3062 calls ~0.73 s — ~100% of DataFrame-build
+# time was py4j socket waits). Building the same expressions as ONE SQL
+# string via selectExpr is a single round trip + a JVM-side parse, and
+# yields the IDENTICAL analyzed tree (oracle value-hash parity is the
+# proof). The SQL strings below are term-for-term twins of the previous
+# Column code, kept in comments where the mapping is not obvious.
+
+
+def _norm_sql(col: str) -> str:
+    """SQL twin of text.normalized_text: lower + trim + collapse whitespace."""
+    return f"regexp_replace(lower(trim(`{col}`)), '\\\\s+', ' ')"
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one representative (min id) per identical normalized text."""
@@ -80,16 +95,21 @@ def with_shingles(
         staged = staged.repartition(
             spark.sparkContext.defaultParallelism, F.xxhash64(F.col(id_col))
         )
-    toks = staged.select(
-        F.col(id_col), *extras, F.split(normalized_text("__text"), " ").alias("__toks")
+    # SQL-string twin of the previous Column code (see module note on py4j
+    # build cost): split(normalized_text) -> k-gram transform over a 0-based
+    # sequence -> array_distinct.
+    keep = [f"`{c}`" for c in keep_cols]
+    toks = staged.selectExpr(
+        f"`{id_col}`", *keep, f"split({_norm_sql('__text')}, ' ') AS __toks"
     )
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - k),
-            lambda i: F.concat_ws(" ", *[F.element_at("__toks", i + j + 1) for j in range(k)]),
-        )
+    elems = ", ".join(f"element_at(__toks, i + {j + 1})" for j in range(k))
+    sh = (
+        f"array_distinct(transform(sequence(0, size(__toks) - {k}), "
+        f"i -> concat_ws(' ', {elems})))"
     )
-    return toks.where(F.size("__toks") >= k).select(F.col(id_col), *extras, sh.alias("__sh"))
+    return toks.where(f"size(__toks) >= {k}").selectExpr(
+        f"`{id_col}`", *keep, f"{sh} AS __sh"
+    )
 
 
 def minhash_band_keys_fast(
@@ -113,26 +133,25 @@ def minhash_band_keys_fast(
     """
     base = shingled if shingled is not None else with_shingles(df, text_col, id_col, k)
 
-    def _min_hash(seed: int):
-        # NB: the lambda must stay unary — pyspark treats a binary lambda as
-        # (element, index) and would shadow the seed with the array index.
-        s_lit = F.lit(str(seed))
-        return F.array_min(F.transform("__sh", lambda s: F.md5(F.concat_ws(":", s_lit, s))))
-
-    mins = [_min_hash(i).alias(f"mh{i}") for i in range(num_hashes)]
-    sigs = base.select(F.col(id_col), *mins)
+    # SQL-string twins (module note): per seed,
+    # array_min(transform(__sh, s -> md5('<seed>:' || s))) exactly as the
+    # previous unary-lambda Column form; band key = md5 of the '|'-joined
+    # band rows with a CAST(b AS BIGINT) band id.
+    mins = [
+        f"array_min(transform(__sh, s -> md5(concat_ws(':', '{i}', s)))) AS mh{i}"
+        for i in range(num_hashes)
+    ]
+    sigs = base.selectExpr(f"`{id_col}`", *mins)
     band_rows = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         band_rows.append(
-            F.struct(
-                F.lit(b).cast("bigint").alias("band_id"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
-            )
+            f"struct(CAST({b} AS BIGINT) AS band_id, "
+            f"md5(concat_ws('|', {parts})) AS band_key)"
         )
-    return sigs.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("b")).select(
-        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
+    return sigs.selectExpr(
+        f"`{id_col}`", f"explode(array({', '.join(band_rows)})) AS b"
+    ).selectExpr(f"`{id_col}`", "b.band_id AS band_id", "b.band_key AS band_key")
 
 
 def materialized_shingles(
@@ -283,27 +302,31 @@ def simhash_bits(
     upstream that deduplicates ids; pre-aggregate text per id first if
     duplicates are possible).
     """
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(F.split(normalized_text(text_col), " ")), lambda t: F.md5(t)
-        ).alias("__hs"),
+    # SQL-string twins (module note): each bit's weight is the integer HOF
+    # fold aggregate(__hs, 0, (acc, h) -> acc + CASE parity(nibble b) ...)
+    # exactly as the previous binary-lambda Column form; the per-bit CASE >
+    # 0 chars concat into the signature in one projection (CollapseProject
+    # merged the old two-projection form into the same tree).
+    hashed = df.selectExpr(
+        f"`{id_col}`",
+        f"transform(array_distinct(split({_norm_sql(text_col)}, ' ')), t -> md5(t)) AS __hs",
     )
-    def _weight(b: int):
-        def merge(acc, h):
-            nib = F.instr(F.lit(HEX), F.substring(h, b + 1, 1)) - 1
-            return acc + F.when(nib % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
 
-        # NB: the merge lambda must be strictly binary — pyspark counts
-        # parameters to decide the HOF shape.
-        return F.aggregate(F.col("__hs"), F.lit(0), merge)
+    def _weight(b: int) -> str:
+        return (
+            "aggregate(__hs, 0, (acc, h) -> acc + (CASE WHEN "
+            f"(instr('{HEX}', substring(h, {b + 1}, 1)) - 1) % 2 = 1 "
+            "THEN 1 ELSE -1 END))"
+        )
 
-    weights = [_weight(b).alias(f"w{b}") for b in range(bits)]
+    bit_chars = ", ".join(
+        f"CASE WHEN {_weight(b)} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
     # NULL text produced zero exploded rows (doc absent) in the aggregation
     # form; the null-array filter preserves that contract.
-    agg = hashed.where(F.col("__hs").isNotNull()).select(F.col(id_col), *weights)
-    bit_chars = [F.when(F.col(f"w{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
-    return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+    return hashed.where("__hs IS NOT NULL").selectExpr(
+        f"`{id_col}`", f"concat({bit_chars}) AS simhash"
+    )
 
 
 def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 16) -> DataFrame:

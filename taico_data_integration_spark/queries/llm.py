@@ -222,13 +222,13 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     base = materialized_shingles(d, "text", "doc_id", 3)
 
-    def mh(seed: int):
-        s_lit = F.lit(str(seed))
-        return F.array_min(F.transform("__sh", lambda s: F.md5(F.concat_ws(":", s_lit, s))))
-
-    sigs = base.select(
-        "doc_id", F.array(*[mh(i) for i in range(16)]).alias("sig"), F.col("__sh")
+    # SQL-string twin of the per-seed Column lambdas (see llm.dedup module
+    # note on py4j plan-build cost) — identical md5 math.
+    mh_sql = ", ".join(
+        f"array_min(transform(__sh, s -> md5(concat_ws(':', '{i}', s))))"
+        for i in range(16)
     )
+    sigs = base.selectExpr("doc_id", f"array({mh_sql}) AS sig", "__sh")
     bands = minhash_band_keys_fast(d, shingled=base)
     cands = lsh_candidate_pairs(bands)
     a = sigs.select(
