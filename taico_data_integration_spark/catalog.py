@@ -53,13 +53,26 @@ RUNTIME_CONFS = {
 }
 
 
+# Sessions already ensured, keyed by the py4j session object id. A session
+# only needs the fix-up once: nothing in the engine or the driver toggles
+# these confs mid-run (verified: only session.py sets them, at build time),
+# and every load_table call was paying len(RUNTIME_CONFS) py4j conf-gets.
+# WeakSet so a torn-down session does not pin the wrapper object.
+import weakref
+
+_confs_ensured: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_runtime_confs(spark: SparkSession) -> None:
+    if spark in _confs_ensured:
+        return
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
             pass
+    _confs_ensured.add(spark)
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts", dtype: str | None = None) -> DataFrame:
