@@ -182,54 +182,48 @@ def curation_flags(
     tree once per reference (~30x for the language argmax + flag columns),
     and Catalyst's subexpression elimination does not hoist subtrees out of
     CASE WHEN branches. Results are bit-identical (same exprs, same fold
-    order); only the evaluation count changes."""
-    from .text import STOPWORDS, language_argmax, tokens as _tokens
+    order); only the evaluation count changes.
+
+    r13: the projections are SQL-string twins of the previous Column forms
+    (llm.text module note on py4j plan-build cost) — the `D` suffix keeps
+    every float literal a DOUBLE exactly like the old F.lit(...) nodes."""
+    from .text import language_argmax_sql, stopword_hits_sql, tokens_sql
 
     langs = ("en", "de", "es", "fr")
-    base = df.select(
-        F.col(id_col), F.col(text_col).alias("__t"), _tokens(text_col).alias("__toks")
+    idq = f"`{id_col}`"
+    base = df.selectExpr(
+        idq, f"`{text_col}` AS __t", f"{tokens_sql(text_col)} AS __toks"
     )
-    hits = {
-        lang: F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS[lang]))).cast("bigint")
-        for lang in langs
-    }
-    stats = base.select(
-        F.col(id_col),
-        F.size("__toks").cast("bigint").alias("__n_tok"),
-        F.size(F.array_distinct("__toks")).cast("bigint").alias("__n_dist"),
-        *[hits[lang].alias(f"__hits_{lang}") for lang in langs],
-        F.regexp_count("__t", F.lit(r"[A-Za-z]")).cast("double").alias("__alpha"),
-        F.length("__t").cast("double").alias("__len"),
+    stats = base.selectExpr(
+        idq,
+        "CAST(size(__toks) AS BIGINT) AS __n_tok",
+        "CAST(size(array_distinct(__toks)) AS BIGINT) AS __n_dist",
+        *[f"{stopword_hits_sql('__toks', lang)} AS __hits_{lang}" for lang in langs],
+        "CAST(regexp_count(__t, '[A-Za-z]') AS DOUBLE) AS __alpha",
+        "CAST(length(__t) AS DOUBLE) AS __len",
     )
     # cheap scalar math over the staged stats — duplication-free to inline;
     # each formula matches the Column-API twin (repetition_ratio,
     # quality_score, detect_language) term for term.
-    n_tok_d = F.col("__n_tok").cast("double")
-    rep = F.round(
-        F.lit(1.0) - F.col("__n_dist").cast("double") / F.greatest(n_tok_d, F.lit(1.0)), 6
+    n_tok_d = "CAST(__n_tok AS DOUBLE)"
+    rep = f"round(1.0D - CAST(__n_dist AS DOUBLE) / greatest({n_tok_d}, 1.0D), 6)"
+    stop_ratio = f"CAST(__hits_en AS DOUBLE) / greatest({n_tok_d}, 1.0D)"
+    alpha_ratio = "__alpha / greatest(__len, 1.0D)"
+    len_sat = f"least({n_tok_d} / 100.0D, 1.0D)"
+    qual = f"round(0.4D * ({stop_ratio}) + 0.3D * ({alpha_ratio}) + 0.3D * ({len_sat}), 6)"
+    lang = language_argmax_sql({l: f"__hits_{l}" for l in langs}, langs)
+    out = stats.selectExpr(
+        idq,
+        "__n_tok AS n_tokens",
+        f"{rep} AS repetition",
+        f"{qual} AS quality",
+        f"{lang} AS detected_lang",
+        f"__n_tok < {min_tokens} AS too_short",
+        f"{rep} > {max_repetition!r}D AS high_repetition",
+        f"{qual} < {min_quality!r}D AS low_quality",
+        f"({lang}) != 'en' AS non_en",
     )
-    stop_ratio = F.col("__hits_en").cast("double") / F.greatest(n_tok_d, F.lit(1.0))
-    alpha_ratio = F.col("__alpha") / F.greatest(F.col("__len"), F.lit(1.0))
-    len_sat = F.least(n_tok_d / F.lit(100.0), F.lit(1.0))
-    qual = F.round(
-        F.lit(0.4) * stop_ratio + F.lit(0.3) * alpha_ratio + F.lit(0.3) * len_sat, 6
+    return out.withColumn(
+        "keep",
+        F.expr("NOT (too_short OR high_repetition OR low_quality OR non_en)"),
     )
-    lang = language_argmax({l: F.col(f"__hits_{l}") for l in langs}, langs)
-    out = stats.select(
-        F.col(id_col),
-        F.col("__n_tok").alias("n_tokens"),
-        rep.alias("repetition"),
-        qual.alias("quality"),
-        lang.alias("detected_lang"),
-        (F.col("__n_tok") < min_tokens).alias("too_short"),
-        (rep > max_repetition).alias("high_repetition"),
-        (qual < min_quality).alias("low_quality"),
-        (lang != "en").alias("non_en"),
-    )
-    keep = ~(
-        F.col("too_short")
-        | F.col("high_repetition")
-        | F.col("low_quality")
-        | F.col("non_en")
-    )
-    return out.withColumn("keep", keep)

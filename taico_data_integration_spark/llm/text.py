@@ -35,6 +35,48 @@ def tokens(col: Column | str) -> Column:
     return F.split(normalized_text(col), " ")
 
 
+# --- SQL-string twins (r13, plan-build cost) -------------------------------
+# The Column-API forms of the staged language/curation stacks cost 1.5-2k
+# py4j round trips per query build (one per Column node, several per HOF
+# lambda); the same expressions as ONE selectExpr string are a single round
+# trip and parse to the IDENTICAL analyzed tree (oracle value-hash parity
+# over the registry is the proof). Each *_sql helper is a term-for-term twin
+# of the Column helper directly above/below it — change them in pairs.
+
+
+def norm_sql(col: str) -> str:
+    """SQL twin of normalized_text ('\\\\s+' in a SQL literal == r'\\s+')."""
+    return f"regexp_replace(lower(trim(`{col}`)), '\\\\s+', ' ')"
+
+
+def tokens_sql(col: str) -> str:
+    """SQL twin of tokens()."""
+    return f"split({norm_sql(col)}, ' ')"
+
+
+def stopword_hits_sql(toks_expr: str, lang: str) -> str:
+    """SQL twin of the staged hit column: size(filter(toks, t -> t IN (...)))
+    over an ALREADY-TOKENIZED array expression."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"CAST(size(filter({toks_expr}, t -> t IN ({words}))) AS BIGINT)"
+
+
+def language_argmax_sql(hits: dict[str, str], langs: tuple[str, ...]) -> str:
+    """SQL twin of language_argmax over hit EXPRESSION STRINGS: the same
+    iteratively-nested CASE (later langs outermost) with the same strict/
+    non-strict comparison pattern and left-associated AND chain."""
+    expr = "'unknown'"
+    for i, lang in enumerate(langs):
+        cond = f"{hits[lang]} > 0"
+        for j, other in enumerate(langs):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            cond = f"{cond} AND {hits[lang]} {op} {hits[other]}"
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
 def whitespace_token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("bigint")
 
@@ -92,14 +134,13 @@ def staged_language_hits(
     reference — ~28 evaluations for 4 languages). CollapseProject keeps the
     staging projection because the token array is non-cheap and referenced
     by every hit column."""
-    base = df.select(*keep_cols, tokens(text_col).alias("__toks"))
+    keep = [f"`{c}`" for c in keep_cols]
+    # SQL-string twins of the previous Column forms (module note above)
+    base = df.selectExpr(*keep, f"{tokens_sql(text_col)} AS __toks")
     hit_cols = [
-        F.size(F.filter(F.col("__toks"), lambda t: t.isin(*STOPWORDS[lang])))
-        .cast("bigint")
-        .alias(f"__hits_{lang}")
-        for lang in langs
+        f"{stopword_hits_sql('__toks', lang)} AS __hits_{lang}" for lang in langs
     ]
-    return base.select(*keep_cols, *hit_cols)
+    return base.selectExpr(*keep, *hit_cols)
 
 
 def with_language(
@@ -112,8 +153,8 @@ def with_language(
     """keep_cols + detected language, via staged hit columns (one
     tokenization pass per row; identical results to detect_language)."""
     staged = staged_language_hits(df, text_col, keep_cols, langs)
-    lang = language_argmax({l: F.col(f"__hits_{l}") for l in langs}, langs)
-    return staged.select(*keep_cols, lang.alias(out))
+    lang_sql = language_argmax_sql({l: f"__hits_{l}" for l in langs}, langs)
+    return staged.selectExpr(*[f"`{c}`" for c in keep_cols], f"{lang_sql} AS `{out}`")
 
 
 def punct_count(col: Column | str) -> Column:

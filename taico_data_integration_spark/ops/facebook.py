@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .transforms import comma_decimal
 
 OBJECTIVE_TO_MEDIA_TYPE = {
     "CONVERSIONS": "Conversion Ad",
@@ -40,30 +39,28 @@ def ads_insights_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-boundary sample, checkpoint+count, assignment) and each pays the
     extra exchange stage, which outweighs the parallel-synthesis gain."""
     e = load_table(spark, sf_dir, "events")
-    camp_key = (F.col("user_id") % 50).cast("string")
-    return e.select(
-        F.concat(F.lit("ad_"), F.col("event_id").cast("string")).alias("ad_id"),
-        F.concat(F.lit("campaign_id_"), camp_key).alias("campaign_id"),
-        F.date_format("ts", "yyyy-MM-dd").alias("date_start"),
-        F.when(F.col("event_type") == "purchase", "CONVERSIONS")
-        .when(F.col("event_type") == "click", "TRAFFIC")
-        .when(F.col("event_type") == "view", "VIDEO_VIEWS")
-        .otherwise("BRAND_AWARENESS")
-        .alias("objective"),
-        (F.col("user_id") % 100).cast("string").alias("clicks"),
-        (F.col("event_id") % 1000).cast("string").alias("impressions"),
-        (F.col("user_id") % 50).cast("string").alias("unique_clicks"),
-        F.replace(F.col("value").cast("string"), F.lit("."), F.lit(",")).alias("spend"),
-        F.when(F.col("event_type") == "error", F.lit("n/a"))
-        .otherwise(F.replace(F.col("value").cast("string"), F.lit("."), F.lit(",")))
-        .alias("conversion_values"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created_time"),
-        F.concat(F.lit("Account "), (F.col("user_id") % 5).cast("string")).alias("account_name"),
-        (F.col("user_id") % 5).cast("string").alias("account_id"),
-        F.element_at(
-            F.array(F.lit("Classical"), F.lit("CRM"), F.lit("Digital"), F.lit("Branding")),
-            (F.col("user_id") % 4).cast("int") + 1,
-        ).alias("optimization_goal"),
+    # SQL-string twins of the previous Column stack (r13: one selectExpr
+    # round trip instead of ~100 py4j calls per build — see llm.dedup's
+    # module note; identical analyzed tree, oracle value-hash parity).
+    return e.selectExpr(
+        "concat('ad_', CAST(event_id AS STRING)) AS ad_id",
+        "concat('campaign_id_', CAST(user_id % 50 AS STRING)) AS campaign_id",
+        "date_format(ts, 'yyyy-MM-dd') AS date_start",
+        "CASE WHEN event_type = 'purchase' THEN 'CONVERSIONS'"
+        " WHEN event_type = 'click' THEN 'TRAFFIC'"
+        " WHEN event_type = 'view' THEN 'VIDEO_VIEWS'"
+        " ELSE 'BRAND_AWARENESS' END AS objective",
+        "CAST(user_id % 100 AS STRING) AS clicks",
+        "CAST(event_id % 1000 AS STRING) AS impressions",
+        "CAST(user_id % 50 AS STRING) AS unique_clicks",
+        "replace(CAST(value AS STRING), '.', ',') AS spend",
+        "CASE WHEN event_type = 'error' THEN 'n/a'"
+        " ELSE replace(CAST(value AS STRING), '.', ',') END AS conversion_values",
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS created_time",
+        "concat('Account ', CAST(user_id % 5 AS STRING)) AS account_name",
+        "CAST(user_id % 5 AS STRING) AS account_id",
+        "element_at(array('Classical', 'CRM', 'Digital', 'Branding'),"
+        " CAST(user_id % 4 AS INT) + 1) AS optimization_goal",
     )
 
 
@@ -71,15 +68,14 @@ def campaigns_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Campaign registry: id 'fb_<k>' whose suffix matches the ads'
     campaign key after the reference's substring(id, 4) computation."""
     e = load_table(spark, sf_dir, "events")
-    k = (F.col("user_id") % 50).cast("string")
     return (
-        e.select(k.alias("k"))
+        e.selectExpr("CAST(user_id % 50 AS STRING) AS k")
         .distinct()
-        .select(
-            F.concat(F.lit("fb_"), F.col("k")).alias("id"),
-            F.concat(F.lit("Campaign "), F.col("k")).alias("name"),
-            F.lit("ACTIVE").alias("status"),
-            F.lit("CONVERSIONS").alias("objective"),
+        .selectExpr(
+            "concat('fb_', k) AS id",
+            "concat('Campaign ', k) AS name",
+            "'ACTIVE' AS status",
+            "'CONVERSIONS' AS objective",
         )
     )
 
@@ -87,32 +83,42 @@ def campaigns_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     """fb_meta_ads_transformed.sql restated. Returns the transformed media
     fact slice with a deterministic row_number id ordered by ad_id."""
-    camp = campaigns.select(
-        F.concat(F.lit("campaign_id_"), F.expr("substring(id, 4)")).alias("campaign_id"),
-        F.col("name").alias("campaign_name"),
+    # SQL-string twins (r13, plan-build cost — see the note in
+    # ads_insights_from_fixtures): comma_decimal('x') ==
+    # CAST(replace(x, ',', '.') AS DOUBLE) term for term; the CASE chains
+    # are generated from the same OBJECTIVE_TO_MEDIA_TYPE / KNOWN_CLUSTERS
+    # constants the Column forms used.
+    camp = campaigns.selectExpr(
+        "concat('campaign_id_', substring(id, 4)) AS campaign_id",
+        "name AS campaign_name",
     )
-    cleaned = ads.select(
+    cleaned = ads.selectExpr(
         "ad_id",
         "campaign_id",
-        F.to_date("date_start").alias("date"),
+        "to_date(date_start) AS date",
         "objective",
-        F.col("clicks").cast("int").alias("clicks"),
-        F.col("impressions").cast("int").alias("impressions"),
-        F.col("unique_clicks").cast("int").alias("unique"),
-        comma_decimal("spend").alias("spend"),
-        comma_decimal("conversion_values").alias("revenue"),
-        F.to_timestamp("created_time").alias("added_at"),
-        F.col("account_name").alias("publisher"),
-        F.col("account_id").alias("property"),
+        "CAST(clicks AS INT) AS clicks",
+        "CAST(impressions AS INT) AS impressions",
+        "CAST(unique_clicks AS INT) AS `unique`",
+        "CAST(replace(spend, ',', '.') AS DOUBLE) AS spend",
+        "CAST(replace(conversion_values, ',', '.') AS DOUBLE) AS revenue",
+        "to_timestamp(created_time) AS added_at",
+        "account_name AS publisher",
+        "account_id AS property",
         "optimization_goal",
     )
-    media_type = F.when(F.col("objective") == "CONVERSIONS", OBJECTIVE_TO_MEDIA_TYPE["CONVERSIONS"])
-    for k, v in list(OBJECTIVE_TO_MEDIA_TYPE.items())[1:]:
-        media_type = media_type.when(F.col("objective") == k, v)
-    media_type = media_type.otherwise("Other Ad")
-    media_cluster = F.when(
-        F.col("optimization_goal").isin(*KNOWN_CLUSTERS), F.col("optimization_goal")
-    ).otherwise("Other")
+    media_type_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN objective = '{k}' THEN '{v}'" for k, v in OBJECTIVE_TO_MEDIA_TYPE.items()
+        )
+        + " ELSE 'Other Ad' END"
+    )
+    cluster_list = ", ".join(f"'{c}'" for c in KNOWN_CLUSTERS)
+    media_cluster_sql = (
+        f"CASE WHEN optimization_goal IN ({cluster_list}) THEN optimization_goal"
+        " ELSE 'Other' END"
+    )
     from .dims import mint_ids_distributed
 
     # The dbt model mints ids with an UNPARTITIONED row_number ordered by
@@ -148,25 +154,24 @@ def fb_ads_transform(ads: DataFrame, campaigns: DataFrame) -> DataFrame:
     # enough (key+long ≈ 50 MB at the cap), shuffle join beyond that (at
     # fact scale the map is fact-sized and broadcasting would be the bug).
     joined = wide.join(F.broadcast(ids) if n_ids <= 1_000_000 else ids, "ad_id")
-    return (
-        joined
-        .select(
-            "id",
-            "date",
-            F.lit("facebook").alias("channel"),
-            F.col("campaign_name").alias("campaign"),
-            "publisher",
-            "property",
-            media_type.alias("media_type"),
-            media_cluster.alias("media_cluster"),
-            "clicks",
-            "impressions",
-            "unique",
-            F.col("spend").alias("media_cost_eur"),
-            "revenue",
-            F.col("property").alias("owner"),
-            "added_at",
-            (F.col("spend") * F.lit(0.9)).alias("net_media_cost"),
-            (F.col("spend") * F.lit(0.8)).alias("net_net_media_cost"),
-        )
+    return joined.selectExpr(
+        "id",
+        "date",
+        "'facebook' AS channel",
+        "campaign_name AS campaign",
+        "publisher",
+        "property",
+        f"{media_type_sql} AS media_type",
+        f"{media_cluster_sql} AS media_cluster",
+        "clicks",
+        "impressions",
+        "`unique`",
+        "spend AS media_cost_eur",
+        "revenue",
+        "property AS owner",
+        "added_at",
+        # 0.9/0.8 parse as DECIMAL literals; double * decimal promotes the
+        # literal to double — same tree as the previous lit(0.9) form.
+        "spend * 0.9 AS net_media_cost",
+        "spend * 0.8 AS net_net_media_cost",
     )
