@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .transforms import dual_format_timestamp, surrogate_key
+from .transforms import dual_format_timestamp, surrogate_key, surrogate_key_sql
 
 
 def raw_invoices_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,36 +34,38 @@ def raw_invoices_from_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
-    mm = F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
-    dd = F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0")
-    yyyy = F.year("o_orderdate").cast("string")
-    yy = F.lpad((F.year("o_orderdate") % 100).cast("string"), 2, "0")
-    long_str = F.concat(mm, F.lit("/"), dd, F.lit("/"), yyyy, F.lit(" 10:15"))
-    short_str = F.concat(mm, F.lit("/"), dd, F.lit("/"), yy, F.lit(" 10:15"))
-    invoice_date = F.when(
-        (F.col("o_orderkey") % 2 == 0) & (F.year("o_orderdate") >= 2000), short_str
-    ).otherwise(long_str)
+    # SQL-string twins of the previous Column stack (r13 plan-build cost —
+    # see llm.text module note): identical date-string synthesis and
+    # decimal math, one selectExpr round trip.
+    mm = "lpad(CAST(month(o_orderdate) AS STRING), 2, '0')"
+    dd = "lpad(CAST(dayofmonth(o_orderdate) AS STRING), 2, '0')"
+    yyyy = "CAST(year(o_orderdate) AS STRING)"
+    yy = "lpad(CAST(year(o_orderdate) % 100 AS STRING), 2, '0')"
+    long_str = f"concat({mm}, '/', {dd}, '/', {yyyy}, ' 10:15')"
+    short_str = f"concat({mm}, '/', {dd}, '/', {yy}, ' 10:15')"
+    invoice_date = (
+        f"CASE WHEN (o_orderkey % 2 = 0) AND (year(o_orderdate) >= 2000) "
+        f"THEN {short_str} ELSE {long_str} END"
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .select(
-            F.col("o_orderkey").cast("string").alias("InvoiceNo"),
-            F.col("l_partkey").cast("string").alias("StockCode"),
-            F.col("p_name").alias("Description"),
-            F.col("l_quantity").cast("int").alias("Quantity"),
-            invoice_date.alias("InvoiceDate"),
+        .selectExpr(
+            "CAST(o_orderkey AS STRING) AS InvoiceNo",
+            "CAST(l_partkey AS STRING) AS StockCode",
+            "p_name AS Description",
+            "CAST(l_quantity AS INT) AS Quantity",
+            f"{invoice_date} AS InvoiceDate",
             # floor(x*100)/100 is pure IEEE arithmetic — bit-identical across
             # engines, unlike round(), whose tie handling differs.
-            (F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100) / 100)
-            .cast("decimal(18,2)")
-            .alias("UnitPrice"),
+            "CAST(floor(l_extendedprice / l_quantity * 100) / 100"
+            " AS DECIMAL(18,2)) AS UnitPrice",
             # ~10% null customers to exercise the dim_customer filter
-            F.when(F.col("c_custkey") % 10 == 7, F.lit(None))
-            .otherwise(F.col("c_custkey").cast("string"))
-            .alias("CustomerID"),
-            F.col("n_name").alias("Country"),
+            "CASE WHEN c_custkey % 10 = 7 THEN NULL"
+            " ELSE CAST(c_custkey AS STRING) END AS CustomerID",
+            "n_name AS Country",
         )
     )
 
@@ -139,13 +141,13 @@ def fct_invoices(raw: DataFrame) -> DataFrame:
     total = Quantity * UnitPrice, WHERE Quantity > 0. Joins are implicit —
     the FK surrogates are recomputed from the same columns, exactly like the
     dbt model (fct_invoices.sql:8-9)."""
-    return raw.where(F.col("Quantity") > 0).select(
-        surrogate_key("InvoiceNo", "StockCode", "CustomerID").alias("invoice_id"),
-        surrogate_key("InvoiceDate").alias("datetime_id"),
-        surrogate_key("StockCode", "Description", "UnitPrice").alias("product_id"),
-        surrogate_key("CustomerID", "Country").alias("customer_id"),
-        F.col("Quantity").cast("bigint").alias("quantity"),
-        (F.col("Quantity").cast("decimal(18,2)") * F.col("UnitPrice")).cast("decimal(38,4)").alias("total"),
+    return raw.where(F.col("Quantity") > 0).selectExpr(
+        f"{surrogate_key_sql('InvoiceNo', 'StockCode', 'CustomerID')} AS invoice_id",
+        f"{surrogate_key_sql('InvoiceDate')} AS datetime_id",
+        f"{surrogate_key_sql('StockCode', 'Description', 'UnitPrice')} AS product_id",
+        f"{surrogate_key_sql('CustomerID', 'Country')} AS customer_id",
+        "CAST(Quantity AS BIGINT) AS quantity",
+        "CAST(CAST(Quantity AS DECIMAL(18,2)) * UnitPrice AS DECIMAL(38,4)) AS total",
     )
 
 

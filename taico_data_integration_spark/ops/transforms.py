@@ -39,6 +39,16 @@ def surrogate_key(*cols: Column | str) -> Column:
     return F.md5(F.concat_ws("-", *parts))
 
 
+def surrogate_key_sql(*cols: str) -> str:
+    """SQL-string twin of surrogate_key for selectExpr call sites (r13
+    plan-build cost — see llm.text module note): identical md5/concat_ws/
+    coalesce tree, one parse instead of ~25 py4j calls per key."""
+    parts = ", ".join(
+        f"coalesce(CAST(`{c}` AS STRING), '{SURROGATE_NULL}')" for c in cols
+    )
+    return f"md5(concat_ws('-', {parts}))"
+
+
 def normalize_name(col: Column | str) -> Column:
     """Alphanumeric-strip + lowercase normalization used by the reference's
     performance<->cost fuzzy join
